@@ -1,0 +1,123 @@
+"""Per-bucket bloom filters for url_seen membership (the fast path of
+SURVEY C2).
+
+The reference keeps ``visited: set[str]`` in driver memory
+(reference scrapers/docs_scraper.py:117,124) — impossible at 10^10 URLs. The
+engine's ground truth is the bucketed ``url_seen`` table (exact anti-join);
+this module provides the probabilistic *pre-filter* that keeps the exact
+join's probe side small: candidates whose bloom probe says "definitely not
+seen" skip the join entirely; only "maybe seen" rows are confirmed exactly.
+An insert-only set never deletes, so a plain bloom (not counting/cuckoo)
+is sufficient and 8x smaller; the sharding story is what matters at scale.
+
+Sharding: one filter per url_hash bucket (the same ``bucket = |url_hash| %
+N_BUCKETS`` that partitions ``url_seen`` on disk). On a real cluster each
+task loads only the shards for the buckets in its partition from the
+snapshot sidecar; in local mode the shard dict is a single broadcast.
+
+Bits are built executor-side: ``partial_bitmaps`` runs inside
+``mapInPandas`` and emits one fixed-size packed bitmap per (partition,
+bucket) — constant-size shuffle to the driver regardless of row count —
+which the driver ORs into the sidecar. Double hashing (Kirsch-Mitzenmacher)
+derives K probe positions from the single 64-bit url_hash.
+"""
+
+from __future__ import annotations
+
+import io
+import zlib
+
+import numpy as np
+import pandas as pd
+
+DEFAULT_BITS_PER_KEY = 10  # ~1% FPR at K=7
+K_HASHES = 7
+
+
+def _positions(hashes: np.ndarray, m: int) -> np.ndarray:
+    """(n, K) probe positions from signed int64 hashes via double hashing."""
+    u = hashes.astype(np.uint64)
+    h1 = (u >> np.uint64(32)).astype(np.uint64)
+    h2 = ((u & np.uint64(0xFFFFFFFF)) | np.uint64(1)).astype(np.uint64)
+    ks = np.arange(K_HASHES, dtype=np.uint64)
+    return ((h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(m)).astype(np.int64)
+
+
+class BloomShards:
+    """Dict of bucket -> packed uint8 bitmap, all shards the same size."""
+
+    def __init__(self, n_buckets: int, m_bits: int,
+                 shards: dict[int, np.ndarray] | None = None) -> None:
+        self.n_buckets = n_buckets
+        self.m_bits = m_bits
+        self.shards = shards if shards is not None else {}
+
+    @classmethod
+    def sized_for(cls, expected_keys: int, n_buckets: int,
+                  bits_per_key: int = DEFAULT_BITS_PER_KEY) -> "BloomShards":
+        per_bucket = max(1024, (expected_keys * bits_per_key) // max(1, n_buckets))
+        m = 1 << int(np.ceil(np.log2(per_bucket)))
+        return cls(n_buckets, m)
+
+    def _shard(self, bucket: int) -> np.ndarray:
+        s = self.shards.get(bucket)
+        if s is None:
+            s = np.zeros(self.m_bits // 8, dtype=np.uint8)
+            self.shards[bucket] = s
+        return s
+
+    def add_many(self, buckets: np.ndarray, hashes: np.ndarray) -> None:
+        for b in np.unique(buckets):
+            pos = _positions(hashes[buckets == b], self.m_bits).ravel()
+            np.bitwise_or.at(self._shard(int(b)), pos >> 3,
+                             np.uint8(1) << (pos & 7).astype(np.uint8))
+
+    def maybe_contains(self, buckets: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized probe; True = maybe seen, False = definitely new."""
+        out = np.zeros(len(hashes), dtype=bool)
+        for b in np.unique(buckets):
+            mask = buckets == b
+            shard = self.shards.get(int(b))
+            if shard is None:
+                continue  # empty shard: nothing seen in this bucket
+            pos = _positions(hashes[mask], self.m_bits)
+            bits = (shard[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+            out[mask] = bits.all(axis=1)
+        return out
+
+    def merge_bitmap(self, bucket: int, packed: np.ndarray) -> None:
+        np.bitwise_or(self._shard(bucket), packed, out=self._shard(bucket))
+
+    # ------------------------------------------------------------ serialize
+    def to_bytes(self) -> bytes:
+        buf = io.BytesIO()
+        np.savez(buf, meta=np.array([self.n_buckets, self.m_bits], dtype=np.int64),
+                 **{f"b{k}": v for k, v in self.shards.items()})
+        return zlib.compress(buf.getvalue(), 3)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "BloomShards":
+        with np.load(io.BytesIO(zlib.decompress(data))) as z:
+            nb, m = (int(x) for x in z["meta"])
+            shards = {int(k[1:]): z[k].copy() for k in z.files if k != "meta"}
+        return cls(nb, m, shards)
+
+
+def partial_bitmaps(m_bits: int, n_buckets: int):
+    """mapInPandas function: (bucket int, url_hash long) rows ->
+    (bucket int, bitmap binary) one row per bucket present in the partition."""
+    def fn(iterator):
+        acc: dict[int, np.ndarray] = {}
+        for pdf in iterator:
+            buckets = pdf["bucket"].to_numpy()
+            hashes = pdf["url_hash"].to_numpy()
+            for b in np.unique(buckets):
+                pos = _positions(hashes[buckets == b], m_bits).ravel()
+                shard = acc.setdefault(int(b), np.zeros(m_bits // 8, dtype=np.uint8))
+                np.bitwise_or.at(shard, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        if acc:
+            yield pd.DataFrame({
+                "bucket": list(acc.keys()),
+                "bitmap": [v.tobytes() for v in acc.values()],
+            })
+    return fn

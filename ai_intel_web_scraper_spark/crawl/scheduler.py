@@ -1,0 +1,429 @@
+"""Round-based distributed frontier scheduler.
+
+One crawl *round* is ONE DataFrame job pipeline (rank -> politeness quota ->
+fetch-simulate -> expand -> dedupe -> commit); the only driver-side control
+flow is the round counter and the stop condition — this replaces the
+reference's sequential ``while queue: deque.popleft()`` loop
+(reference scrapers/docs_scraper.py:107-169) without porting it.
+
+Scale design notes (the 100 TB / 10^10-URL story — each choice is visible in
+``.explain``):
+
+- **Politeness quota without a hot-host window bottleneck.** A naive
+  ``row_number() over (partition by host)`` puts every frontier row of a hot
+  host in one task. We rank in two phases: phase 1 ranks within
+  ``(host, salt)`` (salt = url_hash % n_salt) and keeps only ``quota`` rows
+  per salt — hot hosts fan out across n_salt tasks and the survivor set is
+  bounded by ``n_salt * quota``; phase 2 ranks the tiny survivor set per
+  host exactly. Unscheduled rows are NOT re-shuffled through the window:
+  the next frontier is ``frontier ANTI JOIN scheduled`` on the uniform
+  url_hash key (no skew by construction).
+- **url_seen never shuffles its big side redundantly**: both url_seen and
+  the candidate links carry the same ``bucket = |url_hash| % n_buckets``;
+  on Iceberg this becomes a storage-partitioned join. The bloom pre-filter
+  (see bloom.py) removes the "definitely new" majority from the exact
+  anti-join's probe side first.
+- **Binary payload stays out of every shuffle**: the scheduling path touches
+  only (url, hash, host, depth, seq); image bytes are joined from the
+  bucketed ``pages`` table by a broadcast join against the (small) per-round
+  success set at the very last step, directly into the ``fetched`` sink.
+- **All state in tables, none in the driver** (SnapshotStore): resume reads
+  the last committed snapshot; timestamps are virtual (derived from round
+  numbers) so a resumed run is bit-identical.
+
+Crawl semantics contract: see semantics.py (shared with the oracle).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import urls as U
+from . import semantics as S
+from .bloom import BloomShards, partial_bitmaps
+from .statestore import SnapshotStore
+
+FRONTIER_SCHEMA = ("url string, url_hash long, bucket int, host string, "
+                   "depth int, priority double, discovery_seq long, attempt int")
+URL_SEEN_SCHEMA = "url string, url_hash long, bucket int, round_added int"
+FETCHED_SCHEMA = ("url string, host string, depth int, round int, "
+                  "discovery_seq long, fetch_slot int, fetch_ts double, "
+                  "image_id string, caption string, w int, h int, fmt string, "
+                  "phash long, bytes binary")
+FAILURES_SCHEMA = ("url string, host string, depth int, round int, "
+                   "discovery_seq long, attempt int, reason string")
+HOST_STATE_SCHEMA = ("host string, crawl_delay double, max_pages int, "
+                     "max_depth int, fetched_count long, "
+                     "exclude_patterns array<string>, disallow array<string>")
+METRICS_SCHEMA = ("round int, scheduled long, fetched_ok long, failed long, "
+                  "retried long, discovered long, new_urls long, "
+                  "frontier_size long, wall_ms double")
+
+_RESOLVE_TYPE = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("host", T.StringType()),
+    T.StructField("url_hash", T.LongType()),
+])
+
+
+@F.pandas_udf(_RESOLVE_TYPE)
+def resolve_udf(link: pd.Series, base: pd.Series) -> pd.DataFrame:
+    """Vectorized canonicalize+hash (SURVEY C3/C11): one Python invocation
+    per Arrow batch; RFC-3986 resolution, fragment/query drop, trailing-slash
+    strip, then blake2b-64. No per-row Python anywhere else in the plan."""
+    canon = U.canonicalize_series(link, base)
+    return pd.DataFrame({
+        "url": canon,
+        "host": U.host_series(canon),
+        "url_hash": U.hash64_series(canon),
+    })
+
+
+@dataclass
+class CrawlConfig:
+    n_buckets: int = 16
+    n_salt: int = 8
+    use_bloom: bool = True
+    expected_urls: int = 1 << 20
+    rank_mode: str = "bfs"        # "bfs" (oracle-parity) | "priority"
+    write_payload: bool = True    # join image bytes into the fetched sink
+    max_rounds: int = 200
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, fixtures: dict, warehouse: str,
+                 config: CrawlConfig | None = None) -> None:
+        self.spark = spark
+        self.cfg = config or CrawlConfig()
+        self.store = SnapshotStore(spark, warehouse, schemas={
+            "frontier": FRONTIER_SCHEMA, "url_seen": URL_SEEN_SCHEMA,
+            "fetched": FETCHED_SCHEMA, "failures": FAILURES_SCHEMA,
+            "host_state": HOST_STATE_SCHEMA, "metrics": METRICS_SCHEMA,
+        })
+        self.fixtures = fixtures
+        self.graph = spark.read.parquet(fixtures["web_graph"])
+        self.pages = spark.read.parquet(fixtures["pages"]) if self.cfg.write_payload else None
+
+    # ------------------------------------------------------------ helpers
+    def _bucket(self, c):  # |url_hash| % n_buckets, sign-safe
+        return F.pmod(F.abs(c), F.lit(self.cfg.n_buckets)).cast("int")
+
+    def _host_cfg(self) -> DataFrame:
+        return self.store.read("host_state")
+
+    def _apply_url_policies(self, df: DataFrame, cfg: DataFrame) -> DataFrame:
+        """Join host config and tag rows rejected by exclude patterns
+        (SURVEY C6, substring containment per docs_scraper.py:171-176) or
+        robots disallow path-prefixes (SURVEY C18, graft addition)."""
+        out = (df.join(F.broadcast(cfg), "host", "left")
+               .withColumn("_path", F.regexp_replace("url", r"^https?://[^/]*", "")))
+        return (out.withColumn(
+            "reject",
+            F.when(F.col("crawl_delay").isNull(), F.lit("unknown_host"))
+             .when(F.expr("exists(exclude_patterns, p -> instr(url, p) > 0)"),
+                   F.lit("excluded"))
+             .when(F.expr("exists(disallow, d -> startswith(_path, d))"),
+                   F.lit("robots"))
+             .otherwise(F.lit(None).cast("string")))
+            .drop("_path"))
+
+    # ------------------------------------------------------------ bootstrap
+    def bootstrap(self) -> None:
+        """Round 0: seed the frontier, url_seen, host_state; commit snapshot."""
+        sp = self.spark
+        pol = sp.read.parquet(self.fixtures["politeness"])
+        rob = sp.read.parquet(self.fixtures["robots"])
+        host_state = (pol.join(rob, "host", "left")
+                      .select("host",
+                              F.coalesce("crawl_delay_override", "crawl_delay")
+                               .alias("crawl_delay"),
+                              "max_pages", "max_depth",
+                              F.lit(0).cast("long").alias("fetched_count"),
+                              "exclude_patterns",
+                              F.coalesce("disallow", F.array()).alias("disallow")))
+        seeds = (sp.read.parquet(self.fixtures["seeds"])
+                 .select(resolve_udf("url", F.lit(None).cast("string")).alias("r"),
+                         "seed_seq", "priority")
+                 .select(F.col("r.url").alias("url"), F.col("r.host").alias("host"),
+                         F.col("r.url_hash").alias("url_hash"),
+                         "seed_seq", "priority")
+                 .where(F.col("url").isNotNull()))
+        seeds = self._apply_url_policies(
+            seeds, host_state.select("host", "crawl_delay", "exclude_patterns",
+                                     "disallow"))
+        ok = seeds.where(F.col("reject").isNull())
+        frontier = ok.select(
+            "url", "url_hash", self._bucket("url_hash").alias("bucket"), "host",
+            F.lit(0).alias("depth"), "priority",
+            F.col("seed_seq").alias("discovery_seq"),
+            F.lit(1).alias("attempt"))
+        # add-before-enqueue: seeds enter url_seen immediately (C2 semantics)
+        url_seen = frontier.select("url", "url_hash", "bucket",
+                                   F.lit(0).alias("round_added"))
+        self.store.stage_write("frontier", frontier, "replace")
+        self.store.stage_write("url_seen", url_seen, "append")
+        self.store.stage_write("host_state", host_state, "replace")
+        if self.cfg.use_bloom:
+            bloom = BloomShards.sized_for(self.cfg.expected_urls, self.cfg.n_buckets)
+            self._bloom_add(bloom, frontier)
+            self.store.stage_blob("bloom", bloom.to_bytes())
+        self.store.commit(round_no=0, metrics={"round": 0, "event": "bootstrap"})
+
+    def _bloom_add(self, bloom: BloomShards, df: DataFrame) -> None:
+        """OR executor-built per-partition bitmaps into the sidecar shards.
+        Constant-size data to the driver per (partition, bucket)."""
+        parts = (df.select("bucket", "url_hash")
+                 .mapInPandas(partial_bitmaps(bloom.m_bits, bloom.n_buckets),
+                              schema="bucket int, bitmap binary")
+                 .collect())
+        import numpy as np
+        for row in parts:
+            bloom.merge_bitmap(int(row["bucket"]),
+                               np.frombuffer(row["bitmap"], dtype=np.uint8))
+
+    # ------------------------------------------------------------ one round
+    def run_round(self, round_no: int) -> dict:
+        t0 = time.time()
+        sp = self.spark
+        cfg = self.cfg
+        frontier = self.store.read("frontier")
+        host_state = self._host_cfg()
+
+        # -- politeness quota (SURVEY C9): two-phase salted ranking ---------
+        quota_cfg = host_state.select(
+            "host", "crawl_delay", "max_depth",
+            F.least(
+                F.greatest(F.floor(F.lit(S.ROUND_SECONDS) / F.col("crawl_delay")),
+                           F.lit(1)),
+                (F.col("max_pages") - F.col("fetched_count")),
+            ).cast("int").alias("quota"))
+        if cfg.rank_mode == "bfs":
+            order_cols = [F.col("depth").asc(), F.col("discovery_seq").asc()]
+        else:
+            order_cols = [F.col("priority").desc(), F.col("depth").asc(),
+                          F.col("discovery_seq").asc()]
+        cand = (frontier.join(F.broadcast(quota_cfg), "host")
+                .where(F.col("quota") > 0))
+        w1 = (Window.partitionBy("host", F.pmod(F.abs("url_hash"), F.lit(cfg.n_salt)))
+              .orderBy(*order_cols))
+        survivors = (cand.withColumn("rn1", F.row_number().over(w1))
+                     .where(F.col("rn1") <= F.col("quota")).drop("rn1"))
+        w2 = Window.partitionBy("host").orderBy(*order_cols)
+        scheduled = (survivors.withColumn("rn", F.row_number().over(w2))
+                     .where(F.col("rn") <= F.col("quota"))
+                     .withColumn("fetch_slot", (F.col("rn") - 1).cast("int"))
+                     .withColumn("fetch_ts",
+                                 F.lit(float(round_no) * S.ROUND_SECONDS)
+                                 + F.col("fetch_slot") * F.col("crawl_delay"))
+                     .drop("rn", "quota"))
+
+        # -- fetch-simulate (SURVEY S1/S2): join the web graph --------------
+        g = self.graph.select(F.col("bucket").alias("g_bucket"),
+                              F.col("url").alias("g_url"), "status",
+                              "fail_attempts", "out_links", "image_id")
+        fetch = (scheduled.join(
+                     g, on=[scheduled["bucket"] == g["g_bucket"],
+                            scheduled["url"] == g["g_url"]],
+                     how="left")
+                 .drop("g_url", "g_bucket"))
+        fetch = fetch.withColumn(
+            "outcome",
+            F.when(F.col("status").isNull() | (F.col("status") != 200),
+                   F.lit("http_error"))
+             .when(F.col("attempt") <= F.col("fail_attempts"),
+                   F.when(F.col("attempt") < S.MAX_ATTEMPTS, F.lit("timeout_retry"))
+                    .otherwise(F.lit("timeout_dead")))
+             .otherwise(F.lit("success"))).persist()
+
+        success = fetch.where(F.col("outcome") == "success")
+        retries = fetch.where(F.col("outcome") == "timeout_retry")
+        failures = fetch.where(F.col("outcome").isin("http_error", "timeout_dead"))
+
+        # -- expansion (SURVEY C10): explode -> resolve -> filter -> dedupe -
+        parents = (success
+                   .join(F.broadcast(host_state.select(
+                             "host", F.col("max_depth").alias("md"))),
+                         "host")
+                   .where(F.col("depth") < F.col("md"))
+                   .select(F.col("url").alias("parent_url"),
+                           F.col("host").alias("parent_host"),
+                           F.col("depth").alias("parent_depth"),
+                           F.col("discovery_seq").alias("parent_seq"),
+                           F.posexplode("out_links").alias("pos", "link")))
+        resolved = (parents
+                    .withColumn("r", resolve_udf("link", "parent_url"))
+                    .select(F.col("r.url").alias("url"),
+                            F.col("r.host").alias("host"),
+                            F.col("r.url_hash").alias("url_hash"),
+                            "parent_host", "parent_depth", "parent_seq", "pos")
+                    .where(F.col("url").isNotNull()
+                           & (F.col("host") == F.col("parent_host")))
+                    .withColumn("depth", F.col("parent_depth") + 1)
+                    .withColumn("discovery_seq",
+                                F.col("parent_seq") * 64 + F.col("pos") + 1)
+                    .drop("parent_host", "parent_depth", "parent_seq", "pos"))
+        policed = self._apply_url_policies(
+            resolved, host_state.select("host", "crawl_delay",
+                                        "exclude_patterns", "disallow"))
+        kept = policed.where(F.col("reject").isNull())
+        # keep-first within the batch (SURVEY C16): min (depth, discovery_seq)
+        deduped = (kept.groupBy("url_hash", "url", "host")
+                   .agg(F.min(F.struct("depth", "discovery_seq")).alias("m"))
+                   .select("url_hash", "url", "host",
+                           F.col("m.depth").alias("depth"),
+                           F.col("m.discovery_seq").alias("discovery_seq"))
+                   .withColumn("bucket", self._bucket("url_hash")))
+
+        # -- url_seen anti-join with bloom pre-filter (SURVEY C2) -----------
+        bloom_bytes = self.store.read_blob("bloom") if cfg.use_bloom else None
+        if bloom_bytes is not None:
+            bloom = BloomShards.from_bytes(bloom_bytes)
+            bc = sp.sparkContext.broadcast(bloom_bytes)
+
+            @F.pandas_udf(T.BooleanType())
+            def maybe_seen(bucket: pd.Series, url_hash: pd.Series) -> pd.Series:
+                shards = BloomShards.from_bytes(bc.value)
+                return pd.Series(shards.maybe_contains(
+                    bucket.to_numpy(), url_hash.to_numpy()))
+
+            probed = deduped.withColumn("maybe", maybe_seen("bucket", "url_hash"))
+            definite_new = probed.where(~F.col("maybe")).drop("maybe")
+            to_confirm = probed.where(F.col("maybe")).drop("maybe")
+            confirmed = to_confirm.join(
+                self.store.read("url_seen").select("bucket", "url_hash", "url"),
+                ["bucket", "url_hash", "url"], "left_anti")
+            new_urls = definite_new.unionByName(confirmed)
+        else:
+            bloom = None
+            new_urls = deduped.join(
+                self.store.read("url_seen").select("bucket", "url_hash", "url"),
+                ["bucket", "url_hash", "url"], "left_anti")
+        new_urls = new_urls.persist()
+
+        # -- next frontier: unscheduled + retries + new (anti-join, no skew) -
+        alive_hosts = quota_cfg.where(F.col("quota") > 0).select("host")
+        unscheduled = (frontier
+                       .join(F.broadcast(alive_hosts), "host", "left_semi")
+                       .join(scheduled.select("url_hash", "url"),
+                             ["url_hash", "url"], "left_anti"))
+        retry_rows = retries.select("url", "url_hash", "bucket", "host", "depth",
+                                    "priority",
+                                    "discovery_seq",
+                                    (F.col("attempt") + 1).alias("attempt"))
+        new_frontier_rows = new_urls.select(
+            "url", "url_hash", "bucket", "host", "depth",
+            F.lit(0.0).alias("priority"), "discovery_seq",
+            F.lit(1).alias("attempt"))
+        next_frontier = (unscheduled
+                         .select("url", "url_hash", "bucket", "host", "depth",
+                                 "priority", "discovery_seq", "attempt")
+                         .unionByName(retry_rows)
+                         .unionByName(new_frontier_rows))
+
+        # -- sinks -----------------------------------------------------------
+        fetched_cols = success.select(
+            "url", "host", "depth", F.lit(round_no).alias("round"),
+            "discovery_seq", "fetch_slot", "fetch_ts", "image_id")
+        if self.pages is not None:
+            pages = self.pages.select("image_id", "caption", "w", "h", "fmt",
+                                      "phash", "bytes")
+            fetched_rows = (pages.join(F.broadcast(fetched_cols), "image_id")
+                            .select("url", "host", "depth", "round",
+                                    "discovery_seq", "fetch_slot", "fetch_ts",
+                                    "image_id", "caption", "w", "h", "fmt",
+                                    "phash", "bytes"))
+        else:
+            fetched_rows = fetched_cols.select(
+                "*", F.lit(None).cast("string").alias("caption"),
+                F.lit(None).cast("int").alias("w"), F.lit(None).cast("int").alias("h"),
+                F.lit(None).cast("string").alias("fmt"),
+                F.lit(None).cast("long").alias("phash"),
+                F.lit(None).cast("binary").alias("bytes"))
+        failure_rows = failures.select(
+            "url", "host", "depth", F.lit(round_no).alias("round"),
+            "discovery_seq", "attempt",
+            F.col("outcome").alias("reason"))
+
+        # -- metrics (single-pass outcome counts) + host budget update ------
+        outcome_counts = {r["outcome"]: r["cnt"] for r in
+                          fetch.groupBy("outcome").agg(F.count("*").alias("cnt"))
+                          .collect()}
+        policy_counts = {(r["reject"] or "ok"): r["cnt"] for r in
+                         policed.groupBy("reject").agg(F.count("*").alias("cnt"))
+                         .collect()}
+        reject_counts = {k: v for k, v in policy_counts.items() if k != "ok"}
+        n_discovered = int(sum(policy_counts.values()))
+        n_new = new_urls.count()
+        lineage = {str(r["bucket"]): r["cnt"] for r in
+                   new_urls.groupBy("bucket").agg(F.count("*").alias("cnt"))
+                   .collect()}
+        per_host_success = (success.groupBy("host")
+                            .agg(F.count("*").alias("n_ok")))
+        new_host_state = (host_state.join(per_host_success, "host", "left")
+                          .withColumn("fetched_count",
+                                      F.col("fetched_count")
+                                      + F.coalesce("n_ok", F.lit(0)))
+                          .drop("n_ok"))
+
+        # -- stage + commit ---------------------------------------------------
+        self.store.stage_write("frontier", next_frontier, "replace")
+        self.store.stage_write("url_seen",
+                               new_urls.select("url", "url_hash", "bucket",
+                                               F.lit(round_no).alias("round_added")),
+                               "append")
+        self.store.stage_write("fetched", fetched_rows, "append")
+        self.store.stage_write("failures", failure_rows, "append")
+        self.store.stage_write("host_state", new_host_state, "replace")
+        if bloom is not None:
+            self._bloom_add(bloom, new_urls)
+            self.store.stage_blob("bloom", bloom.to_bytes())
+        frontier_size = self.store.spark.read.parquet(  # cheap: footer count
+            *[f"{self.store.root}/tables/frontier/{d}"
+              for d in self.store._staged["frontier"]["dirs"]]).count()
+        wall_ms = (time.time() - t0) * 1000.0
+        metrics = {
+            "round": round_no,
+            "scheduled": int(sum(outcome_counts.values())),
+            "fetched_ok": int(outcome_counts.get("success", 0)),
+            "failed": int(outcome_counts.get("http_error", 0)
+                          + outcome_counts.get("timeout_dead", 0)),
+            "retried": int(outcome_counts.get("timeout_retry", 0)),
+            "rejected": reject_counts,
+            "discovered": n_discovered,
+            "new_urls": int(n_new),
+            "frontier_size": int(frontier_size),
+            "url_seen_lineage_per_bucket": lineage,
+            "wall_ms": wall_ms,
+        }
+        mrow = self.spark.createDataFrame(
+            [(round_no, metrics["scheduled"], metrics["fetched_ok"],
+              metrics["failed"], metrics["retried"],
+              n_discovered, n_new,
+              int(frontier_size), wall_ms)], METRICS_SCHEMA)
+        self.store.stage_write("metrics", mrow, "append")
+        self.store.commit(round_no, metrics)
+        fetch.unpersist()
+        new_urls.unpersist()
+        return metrics
+
+    # ------------------------------------------------------------ driver loop
+    def run(self, max_rounds: int | None = None, verbose: bool = False) -> list[dict]:
+        if self.store.current_snapshot_id() is None:
+            self.bootstrap()
+        start_round = int(self.store.snapshot()["round"]) + 1
+        out = []
+        limit = max_rounds or self.cfg.max_rounds
+        for r in range(start_round, start_round + limit):
+            m = self.run_round(r)
+            out.append(m)
+            if verbose:
+                print(f"round {r}: {m}")
+            if m["frontier_size"] == 0:
+                break
+        return out

@@ -1,0 +1,66 @@
+"""The deterministic crawl-semantics contract shared by the Spark engine and
+the pure-Python oracle. BOTH implementations follow this spec exactly; the
+parity tests assert equality of crawl ordering and final url_seen sets.
+
+The reference crawler (reference scrapers/docs_scraper.py:107-169) is a
+sequential BFS: ``deque.popleft()`` of ``(url, depth)`` with a visited-set
+added BEFORE enqueue (add-before-enqueue, docs_scraper.py:124,159-163), a
+per-instance rate limiter (scrapers/utils.py:29-40), a page budget
+(docs_scraper.py:126), a depth limit (docs_scraper.py:154), substring
+exclusion filters (docs_scraper.py:171-176) and same-domain filtering
+(scrapers/utils.py:101-103). FIFO order is inherently sequential, so the
+distributed engine defines the equivalent *deterministic total order* and the
+oracle implements the same rule:
+
+1.  **discovery_seq** — seeds get their ``seed_seq``; a link at position
+    ``pos`` (0-based) on a page with sequence ``s`` gets
+    ``s * 64 + pos + 1``. 64 = 2^SEQ_LEVEL_BITS > max out-links (12); with
+    depth <= 8 and <= 2^14 seeds this stays inside int64. This reproduces
+    BFS FIFO enqueue order (parent dequeue order, then link position)
+    without any global renumbering shuffle.
+2.  **scheduling order** within a round and host: ascending
+    ``(depth, discovery_seq)`` — BFS-first, discovery-order tie-break.
+3.  **politeness quota** — each round models ROUND_SECONDS of wall clock;
+    host h may be *scheduled* at most ``floor(ROUND_SECONDS/crawl_delay_h)``
+    URLs per round (>=1). Scheduled-but-failed fetches consume quota (the
+    reference sleeps per attempt); only *successful* fetches count against
+    the per-host ``max_pages`` budget (the reference counts records,
+    docs_scraper.py:126).
+4.  **retry** — HTTP 404 is terminal, no retry (reference utils.py:56-58);
+    a timeout is retried up to MAX_ATTEMPTS total attempts by re-enqueueing
+    the row with ``attempt+1`` into the next round (reference: tenacity
+    decorator, utils.py:60-64). Retries keep their discovery_seq.
+5.  **expansion** — links of a successful fetch at depth d expand only if
+    ``d < max_depth`` (docs_scraper.py:154). Each link is resolved against
+    the parent URL, canonicalized (drop fragment+query, rstrip '/'), then
+    filtered: same host as parent, not matching an exclude substring, not
+    disallowed by robots (path-prefix match; graft addition — absent in the
+    reference), then de-duplicated keep-first (min discovery_seq) within the
+    round and anti-joined against url_seen. Survivors enter url_seen AND the
+    frontier (add-before-enqueue).
+6.  **crawl ordering** (what parity tests compare): successful fetches
+    sorted by ``(round, depth, discovery_seq)``.
+7.  All timestamps derive from the round number (virtual time
+    ``round * ROUND_SECONDS``) — no wall-clock nondeterminism, which is what
+    makes resume bit-identical.
+"""
+
+from __future__ import annotations
+
+ROUND_SECONDS = 10.0
+MAX_ATTEMPTS = 3
+SEQ_LEVEL_BITS = 6  # 2^6 = 64 slots per page > max 12 out-links + 1
+
+
+def child_seq(parent_seq: int, pos: int) -> int:
+    return parent_seq * 64 + pos + 1
+
+
+def host_round_quota(crawl_delay: float) -> int:
+    """URLs a host may be scheduled per round (>= 1)."""
+    return max(1, int(ROUND_SECONDS / crawl_delay))
+
+
+def virtual_fetch_ts(round_no: int, slot: int, crawl_delay: float) -> float:
+    """Deterministic virtual fetch timestamp: round start + politeness slots."""
+    return round_no * ROUND_SECONDS + slot * crawl_delay

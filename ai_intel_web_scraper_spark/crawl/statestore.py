@@ -1,0 +1,142 @@
+"""Snapshot-manifest table store: Iceberg-shaped state management on plain
+parquet.
+
+The target design is Iceberg tables (``frontier``, ``url_seen``, ``fetched``,
+``robots``, ``metrics``) with snapshot-pinned reads and atomic commits; this
+container has no Iceberg runtime jar, so the store reproduces the properties
+the engine needs with the same mechanics Iceberg uses:
+
+- every Spark write lands in a fresh immutable directory (a "data file set");
+- a **snapshot manifest** (JSON) lists, per table, the exact directory set
+  that constitutes the table at that snapshot — append = parent dirs + new,
+  replace = new only;
+- a commit writes the manifest then atomically flips the ``CURRENT`` pointer
+  (``os.replace``), so a crash mid-round leaves orphan dirs that no manifest
+  references — reads at CURRENT are unaffected and resume is bit-identical;
+- binary sidecars (the per-bucket bloom filters) version with the snapshot.
+
+Swapping this for real Iceberg is localized to this module: append →
+``writeTo(t).append()``, replace → ``overwritePartitions``, snapshot pin →
+``VERSION AS OF``.
+
+Reference analog: the reference checkpoints stage outputs as JSON files
+(reference scrapers/utils.py:296-308) and has no resume story at all — a
+crashed crawl loses the in-memory ``visited`` set and frontier deque.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotStore:
+    def __init__(self, spark: SparkSession, root: str,
+                 schemas: dict[str, str] | None = None) -> None:
+        self.spark = spark
+        self.root = root
+        self.schemas = schemas or {}
+        os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+        os.makedirs(os.path.join(root, "blobs"), exist_ok=True)
+        self._staged: dict[str, dict] = {}
+        self._staged_blobs: dict[str, str] = {}
+
+    # ---------------------------------------------------------------- paths
+    def _table_dir(self, table: str) -> str:
+        return os.path.join(self.root, "tables", table)
+
+    def _current_path(self) -> str:
+        return os.path.join(self.root, "CURRENT")
+
+    def _snap_path(self, snap_id: int) -> str:
+        return os.path.join(self.root, "snapshots", f"snap-{snap_id:06d}.json")
+
+    # ------------------------------------------------------------ snapshots
+    def current_snapshot_id(self) -> int | None:
+        p = self._current_path()
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, snap_id: int | None = None) -> dict | None:
+        if snap_id is None:
+            snap_id = self.current_snapshot_id()
+        if snap_id is None:
+            return None
+        with open(self._snap_path(snap_id)) as f:
+            return json.load(f)
+
+    # --------------------------------------------------------------- writes
+    def stage_write(self, table: str, df: DataFrame, mode: str) -> None:
+        """Write df into a fresh dir and stage it for the next commit.
+        mode: 'append' (dirs add to parent's) or 'replace' (dirs supersede)."""
+        assert mode in ("append", "replace")
+        dirname = f"w-{uuid.uuid4().hex[:12]}"
+        path = os.path.join(self._table_dir(table), dirname)
+        df.write.mode("overwrite").parquet(path)
+        st = self._staged.setdefault(table, {"mode": mode, "dirs": []})
+        if mode == "replace":
+            st["mode"] = "replace"
+        st["dirs"].append(dirname)
+
+    def stage_blob(self, name: str, data: bytes) -> None:
+        fname = f"{name}-{uuid.uuid4().hex[:12]}.bin"
+        with open(os.path.join(self.root, "blobs", fname), "wb") as f:
+            f.write(data)
+        self._staged_blobs[name] = fname
+
+    def commit(self, round_no: int, metrics: dict | None = None) -> int:
+        parent_id = self.current_snapshot_id()
+        parent = self.snapshot(parent_id) if parent_id is not None else None
+        snap_id = (parent_id or 0) + 1
+        tables: dict[str, list[str]] = dict((parent or {}).get("tables", {}))
+        for table, st in self._staged.items():
+            prev = tables.get(table, []) if st["mode"] == "append" else []
+            tables[table] = list(prev) + st["dirs"]
+        blobs = dict((parent or {}).get("blobs", {}))
+        blobs.update(self._staged_blobs)
+        manifest = {
+            "snapshot_id": snap_id,
+            "parent_id": parent_id,
+            "round": round_no,
+            "tables": tables,
+            "blobs": blobs,
+            "metrics": metrics or {},
+            "committed_at": time.time(),  # informational only, never read back
+        }
+        with open(self._snap_path(snap_id), "w") as f:
+            json.dump(manifest, f, indent=1)
+        tmp = self._current_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(snap_id))
+        os.replace(tmp, self._current_path())  # the atomic commit point
+        self._staged = {}
+        self._staged_blobs = {}
+        return snap_id
+
+    # ---------------------------------------------------------------- reads
+    def read(self, table: str, snap_id: int | None = None) -> DataFrame:
+        """Table state as of a snapshot (default: CURRENT). Unknown/empty
+        tables return an empty DataFrame with the registered schema."""
+        snap = self.snapshot(snap_id)
+        dirs = (snap or {}).get("tables", {}).get(table, [])
+        if not dirs:
+            schema = self.schemas.get(table)
+            if schema is None:
+                raise KeyError(f"table {table!r} empty and no schema registered")
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self._table_dir(table), d) for d in dirs]
+        return self.spark.read.parquet(*paths)
+
+    def read_blob(self, name: str, snap_id: int | None = None) -> bytes | None:
+        snap = self.snapshot(snap_id)
+        fname = (snap or {}).get("blobs", {}).get(name)
+        if fname is None:
+            return None
+        with open(os.path.join(self.root, "blobs", fname), "rb") as f:
+            return f.read()

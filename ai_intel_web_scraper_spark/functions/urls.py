@@ -1,0 +1,104 @@
+"""URL canonicalization + hashing.
+
+Semantics follow the reference crawler's ``normalize_url``
+(reference: scrapers/utils.py:88-98): resolve against a base URL, drop the
+fragment and query string, and strip a trailing slash — plus lowercasing of
+scheme/host (RFC 3986 case normalization), which the reference gets for free
+because its generators emit lowercase URLs.
+
+These are plain Python/numpy functions so that the pure-Python oracle crawler
+and the Spark engine (via vectorized pandas UDFs) share one implementation —
+the parity tests then exercise the *distributed scheduling machinery*, not
+two divergent string parsers.
+
+Hashing: 64-bit url_hash from blake2b(canonical_url)[0:8], interpreted as a
+signed little-endian int64 (Spark LongType-compatible). blake2b is in
+hashlib everywhere and is stable across platforms, unlike Python's builtin
+``hash``. The bloom filter and all bucketing derive from this single hash.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from urllib.parse import urljoin, urlsplit, urlunsplit
+
+import numpy as np
+import pandas as pd
+
+_HTML_EXCLUDED_EXTS = (
+    # reference: scrapers/utils.py:106-117 — rejected extensions. In the
+    # image-payload graft these are NOT applied to image URLs (the payload),
+    # only kept for parity-testable predicates.
+    ".pdf", ".zip", ".tar", ".gz", ".css", ".js", ".ico", ".svg",
+    ".woff", ".woff2", ".ttf", ".eot", ".mp4", ".webm", ".mp3",
+    ".exe", ".dmg", ".xml",
+)
+
+
+def canonicalize_url(url: str, base_url: str | None = None) -> str | None:
+    """Normalize one URL. Returns None for non-http(s) or empty results."""
+    if not url:
+        return None
+    u = url.strip()
+    if base_url:
+        u = urljoin(base_url, u)
+    try:
+        parts = urlsplit(u)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if scheme not in ("http", "https"):
+        return None
+    host = parts.netloc.lower()
+    if not host:
+        return None
+    path = parts.path or ""
+    # drop fragment + query (reference drops both); strip trailing '/'
+    path = path.rstrip("/")
+    return urlunsplit((scheme, host, path, "", ""))
+
+
+def url_host(url: str) -> str:
+    """Lowercased netloc of a canonical URL."""
+    return urlsplit(url).netloc.lower()
+
+
+def url_path(url: str) -> str:
+    return urlsplit(url).path or ""
+
+
+def url_hash64(url: str) -> int:
+    """Signed 64-bit stable hash of a canonical URL string."""
+    d = hashlib.blake2b(url.encode("utf-8"), digest_size=8).digest()
+    return struct.unpack("<q", d)[0]
+
+
+def is_excluded_extension(url: str) -> bool:
+    p = urlsplit(url).path.lower()
+    return p.endswith(_HTML_EXCLUDED_EXTS)
+
+
+# ---------------------------------------------------------------- vectorized
+
+def canonicalize_series(urls: pd.Series, bases: pd.Series | None = None) -> pd.Series:
+    """Vectorized canonicalize for pandas-UDF use (one Python call per Arrow
+    batch, not per row of the DataFrame API)."""
+    if bases is None:
+        return urls.map(lambda u: canonicalize_url(u) if u is not None else None)
+    return pd.Series(
+        [canonicalize_url(u, b) if u is not None else None
+         for u, b in zip(urls, bases)],
+        index=urls.index, dtype=object,
+    )
+
+
+def hash64_series(urls: pd.Series) -> pd.Series:
+    out = np.empty(len(urls), dtype=np.int64)
+    for i, u in enumerate(urls):
+        out[i] = url_hash64(u) if u is not None else 0
+    return pd.Series(out, index=urls.index)
+
+
+def host_series(urls: pd.Series) -> pd.Series:
+    return urls.map(lambda u: url_host(u) if u else None)

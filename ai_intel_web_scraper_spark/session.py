@@ -1,0 +1,38 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode here; on a real cluster the same builder args apply minus master,
+plus `spark-submit --py-files ai_intel_web_scraper_spark.zip`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "ai_intel_web_scraper_spark",
+              cores: int | str | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    cores = cores or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shuffle = shuffle_partitions or int(os.environ.get(
+        "SPARK_GRAFT_SHUFFLE", str(min(int(cores) * 2, 64)) if str(cores).isdigit() else "32"))
+    b = (SparkSession.builder
+         .master(f"local[{cores}]")
+         .appName(app)
+         .config("spark.sql.shuffle.partitions", str(shuffle))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)))
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

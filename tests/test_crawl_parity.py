@@ -1,0 +1,171 @@
+"""The north-rule correctness gate: the Spark engine must reproduce the
+pure-Python oracle's crawl ordering, url_seen set, payload invariants, and
+resume bit-identically from a snapshot."""
+
+from __future__ import annotations
+
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ai_intel_web_scraper_spark.crawl.scheduler import CrawlConfig, CrawlEngine
+from ai_intel_web_scraper_spark.functions.codec import decode_image, psnr
+from ai_intel_web_scraper_spark.oracle.crawler import oracle_crawl
+
+
+@pytest.fixture(scope="module")
+def oracle(fixtures):
+    return oracle_crawl(fixtures)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, fixtures):
+    wh = "/tmp/spark_graft_wh_parity"
+    shutil.rmtree(wh, ignore_errors=True)
+    eng = CrawlEngine(spark, fixtures, wh,
+                      CrawlConfig(expected_urls=1 << 14, write_payload=True))
+    eng.run()
+    return eng
+
+
+def _engine_fetch_order(engine):
+    return [
+        (r["url"], r["round"], r["depth"], r["discovery_seq"], r["image_id"])
+        for r in engine.store.read("fetched")
+        .select("url", "round", "depth", "discovery_seq", "image_id")
+        .orderBy("round", "depth", "discovery_seq").collect()
+    ]
+
+
+def test_crawl_ordering_matches_oracle(engine, oracle):
+    got = _engine_fetch_order(engine)
+    want = [(r["url"], r["round"], r["depth"], r["discovery_seq"], r["image_id"])
+            for r in oracle.fetched]
+    assert len(got) == len(want)
+    assert got == want
+
+
+def test_url_seen_set_matches_oracle(engine, oracle):
+    got = {r["url"] for r in
+           engine.store.read("url_seen").select("url").collect()}
+    assert got == oracle.url_seen
+
+
+def test_failures_match_oracle(engine, oracle):
+    got = {(r["url"], r["round"], r["reason"]) for r in
+           engine.store.read("failures").collect()}
+    want = {(r["url"], r["round"], r["reason"]) for r in oracle.failures}
+    assert got == want
+
+
+def test_fetch_ts_politeness_floor(engine):
+    """Within (host, round), consecutive virtual fetch timestamps are spaced
+    by at least the host's crawl delay (reference scrapers/utils.py:29-40)."""
+    rows = (engine.store.read("fetched")
+            .select("host", "round", "fetch_slot", "fetch_ts")
+            .orderBy("host", "round", "fetch_slot").collect())
+    prev = {}
+    for r in rows:
+        key = (r["host"], r["round"])
+        if key in prev:
+            assert r["fetch_ts"] - prev[key] >= 0.3 - 1e-9
+        prev[key] = r["fetch_ts"]
+
+
+def test_per_host_budget_respected(engine, spark, fixtures):
+    pol = {r["host"]: r["max_pages"] for r in
+           spark.read.parquet(fixtures["politeness"]).collect()}
+    counts = (engine.store.read("fetched").groupBy("host").count().collect())
+    for r in counts:
+        assert r["count"] <= pol[r["host"]]
+
+
+def test_payload_invariants(engine, webspec, oracle):
+    """Decoded pixels of delivered bytes match freshly regenerated reference
+    pixels (exact for png, PSNR>=40dB for the lossy fmt); captions equal
+    exactly. Checks a deterministic sample of fetched rows."""
+    rows = (engine.store.read("fetched")
+            .select("image_id", "caption", "fmt", "bytes", "phash")
+            .orderBy("image_id").limit(40).collect())
+    assert rows
+    for r in rows:
+        seq = int(r["image_id"].split("-")[1])
+        ref_px = webspec.image_pixels(seq)
+        got_px = decode_image(bytes(r["bytes"]))
+        host = [f["host"] for f in oracle.fetched if f["image_id"] == r["image_id"]][0]
+        assert r["caption"] == webspec.caption(seq, host)
+        if r["fmt"] == "png":
+            assert (got_px == ref_px).all()
+        else:
+            assert psnr(ref_px, got_px) >= 40.0
+
+
+def test_metrics_match_oracle_rounds(engine, oracle):
+    got = {r["round"]: r for r in engine.store.read("metrics").collect()}
+    for orow in oracle.rounds:
+        g = got[orow["round"]]
+        assert g["scheduled"] == orow["scheduled"]
+        assert g["fetched_ok"] == orow["fetched_ok"]
+        assert g["new_urls"] == orow["new_urls"]
+        assert g["frontier_size"] == orow["frontier_size"]
+
+
+def test_resume_bit_identical(spark, fixtures, engine):
+    """Kill after round 3, resume with a NEW engine instance from the
+    snapshot: final fetched/url_seen tables are identical to the
+    uninterrupted run."""
+    wh2 = "/tmp/spark_graft_wh_resume"
+    shutil.rmtree(wh2, ignore_errors=True)
+    cfg = CrawlConfig(expected_urls=1 << 14, write_payload=True)
+    e1 = CrawlEngine(spark, fixtures, wh2, cfg)
+    e1.run(max_rounds=3)
+    assert e1.store.snapshot()["round"] == 3
+    # simulate crash: fresh engine object resumes from CURRENT snapshot
+    e2 = CrawlEngine(spark, fixtures, wh2, cfg)
+    e2.run()
+
+    def table_set(store, name, cols):
+        return {tuple(r[c] for c in cols) for r in
+                store.read(name).select(*cols).collect()}
+
+    cols = ["url", "round", "depth", "discovery_seq", "image_id", "fetch_ts"]
+    assert table_set(e2.store, "fetched", cols) == \
+        table_set(engine.store, "fetched", cols)
+    assert table_set(e2.store, "url_seen", ["url", "url_hash"]) == \
+        table_set(engine.store, "url_seen", ["url", "url_hash"])
+
+
+def test_bloom_fast_path_equivalent_to_exact(spark, fixtures, engine):
+    """use_bloom=False (exact anti-join only) produces the identical crawl."""
+    wh3 = "/tmp/spark_graft_wh_nobloom"
+    shutil.rmtree(wh3, ignore_errors=True)
+    e3 = CrawlEngine(spark, fixtures, wh3,
+                     CrawlConfig(use_bloom=False, write_payload=False))
+    e3.run()
+    a = [(r["url"], r["round"], r["discovery_seq"]) for r in
+         e3.store.read("fetched").select("url", "round", "discovery_seq")
+         .orderBy("round", "depth", "discovery_seq").collect()]
+    b = [(r["url"], r["round"], r["discovery_seq"]) for r in
+         engine.store.read("fetched").select("url", "round", "discovery_seq")
+         .orderBy("round", "depth", "discovery_seq").collect()]
+    assert a == b
+
+
+def test_no_duplicate_fetches(engine):
+    fetched = engine.store.read("fetched")
+    assert fetched.count() == fetched.select("url").distinct().count()
+
+
+def test_excluded_and_robots_never_fetched(engine, spark, fixtures):
+    fetched = engine.store.read("fetched").select("url", "host").persist()
+    assert fetched.where(F.col("url").contains("/tag/")).count() == 0
+    rob = spark.read.parquet(fixtures["robots"]).collect()
+    fx = {(r["url"], r["host"]) for r in fetched.collect()}
+    for r in rob:
+        for d in (r["disallow"] or []):
+            for u, h in fx:
+                if h == r["host"]:
+                    path = u.split(h, 1)[1]
+                    assert not path.startswith(d), (u, d)

@@ -1,0 +1,86 @@
+"""Unit tests: codec, URL canonicalization, bloom filter FPR."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ai_intel_web_scraper_spark.crawl.bloom import BloomShards
+from ai_intel_web_scraper_spark.functions.codec import (
+    average_phash, decode_image, encode_image, png_decode, png_encode, psnr)
+from ai_intel_web_scraper_spark.functions.urls import (
+    canonicalize_series, canonicalize_url, hash64_series, url_hash64)
+
+
+def test_png_roundtrip_bit_exact():
+    rng = np.random.default_rng(7)
+    for shape in [(32, 32, 3), (96, 64, 3), (33, 17, 3)]:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert (png_decode(png_encode(px)) == px).all()
+
+
+def test_lossy_psnr_gate():
+    rng = np.random.default_rng(8)
+    px = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    dec = decode_image(encode_image(px, "jpeg"))
+    p = psnr(px, dec)
+    assert 40.0 <= p < 60.0  # genuinely lossy, above the gate
+    assert not (dec == px).all()
+
+
+def test_phash_stability_and_sensitivity():
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    assert average_phash(px) == average_phash(px.copy())
+    other = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    assert average_phash(px) != average_phash(other)
+
+
+@pytest.mark.parametrize("raw,base,expected", [
+    ("HTTPS://A.B/p/1/?x=1#f", None, "https://a.b/p/1"),
+    ("/p/2", "https://a.b/p/1", "https://a.b/p/2"),
+    ("p/2", "https://a.b/d/x", "https://a.b/d/p/2"),
+    ("https://a.b", None, "https://a.b"),
+    ("https://a.b/", None, "https://a.b"),
+    ("mailto:x@y.z", None, None),
+    ("", None, None),
+])
+def test_canonicalize(raw, base, expected):
+    assert canonicalize_url(raw, base) == expected
+
+
+def test_vectorized_matches_scalar():
+    urls = pd.Series(["https://a.b/x/", "y", None, "ftp://n.o/p"])
+    bases = pd.Series(["https://a.b", "https://a.b/z/w", "https://a.b", "https://a.b"])
+    out = canonicalize_series(urls, bases)
+    assert list(out) == ["https://a.b/x", "https://a.b/z/y", None, None]
+    hashes = hash64_series(pd.Series(["https://a.b/x"]))
+    assert hashes.iloc[0] == url_hash64("https://a.b/x")
+
+
+def test_bloom_no_false_negatives_and_low_fpr():
+    rng = np.random.default_rng(11)
+    n = 20000
+    keys = rng.integers(-(2**62), 2**62, n).astype(np.int64)
+    buckets = (np.abs(keys) % 16).astype(np.int64)
+    bloom = BloomShards.sized_for(n, 16)
+    bloom.add_many(buckets, keys)
+    # zero false negatives
+    assert bloom.maybe_contains(buckets, keys).all()
+    # low false-positive rate on fresh keys
+    fresh = rng.integers(-(2**62), 2**62, n).astype(np.int64)
+    fb = (np.abs(fresh) % 16).astype(np.int64)
+    fpr = bloom.maybe_contains(fb, fresh).mean()
+    assert fpr < 0.03, fpr
+
+
+def test_bloom_serialization_roundtrip():
+    rng = np.random.default_rng(12)
+    keys = rng.integers(-(2**62), 2**62, 1000).astype(np.int64)
+    buckets = (np.abs(keys) % 4).astype(np.int64)
+    b = BloomShards.sized_for(1000, 4)
+    b.add_many(buckets, keys)
+    b2 = BloomShards.from_bytes(b.to_bytes())
+    assert b2.m_bits == b.m_bits
+    assert b2.maybe_contains(buckets, keys).all()
