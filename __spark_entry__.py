@@ -1,38 +1,584 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes one entry per implemented operator family from
+SURVEY.md §2; `oracle_sql()` gives the DuckDB-equivalent SQL for every
+SQL-expressible one. The keyword/threshold constants and the SQL strings
+derive from the SAME Python constants (ai_intel_web_scraper_spark.operators
+.text), so the two sides cannot drift.
+
+Column-name and rounding discipline: every computed column is aliased
+identically on both sides and floats are rounded (4-6 dp) inside BOTH
+queries so the driver's order-insensitive value-hash matches.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from ai_intel_web_scraper_spark.operators import chunking as C
+from ai_intel_web_scraper_spark.operators import dedup as D
+from ai_intel_web_scraper_spark.operators import ranking as R
+from ai_intel_web_scraper_spark.operators import stats as S
+from ai_intel_web_scraper_spark.operators import text as X
+from ai_intel_web_scraper_spark.operators import vectors as V
+
+# ---------------------------------------------------------------- constants
+
+REL_KEYWORDS = ["spark", "query", "data", "fast", "join"]
+BUDGET_LINEITEM = 30000.0
+BUDGET_EVENTS = 800.0
+EMB_DIM = 64
+_rngq = np.random.default_rng(99)
+QUERY_VEC_A = [round(float(x), 3) for x in _rngq.standard_normal(EMB_DIM)]
+QUERY_VEC_B = [round(float(x), 3) for x in _rngq.standard_normal(EMB_DIM)]
+TOPK = 25
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ------------------------------------------------------- SQL gen helpers
+
+def _sql_contains_count(expr: str, words: list[str]) -> str:
+    return "(" + " + ".join(
+        f"(CASE WHEN contains({expr}, '{w.lower()}') THEN 1 ELSE 0 END)"
+        for w in words) + ")"
+
+
+def _sql_vec_lit(vec: list[float]) -> str:
+    return "[" + ", ".join(f"{x}::DOUBLE" for x in vec) + "]"
+
+
+def _sql_words(col: str = "text") -> str:
+    return f"regexp_split_to_array(trim({col}), '\\s+')"
+
+
+# ---------------------------------------------------------------- queries
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.count("*").alias("n_items")))
+
+
+def q_docs_keep_first(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "content_key", F.md5(F.lower(F.trim(F.col("text")))))
+    return (D.keep_first(docs, ["content_key"], ["doc_id"])
+            .select("doc_id", "content_key"))
+
+
+def q_events_keep_first(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (D.keep_first(ev, ["user_id"], ["ts", "event_id"])
+            .select("user_id", "event_id", "event_type"))
+
+
+def q_topic_tags(spark, sf_dir):
+    return X.topic_scores(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_quality_filter(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (X.quality_filter(docs, "text")
+            .groupBy("reason").agg(F.count("*").alias("n")))
+
+
+def q_word_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       X.word_count_col(F.col("text")).cast("long").alias("wc"))
+
+
+def q_relevance(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(X.relevance_score_col(F.col("text"), REL_KEYWORDS), 6)
+        .alias("rel_score"))
+
+
+def q_sentiment_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select(X.sentiment_label_col(F.col("text")).alias("label"))
+            .groupBy("label").agg(F.count("*").alias("n")))
+
+
+def q_budget_prefix(spark, sf_dir):
+    # integer-cents accumulation: running FP sums differ in the last ulp
+    # between engines (DuckDB windows use segment trees), so the budget
+    # comparison is defined on exact integers
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    # (l_orderkey, l_linenumber) is not unique in this dataset; adding the
+    # amount as tie-break makes the order total (equal amounts commute in
+    # the running sum, so the kept multiset is well-defined)
+    return (R.budget_prefix_filter(li.withColumn("_cents", cents),
+                                   ["l_orderkey"],
+                                   [F.col("l_linenumber").asc(),
+                                    F.col("_cents").asc()],
+                                   F.col("_cents"), BUDGET_LINEITEM * 100)
+            .select("l_orderkey", "l_linenumber"))
+
+
+def q_history_compaction(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (R.history_compaction(
+        ev.withColumn("_ord", F.struct("ts", "event_id")),
+        ["user_id"], "_ord", cents, BUDGET_EVENTS * 100)
+        .select("user_id", "event_id"))
+
+
+def q_rrf_fusion(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    sets = [emb.select("vec_id", R.dot_col("embedding", q).alias("score"))
+            for q in (QUERY_VEC_A, QUERY_VEC_B)]
+    return R.rrf_fuse(sets, "vec_id", k=20)
+
+
+def q_topk_cosine(spark, sf_dir):
+    return V.brute_force_topk(_t(spark, sf_dir, "embeddings"),
+                              QUERY_VEC_A, TOPK)
+
+
+def q_group_stats(spark, sf_dir):
+    return S.group_stats(_t(spark, sf_dir, "orders"),
+                         _t(spark, sf_dir, "customer"))
+
+
+def q_cube_stats(spark, sf_dir):
+    return S.cube_stats(_t(spark, sf_dir, "orders"))
+
+
+def q_prefix_dup_groups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(F.split(F.trim("text"), r"\s+"),
+                                       1, 3))).alias("content_key"))
+    return (keyed.groupBy("content_key")
+            .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id"))
+            .where(F.col("n_dups") > 1))
+
+
+def q_jaccard_top_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.0)
+    return (pairs.orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
+            .limit(20))
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select("lang", X.lang_id_col(F.col("text")).alias("predicted"))
+            .groupBy("lang", "predicted").agg(F.count("*").alias("n")))
+
+
+def q_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       X.token_count_col(F.col("text")).cast("long")
+                       .alias("n_tokens"))
+
+
+def q_fingerprint_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(X.fingerprint_col(F.col("text"))).alias("n_distinct"))
+
+
+def q_quality_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       X.quality_score_col(F.col("text")).alias("qscore"))
+
+
+def q_paginated_preseed(spark, sf_dir):
+    return (spark.range(2, 100)
+            .select(F.col("id").cast("long").alias("page"),
+                    F.concat(F.lit("https://blog.example/posts?paged="),
+                             F.col("id").cast("string")).alias("url")))
+
+
+def q_user_quota(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (R.quota_window(ev, ["user_id", "event_type"],
+                           [F.col("ts").asc(), F.col("event_id").asc()], 3)
+            .select("user_id", "event_type", "event_id"))
+
+
+def q_json_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_id",
+                     F.get_json_object("props", "$.k").alias("k_val"))
+
+
+def q_source_status(spark, sf_dir):
+    return S.source_status(_t(spark, sf_dir, "documents"))
+
+
+def q_token_window_chunks(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return C.token_window_chunks(docs, "doc_id", "text")
+
+
+# ------------------------------------------------------- rows-only queries
+
+def q_minhash_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_neardup_pairs(docs, "doc_id", "text")
+
+
+def q_simhash_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=12)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    return V.lsh_topk(_t(spark, sf_dir, "embeddings"), QUERY_VEC_A, TOPK)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    return V.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"),
+                                     threshold=0.3)
+
+
+def q_recursive_chunks(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return C.recursive_chunks(docs, "doc_id", "text", prefix_cols=["source"])
+
+
+def q_hash_embed(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", V.hash_embed_udf()(F.col("text"))
+                       .alias("embedding"))
+
+
+def _crawl_fixture_paths() -> dict:
+    """Tiny deterministic crawl fixtures, built once per process."""
+    from ai_intel_web_scraper_spark.synth.generator import (WebSpec,
+                                                            generate_fixtures)
+    out = "/tmp/spark_graft_entry_fx"
+    marker = os.path.join(out, "pages.parquet")
+    if not os.path.exists(marker):
+        generate_fixtures(WebSpec(seed=7, n_hosts=5, total_pages=120), out)
+    return {n: os.path.join(out, f"{n}.parquet")
+            for n in ("pages", "web_graph", "seeds", "politeness", "robots")}
+
+
+def q_crawl_frontier(spark, sf_dir):
+    """The flagship: a full crawl on tiny fixtures; returns the fetched
+    table in deterministic crawl order."""
+    import shutil
+    from ai_intel_web_scraper_spark.crawl.scheduler import (CrawlConfig,
+                                                            CrawlEngine)
+    wh = "/tmp/spark_graft_entry_wh"
+    shutil.rmtree(wh, ignore_errors=True)
+    # big virtual rounds amortize the per-round fixed cost (the scale story:
+    # one DataFrame job over millions of frontier rows, not many tiny jobs)
+    eng = CrawlEngine(spark, _crawl_fixture_paths(), wh,
+                      CrawlConfig(expected_urls=1 << 12, write_payload=False,
+                                  round_seconds=120.0))
+    eng.run(max_rounds=4)
+    return (eng.store.read("fetched")
+            .select("url", "host", "depth", "round", "discovery_seq")
+            .orderBy("round", "depth", "discovery_seq"))
+
+
+def q_image_features(spark, sf_dir):
+    pages = spark.read.parquet(_crawl_fixture_paths()["pages"])
+    from ai_intel_web_scraper_spark.operators.multimodal import image_features
+    return image_features(pages)
+
+
+def q_phash_neardup(spark, sf_dir):
+    pages = spark.read.parquet(_crawl_fixture_paths()["pages"])
+    from ai_intel_web_scraper_spark.operators.multimodal import (
+        phash_hamming_neardup)
+    return phash_hamming_neardup(pages, max_hamming=2)
+
+
+# ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship smoke: multi-operator pipeline over sf0.001 — tag topics,
+    quality-filter, dedup, aggregate per (source, topic)."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents")
+    deduped = D.keep_first(
+        docs.withColumn("content_key", F.md5(F.lower(F.trim("text")))),
+        ["content_key"], ["doc_id"])
+    kept = X.quality_filter(deduped, "text").where(F.col("reason") == "kept")
+    tags = X.topic_scores(kept, "doc_id", "text")
+    return (kept.join(tags, "doc_id")
+            .groupBy("source", "topic")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("score"), 6).alias("avg_score"))
+            .orderBy("source", "topic"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # SQL-checked (oracle below)
+        "pricing_summary": q_pricing_summary,
+        "docs_keep_first": q_docs_keep_first,
+        "events_keep_first": q_events_keep_first,
+        "topic_tags": q_topic_tags,
+        "quality_filter": q_quality_filter,
+        "word_count": q_word_count,
+        "relevance": q_relevance,
+        "sentiment_counts": q_sentiment_counts,
+        "budget_prefix": q_budget_prefix,
+        "history_compaction": q_history_compaction,
+        "rrf_fusion": q_rrf_fusion,
+        "topk_cosine": q_topk_cosine,
+        "group_stats": q_group_stats,
+        "cube_stats": q_cube_stats,
+        "prefix_dup_groups": q_prefix_dup_groups,
+        "jaccard_top_pairs": q_jaccard_top_pairs,
+        "lang_id": q_lang_id,
+        "token_count": q_token_count,
+        "fingerprint_stats": q_fingerprint_stats,
+        "quality_score": q_quality_score,
+        "paginated_preseed": q_paginated_preseed,
+        "user_quota": q_user_quota,
+        "json_extract": q_json_extract,
+        "source_status": q_source_status,
+        "token_window_chunks": q_token_window_chunks,
+        # rows-only (non-SQL-expressible: UDF-bound / stateful)
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "recursive_chunks": q_recursive_chunks,
+        "hash_embed": q_hash_embed,
+        "crawl_frontier": q_crawl_frontier,
+        "image_features": q_image_features,
+        "phash_neardup": q_phash_neardup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lower = "lower(text)"
+    topic_scores_sql = " UNION ALL ".join(
+        f"SELECT doc_id, '{name}' AS topic, "
+        f"{_sql_contains_count(lower, kws)} / {float(len(kws))} AS score "
+        f"FROM documents"
+        for name, kws in X.TOPICS.items())
+    pos = _sql_contains_count(lower, X.POS_WORDS)
+    neg = _sql_contains_count(lower, X.NEG_WORDS)
+    lang_scores = ", ".join(
+        f"{_sql_contains_count(lower, ws)} AS s_{lg}"
+        for lg, ws in sorted(X.LANG_STOPWORDS.items()))
+    lang_best = "greatest(" + ", ".join(
+        f"s_{lg}" for lg in sorted(X.LANG_STOPWORDS)) + ")"
+    lang_case = ("CASE WHEN " + lang_best + " = 0 THEN 'unknown' " +
+                 " ".join(f"WHEN s_{lg} = {lang_best} THEN '{lg}'"
+                          for lg in sorted(X.LANG_STOPWORDS)) +
+                 " ELSE 'unknown' END")
+    wc = f"len({_sql_words()})"
+    dot_a = f"list_dot_product(embedding::DOUBLE[], {_sql_vec_lit(QUERY_VEC_A)})"
+    dot_b = f"list_dot_product(embedding::DOUBLE[], {_sql_vec_lit(QUERY_VEC_B)})"
+    cos_a = (f"({dot_a} / (sqrt(list_dot_product(embedding::DOUBLE[], "
+             f"embedding::DOUBLE[])) * "
+             f"{np.sqrt(sum(x * x for x in QUERY_VEC_A))!r}))")
+    qs_stop = _sql_contains_count(lower, X.LANG_STOPWORDS["en"])
+
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus""",
+        "docs_keep_first": """
+            SELECT min(doc_id) AS doc_id,
+                   md5(lower(trim(text))) AS content_key
+            FROM documents GROUP BY md5(lower(trim(text)))""",
+        "events_keep_first": """
+            SELECT user_id, event_id, event_type FROM (
+              SELECT user_id, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events) WHERE rn = 1""",
+        "topic_tags": f"""
+            SELECT doc_id, topic, round(score, 6) AS score FROM (
+              SELECT doc_id, topic, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, topic) AS rn
+              FROM ({topic_scores_sql}) WHERE score >= {X.TOPIC_MIN_SCORE})
+            WHERE rn <= {X.TOPIC_TOP_N}""",
+        "quality_filter": f"""
+            SELECT reason, count(*)::BIGINT AS n FROM (
+              SELECT CASE WHEN {wc} < {X.MIN_WORDS_QUALITY}
+                          THEN 'too_few_words'
+                          WHEN length(text) < {X.MIN_CHARS_QUALITY}
+                          THEN 'too_short'
+                          ELSE 'kept' END AS reason
+              FROM documents) GROUP BY reason""",
+        "word_count": f"SELECT doc_id, {wc}::BIGINT AS wc FROM documents",
+        "relevance": f"""
+            SELECT doc_id,
+                   round({_sql_contains_count(lower, REL_KEYWORDS)}
+                         / {float(len(REL_KEYWORDS))}, 6) AS rel_score
+            FROM documents""",
+        "sentiment_counts": f"""
+            SELECT label, count(*)::BIGINT AS n FROM (
+              SELECT CASE WHEN {pos} > {neg} THEN 'positive'
+                          WHEN {neg} > {pos} THEN 'negative'
+                          WHEN {pos} = {neg} AND {pos} > 0 THEN 'mixed'
+                          ELSE 'neutral' END AS label
+              FROM documents) GROUP BY label""",
+        "budget_prefix": f"""
+            SELECT l_orderkey, l_linenumber FROM (
+              SELECT l_orderkey, l_linenumber,
+                     sum(cents) OVER (
+                       PARTITION BY l_orderkey ORDER BY l_linenumber, cents
+                       ROWS UNBOUNDED PRECEDING) AS run
+              FROM (SELECT l_orderkey, l_linenumber,
+                           CAST(round(l_extendedprice * 100) AS BIGINT)
+                               AS cents
+                    FROM lineitem)) WHERE run <= {BUDGET_LINEITEM * 100}""",
+        "history_compaction": f"""
+            SELECT user_id, event_id FROM (
+              SELECT user_id, event_id,
+                     sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                       ROWS UNBOUNDED PRECEDING) AS run
+              FROM events) WHERE run <= {BUDGET_EVENTS * 100}""",
+        "rrf_fusion": f"""
+            WITH s0 AS (SELECT vec_id, {dot_a} AS score FROM embeddings),
+                 s1 AS (SELECT vec_id, {dot_b} AS score FROM embeddings),
+                 ranked AS (
+                   SELECT vec_id,
+                          row_number() OVER (ORDER BY score DESC, vec_id)
+                              AS rank FROM s0
+                   UNION ALL
+                   SELECT vec_id,
+                          row_number() OVER (ORDER BY score DESC, vec_id)
+                              AS rank FROM s1)
+            SELECT vec_id,
+                   round(sum(1.0 / ({R.RRF_K} + rank)), 6) AS rrf_score
+            FROM ranked GROUP BY vec_id
+            ORDER BY rrf_score DESC, vec_id LIMIT 20""",
+        "topk_cosine": f"""
+            SELECT vec_id, round({cos_a}, 6) AS score
+            FROM embeddings ORDER BY score DESC, vec_id LIMIT {TOPK}""",
+        "group_stats": """
+            SELECT c_mktsegment, o_orderstatus,
+                   count(*)::BIGINT AS n_orders,
+                   round(sum(o_totalprice), 4) AS total_price,
+                   round(avg(o_totalprice), 4) AS avg_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment, o_orderstatus""",
+        "cube_stats": """
+            SELECT o_orderpriority, o_orderstatus, count(*)::BIGINT AS n,
+                   round(sum(o_totalprice), 4) AS total_price
+            FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""",
+        "prefix_dup_groups": f"""
+            SELECT content_key, count(*)::BIGINT AS n_dups,
+                   min(doc_id) AS keep_id FROM (
+              SELECT doc_id,
+                     md5(array_to_string(list_slice({_sql_words()}, 1, 3),
+                                         ' ')) AS content_key
+              FROM documents)
+            GROUP BY content_key HAVING count(*) > 1""",
+        "jaccard_top_pairs": f"""
+            WITH sh AS (
+              SELECT doc_id AS id, unnest(list_distinct(sh_list)) AS shingle
+              FROM (
+                SELECT doc_id,
+                       [array_to_string(list_slice(w, i, i + 2), ' ')
+                        for i in generate_series(1, greatest(len(w) - 2, 1))]
+                           AS sh_list
+                FROM (SELECT doc_id, {_sql_words("lower(text)")} AS w
+                      FROM documents))),
+            sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_int
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.id < b.id
+              GROUP BY a.id, b.id)
+            SELECT id_a, id_b,
+                   round(n_int / (sa.n_sh + sb.n_sh - n_int), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            ORDER BY jaccard DESC, id_a, id_b LIMIT 20""",
+        "lang_id": f"""
+            SELECT lang, predicted, count(*)::BIGINT AS n FROM (
+              SELECT lang, {lang_case} AS predicted FROM (
+                SELECT lang, {lang_scores} FROM documents))
+            GROUP BY lang, predicted""",
+        "token_count": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '{X.TOKEN_REGEX}'))::BIGINT AS n_tokens
+            FROM documents""",
+        "fingerprint_stats": """
+            SELECT count(*)::BIGINT AS n_docs,
+                   count(DISTINCT md5(lower(text)))::BIGINT AS n_distinct
+            FROM documents""",
+        "quality_score": f"""
+            SELECT doc_id, round(
+              least({wc} / 100.0, 1.0) * 0.5
+              + least({qs_stop} / 3.0, 1.0) * 0.3
+              + (1.0 - least(
+                  (len(regexp_extract_all(text, '[^\\w\\s]'))
+                   / greatest(length(text), 1)) * 10.0, 1.0)) * 0.2,
+              6) AS qscore
+            FROM documents""",
+        "paginated_preseed": """
+            SELECT i::BIGINT AS page,
+                   'https://blog.example/posts?paged=' || i::VARCHAR AS url
+            FROM generate_series(2, 99) t(i)""",
+        "user_quota": """
+            SELECT user_id, event_type, event_id FROM (
+              SELECT user_id, event_type, event_id,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id) AS rn
+              FROM events) WHERE rn <= 3""",
+        "json_extract": """
+            SELECT event_id, props->>'$.k' AS k_val FROM events""",
+        "source_status": """
+            SELECT source, lang, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY source, lang""",
+        "token_window_chunks": f"""
+            SELECT doc_id, chunk_index, chunk_text, token_count,
+                   substring(sha256(doc_id::VARCHAR || ':' ||
+                             chunk_index::VARCHAR || ':' ||
+                             substring(chunk_text, 1, 100)), 1, 12)
+                       AS chunk_id
+            FROM (
+              SELECT doc_id,
+                     (s // {C.CHUNK_STRIDE})::INT AS chunk_index,
+                     array_to_string(
+                       list_slice(w, s + 1, s + {C.CHUNK_TOKENS}), ' ')
+                         AS chunk_text,
+                     least(len(w) - s, {C.CHUNK_TOKENS})::INT AS token_count
+              FROM (SELECT doc_id, {_sql_words()} AS w FROM documents),
+                   LATERAL unnest(generate_series(
+                     0, greatest(len(w) - 1, 0), {C.CHUNK_STRIDE})) t(s))
+            WHERE token_count >= {C.MIN_TOKENS}""",
+    }

@@ -94,6 +94,7 @@ class CrawlConfig:
     rank_mode: str = "bfs"        # "bfs" (oracle-parity) | "priority"
     write_payload: bool = True    # join image bytes into the fetched sink
     max_rounds: int = 200
+    round_seconds: float = S.ROUND_SECONDS  # virtual wall-clock per round
 
 
 class CrawlEngine:
@@ -114,8 +115,20 @@ class CrawlEngine:
     def _bucket(self, c):  # |url_hash| % n_buckets, sign-safe
         return F.pmod(F.abs(c), F.lit(self.cfg.n_buckets)).cast("int")
 
-    def _host_cfg(self) -> DataFrame:
-        return self.store.read("host_state")
+    def _host_state_pdf(self):
+        """host_state as driver-side pandas. The table on disk stays the
+        source of truth (snapshot-versioned); the driver caches it because
+        it is small relative to the frontier (one row per HOST, not URL) and
+        its per-round update (fetched_count += successes) would otherwise
+        cost a full Spark write job. At 10^8-host scale flip this to the
+        pure-DataFrame path (join + stage_write) — the columns and
+        semantics are identical."""
+        if getattr(self, "_host_pdf", None) is None:
+            self._host_pdf = self.store.read("host_state").toPandas()
+        return self._host_pdf
+
+    def _host_cfg(self, cols: list[str]) -> DataFrame:
+        return self.spark.createDataFrame(self._host_state_pdf()[cols])
 
     def _apply_url_policies(self, df: DataFrame, cfg: DataFrame) -> DataFrame:
         """Join host config and tag rows rejected by exclude patterns
@@ -136,17 +149,23 @@ class CrawlEngine:
     # ------------------------------------------------------------ bootstrap
     def bootstrap(self) -> None:
         """Round 0: seed the frontier, url_seen, host_state; commit snapshot."""
+        import numpy as np
+        import pyarrow.parquet as pq
         sp = self.spark
-        pol = sp.read.parquet(self.fixtures["politeness"])
-        rob = sp.read.parquet(self.fixtures["robots"])
-        host_state = (pol.join(rob, "host", "left")
-                      .select("host",
-                              F.coalesce("crawl_delay_override", "crawl_delay")
-                               .alias("crawl_delay"),
-                              "max_pages", "max_depth",
-                              F.lit(0).cast("long").alias("fetched_count"),
-                              "exclude_patterns",
-                              F.coalesce("disallow", F.array()).alias("disallow")))
+        pol = pq.read_table(self.fixtures["politeness"]).to_pandas()
+        rob = pq.read_table(self.fixtures["robots"]).to_pandas()
+        hs = pol.merge(rob, on="host", how="left")
+        hs["crawl_delay"] = hs["crawl_delay_override"].fillna(hs["crawl_delay"])
+        hs["fetched_count"] = np.int64(0)
+        as_list = (lambda v: list(v)
+                   if isinstance(v, (list, np.ndarray)) else [])
+        hs["disallow"] = hs["disallow"].map(as_list)
+        hs["exclude_patterns"] = hs["exclude_patterns"].map(as_list)
+        hs = hs[["host", "crawl_delay", "max_pages", "max_depth",
+                 "fetched_count", "exclude_patterns", "disallow"]]
+        self._host_pdf = hs
+        self.store.stage_write_arrow("host_state", hs, "replace")
+
         seeds = (sp.read.parquet(self.fixtures["seeds"])
                  .select(resolve_udf("url", F.lit(None).cast("string")).alias("r"),
                          "seed_seq", "priority")
@@ -155,8 +174,8 @@ class CrawlEngine:
                          "seed_seq", "priority")
                  .where(F.col("url").isNotNull()))
         seeds = self._apply_url_policies(
-            seeds, host_state.select("host", "crawl_delay", "exclude_patterns",
-                                     "disallow"))
+            seeds, self._host_cfg(["host", "crawl_delay", "exclude_patterns",
+                                   "disallow"]))
         ok = seeds.where(F.col("reject").isNull())
         frontier = ok.select(
             "url", "url_hash", self._bucket("url_hash").alias("bucket"), "host",
@@ -168,7 +187,6 @@ class CrawlEngine:
                                    F.lit(0).alias("round_added"))
         self.store.stage_write("frontier", frontier, "replace")
         self.store.stage_write("url_seen", url_seen, "append")
-        self.store.stage_write("host_state", host_state, "replace")
         if self.cfg.use_bloom:
             bloom = BloomShards.sized_for(self.cfg.expected_urls, self.cfg.n_buckets)
             self._bloom_add(bloom, frontier)
@@ -189,27 +207,29 @@ class CrawlEngine:
 
     # ------------------------------------------------------------ one round
     def run_round(self, round_no: int) -> dict:
+        import numpy as np
         t0 = time.time()
         sp = self.spark
         cfg = self.cfg
         frontier = self.store.read("frontier")
-        host_state = self._host_cfg()
 
         # -- politeness quota (SURVEY C9): two-phase salted ranking ---------
-        quota_cfg = host_state.select(
-            "host", "crawl_delay", "max_depth",
-            F.least(
-                F.greatest(F.floor(F.lit(S.ROUND_SECONDS) / F.col("crawl_delay")),
-                           F.lit(1)),
-                (F.col("max_pages") - F.col("fetched_count")),
-            ).cast("int").alias("quota"))
+        hs = self._host_state_pdf()
+        quota = np.minimum(
+            np.maximum((cfg.round_seconds / hs["crawl_delay"]).astype(np.int64),
+                       1),
+            (hs["max_pages"] - hs["fetched_count"]).astype(np.int64))
+        qpdf = pd.DataFrame({"host": hs["host"],
+                             "crawl_delay": hs["crawl_delay"],
+                             "quota": quota.astype(np.int32)})
+        alive_pdf = qpdf[qpdf["quota"] > 0]
+        quota_cfg = sp.createDataFrame(alive_pdf)
         if cfg.rank_mode == "bfs":
             order_cols = [F.col("depth").asc(), F.col("discovery_seq").asc()]
         else:
             order_cols = [F.col("priority").desc(), F.col("depth").asc(),
                           F.col("discovery_seq").asc()]
-        cand = (frontier.join(F.broadcast(quota_cfg), "host")
-                .where(F.col("quota") > 0))
+        cand = frontier.join(F.broadcast(quota_cfg), "host")
         w1 = (Window.partitionBy("host", F.pmod(F.abs("url_hash"), F.lit(cfg.n_salt)))
               .orderBy(*order_cols))
         survivors = (cand.withColumn("rn1", F.row_number().over(w1))
@@ -219,7 +239,7 @@ class CrawlEngine:
                      .where(F.col("rn") <= F.col("quota"))
                      .withColumn("fetch_slot", (F.col("rn") - 1).cast("int"))
                      .withColumn("fetch_ts",
-                                 F.lit(float(round_no) * S.ROUND_SECONDS)
+                                 F.lit(float(round_no) * cfg.round_seconds)
                                  + F.col("fetch_slot") * F.col("crawl_delay"))
                      .drop("rn", "quota"))
 
@@ -247,8 +267,8 @@ class CrawlEngine:
 
         # -- expansion (SURVEY C10): explode -> resolve -> filter -> dedupe -
         parents = (success
-                   .join(F.broadcast(host_state.select(
-                             "host", F.col("max_depth").alias("md"))),
+                   .join(F.broadcast(self._host_cfg(["host", "max_depth"])
+                                     .withColumnRenamed("max_depth", "md")),
                          "host")
                    .where(F.col("depth") < F.col("md"))
                    .select(F.col("url").alias("parent_url"),
@@ -269,8 +289,8 @@ class CrawlEngine:
                                 F.col("parent_seq") * 64 + F.col("pos") + 1)
                     .drop("parent_host", "parent_depth", "parent_seq", "pos"))
         policed = self._apply_url_policies(
-            resolved, host_state.select("host", "crawl_delay",
-                                        "exclude_patterns", "disallow"))
+            resolved, self._host_cfg(["host", "crawl_delay",
+                                      "exclude_patterns", "disallow"])).persist()
         kept = policed.where(F.col("reject").isNull())
         # keep-first within the batch (SURVEY C16): min (depth, discovery_seq)
         deduped = (kept.groupBy("url_hash", "url", "host")
@@ -307,7 +327,7 @@ class CrawlEngine:
         new_urls = new_urls.persist()
 
         # -- next frontier: unscheduled + retries + new (anti-join, no skew) -
-        alive_hosts = quota_cfg.where(F.col("quota") > 0).select("host")
+        alive_hosts = quota_cfg.select("host")
         unscheduled = (frontier
                        .join(F.broadcast(alive_hosts), "host", "left_semi")
                        .join(scheduled.select("url_hash", "url"),
@@ -350,26 +370,29 @@ class CrawlEngine:
             "discovery_seq", "attempt",
             F.col("outcome").alias("reason"))
 
-        # -- metrics (single-pass outcome counts) + host budget update ------
-        outcome_counts = {r["outcome"]: r["cnt"] for r in
-                          fetch.groupBy("outcome").agg(F.count("*").alias("cnt"))
-                          .collect()}
+        # -- metrics: ONE pass over the fetch outcomes gives both the
+        # outcome counters and the per-host budget deltas; ONE pass over the
+        # new urls gives per-bucket lineage + the new-url count; the policy
+        # pass is a third small aggregation. Everything else comes free from
+        # parquet footers of the staged writes — no redundant Spark jobs.
+        ho = fetch.groupBy("host", "outcome").agg(F.count("*").alias("cnt")) \
+            .collect()
+        outcome_counts: dict[str, int] = {}
+        host_ok: dict[str, int] = {}
+        for r in ho:
+            outcome_counts[r["outcome"]] = \
+                outcome_counts.get(r["outcome"], 0) + r["cnt"]
+            if r["outcome"] == "success":
+                host_ok[r["host"]] = r["cnt"]
         policy_counts = {(r["reject"] or "ok"): r["cnt"] for r in
                          policed.groupBy("reject").agg(F.count("*").alias("cnt"))
                          .collect()}
         reject_counts = {k: v for k, v in policy_counts.items() if k != "ok"}
         n_discovered = int(sum(policy_counts.values()))
-        n_new = new_urls.count()
         lineage = {str(r["bucket"]): r["cnt"] for r in
                    new_urls.groupBy("bucket").agg(F.count("*").alias("cnt"))
                    .collect()}
-        per_host_success = (success.groupBy("host")
-                            .agg(F.count("*").alias("n_ok")))
-        new_host_state = (host_state.join(per_host_success, "host", "left")
-                          .withColumn("fetched_count",
-                                      F.col("fetched_count")
-                                      + F.coalesce("n_ok", F.lit(0)))
-                          .drop("n_ok"))
+        n_new = int(sum(lineage.values()))
 
         # -- stage + commit ---------------------------------------------------
         self.store.stage_write("frontier", next_frontier, "replace")
@@ -379,13 +402,16 @@ class CrawlEngine:
                                "append")
         self.store.stage_write("fetched", fetched_rows, "append")
         self.store.stage_write("failures", failure_rows, "append")
-        self.store.stage_write("host_state", new_host_state, "replace")
+        new_hs = hs.copy()
+        if host_ok:
+            delta = new_hs["host"].map(host_ok).fillna(0).astype(np.int64)
+            new_hs["fetched_count"] = new_hs["fetched_count"] + delta
+        self._host_pdf = new_hs
+        self.store.stage_write_arrow("host_state", new_hs, "replace")
         if bloom is not None:
             self._bloom_add(bloom, new_urls)
             self.store.stage_blob("bloom", bloom.to_bytes())
-        frontier_size = self.store.spark.read.parquet(  # cheap: footer count
-            *[f"{self.store.root}/tables/frontier/{d}"
-              for d in self.store._staged["frontier"]["dirs"]]).count()
+        frontier_size = self.store.staged_row_count("frontier")
         wall_ms = (time.time() - t0) * 1000.0
         metrics = {
             "round": round_no,
@@ -396,19 +422,20 @@ class CrawlEngine:
             "retried": int(outcome_counts.get("timeout_retry", 0)),
             "rejected": reject_counts,
             "discovered": n_discovered,
-            "new_urls": int(n_new),
+            "new_urls": n_new,
             "frontier_size": int(frontier_size),
             "url_seen_lineage_per_bucket": lineage,
             "wall_ms": wall_ms,
         }
-        mrow = self.spark.createDataFrame(
-            [(round_no, metrics["scheduled"], metrics["fetched_ok"],
-              metrics["failed"], metrics["retried"],
-              n_discovered, n_new,
-              int(frontier_size), wall_ms)], METRICS_SCHEMA)
-        self.store.stage_write("metrics", mrow, "append")
+        self.store.stage_write_arrow("metrics", pd.DataFrame([{
+            "round": round_no, "scheduled": metrics["scheduled"],
+            "fetched_ok": metrics["fetched_ok"], "failed": metrics["failed"],
+            "retried": metrics["retried"], "discovered": n_discovered,
+            "new_urls": n_new, "frontier_size": int(frontier_size),
+            "wall_ms": wall_ms}]), "append")
         self.store.commit(round_no, metrics)
         fetch.unpersist()
+        policed.unpersist()
         new_urls.unpersist()
         return metrics
 

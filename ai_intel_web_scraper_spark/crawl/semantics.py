@@ -56,11 +56,15 @@ def child_seq(parent_seq: int, pos: int) -> int:
     return parent_seq * 64 + pos + 1
 
 
-def host_round_quota(crawl_delay: float) -> int:
-    """URLs a host may be scheduled per round (>= 1)."""
-    return max(1, int(ROUND_SECONDS / crawl_delay))
+def host_round_quota(crawl_delay: float,
+                     round_seconds: float = ROUND_SECONDS) -> int:
+    """URLs a host may be scheduled per round (>= 1). `round_seconds` is the
+    virtual wall-clock a round models — a shared engine/oracle parameter
+    (bigger rounds = fewer, larger DataFrame jobs; same politeness floor)."""
+    return max(1, int(round_seconds / crawl_delay))
 
 
-def virtual_fetch_ts(round_no: int, slot: int, crawl_delay: float) -> float:
+def virtual_fetch_ts(round_no: int, slot: int, crawl_delay: float,
+                     round_seconds: float = ROUND_SECONDS) -> float:
     """Deterministic virtual fetch timestamp: round start + politeness slots."""
-    return round_no * ROUND_SECONDS + slot * crawl_delay
+    return round_no * round_seconds + slot * crawl_delay

@@ -84,6 +84,32 @@ class SnapshotStore:
             st["mode"] = "replace"
         st["dirs"].append(dirname)
 
+    def stage_write_arrow(self, table: str, pdf, mode: str) -> None:
+        """Driver-side write for SMALL tables (host_state, metrics): one
+        pyarrow file, no Spark job. Read path is identical (parquet)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        assert mode in ("append", "replace")
+        dirname = f"w-{uuid.uuid4().hex[:12]}"
+        path = os.path.join(self._table_dir(table), dirname)
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                       os.path.join(path, "part-0.parquet"))
+        st = self._staged.setdefault(table, {"mode": mode, "dirs": []})
+        if mode == "replace":
+            st["mode"] = "replace"
+        st["dirs"].append(dirname)
+
+    def staged_row_count(self, table: str) -> int:
+        """Row count of this round's staged dirs from parquet footers —
+        no Spark job."""
+        import pyarrow.dataset as ds
+        st = self._staged.get(table)
+        if not st:
+            return 0
+        paths = [os.path.join(self._table_dir(table), d) for d in st["dirs"]]
+        return sum(ds.dataset(p).count_rows() for p in paths)
+
     def stage_blob(self, name: str, data: bytes) -> None:
         fname = f"{name}-{uuid.uuid4().hex[:12]}.bin"
         with open(os.path.join(self.root, "blobs", fname), "wb") as f:

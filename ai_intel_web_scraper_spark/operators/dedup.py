@@ -1,0 +1,202 @@
+"""Deduplication operators (SURVEY C16/C17, P7-P9; plus the training-data
+additions: exact hash, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine
+near-dup).
+
+Exact and Jaccard variants are pure DataFrame compositions (SQL-checkable);
+MinHash/SimHash use one vectorized Arrow UDF each for the signature, then
+native band-explode + self-join — the scale path (no O(n^2) pair scan).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ------------------------------------------------------------------ exact
+
+def keep_first(df: DataFrame, key_cols: list[str],
+               order_cols: list[str]) -> DataFrame:
+    """SURVEY C16/P7/P8: keep-first dedup — first row per key under a stable
+    total order (the reference's insertion order becomes explicit columns)."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn"))
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-content duplicate groups via content hash; returns
+    (content_key, n_dups, keep_id) for groups with >1 member."""
+    keyed = df.select(F.col(id_col), F.md5(F.lower(F.trim(F.col(text_col))))
+                      .alias("content_key"))
+    return (keyed.groupBy("content_key")
+            .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+            .where(F.col("n_dups") > 1))
+
+
+# ------------------------------------------------------------------ shingles
+
+def shingle_col(text_col: str, n: int = 3):
+    """Word-level n-gram shingles as an array column — native higher-order
+    fns only (reference builds these in Python, deduplicator.py:148-158)."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                  n: int = 3, threshold: float = 0.6) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (id_a < id_b, sim >= threshold).
+    Plan: explode distinct shingles -> self-equi-join on shingle (the only
+    shuffle key; no O(n^2)) -> |A∩B| per pair -> sim via |A|+|B|-∩."""
+    sh = (df.select(F.col(id_col).alias("id"),
+                    F.explode(F.array_distinct(shingle_col(text_col, n)))
+                    .alias("shingle")))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .agg(F.count("*").alias("n_int")))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        F.round(F.col("n_int")
+                                / (F.col("n_a") + F.col("n_b") - F.col("n_int")), 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# ------------------------------------------------------------------ minhash
+
+N_PERM = 64
+LSH_BANDS = 16  # 16 bands x 4 rows: catches Jaccard >= ~0.6 w.h.p.
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, N_PERM, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, N_PERM, dtype=np.int64)
+    return a, b
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def minhash_sig_udf(shingles: pd.Series) -> pd.Series:
+    """64-permutation MinHash signature of a shingle array (SURVEY P9;
+    reference uses datasketch MinHash(128), deduplicator.py:110-146).
+    Vectorized: one numpy pass per Arrow batch."""
+    import hashlib
+    a, b = _minhash_params()
+    out = []
+    for arr in shingles:
+        if arr is None or len(arr) == 0:
+            out.append([0] * N_PERM)
+            continue
+        hv = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                            "little") & ((1 << 61) - 1) for s in arr),
+            dtype=np.int64, count=len(arr))
+        # (a*h + b) mod M, min over shingles, per permutation
+        sig = ((a[None, :].astype(object) * hv[:, None].astype(object)
+                + b[None, :]) % _MERSENNE).min(axis=0)
+        out.append([int(x) for x in sig])
+    return pd.Series(out)
+
+
+def minhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
+                          n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs via MinHash LSH banding: signature ->
+    band hashes -> explode -> self-equi-join on (band, band_hash) ->
+    estimated Jaccard = matching permutations / N_PERM."""
+    sig = (df.select(F.col(id_col).alias("id"),
+                     shingle_col(text_col, n).alias("sh"))
+           .withColumn("sig", minhash_sig_udf("sh")).drop("sh"))
+    rows_per_band = N_PERM // LSH_BANDS
+    bands = sig.select(
+        "id", "sig",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+            lambda bi: F.xxhash64(F.concat_ws(
+                ",", F.slice("sig", bi * rows_per_band + 1, rows_per_band)))))
+        .alias("band", "band_hash"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_hash") == F.col("b.band_hash"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    est = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) ") \
+        / F.lit(float(N_PERM))
+    return (cand.withColumn("est_jaccard", F.round(est, 6))
+            .select("id_a", "id_b", "est_jaccard"))
+
+
+def greedy_keep_first_dedup(pairs: DataFrame, all_ids: DataFrame,
+                            id_col: str, threshold: float = 0.6) -> DataFrame:
+    """Reference-greedy approximation (deduplicator.py:105-158 keeps a record
+    unless it matches an already-KEPT earlier record): distributed single-pass
+    variant drops any id that pairs with ANY smaller id above threshold.
+    Differs from greedy chains only when a dropped record bridges two others
+    (documented divergence, SURVEY §7.4)."""
+    drop = (pairs.where(F.col("est_jaccard") >= threshold)
+            .select(F.col("id_b").alias(id_col)).distinct())
+    return all_ids.join(drop, id_col, "left_anti")
+
+
+# ------------------------------------------------------------------ simhash
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (training-data near-dup)."""
+    import hashlib
+    out = np.zeros(len(text), dtype=np.int64)
+    for i, t in enumerate(text):
+        if not t:
+            continue
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in t.lower().split():
+            h = np.uint64(int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"))
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits == 1, 1, -1)
+        v = 0
+        for bit in (acc > 0).astype(int):
+            v = (v << 1) | int(bit)
+        out[i] = np.int64(v - (1 << 64) if v >= (1 << 63) else v)
+    return pd.Series(out)
+
+
+def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
+                          max_hamming: int = 8) -> DataFrame:
+    """SimHash near-dup: 4x16-bit block LSH (a pair within hamming distance
+    <=8 of 64 bits shares at least one exact 16-bit block w.h.p. when
+    distance is spread; exact check via bit_count on candidates)."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   simhash_udf(F.col(text_col)).alias("sim"))
+    blocks = sh.select(
+        "id", "sim",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned("sim", k * 16).bitwiseAND(F.lit(0xFFFF))
+            for k in range(4)])).alias("blk", "blk_val"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col("a.blk_val") == F.col("b.blk_val"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.sim").alias("sim_a"), F.col("b.sim").alias("sim_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (cand.withColumn("hamming", hamming)
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -1,0 +1,112 @@
+"""Multimodal (binary-column) operators for the image+caption corpus.
+
+Images travel as opaque `binary` columns with typed metadata (input_hint
+shape). Decode and feature extraction run in Arrow-batched mapInPandas over
+the REAL pure-Python codec from functions/codec.py (PNG + deterministic
+lossy stand-in) — the Spark-side plumbing (schemas, batching, partition
+behavior) is production-shaped. Audio/video decode is STUBBED behind
+NotImplementedError (no codec libs in this container): the UDF signatures,
+schemas and batch shapes are real and tested; only the innermost decode call
+raises.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..functions.codec import average_phash, decode_image
+
+IMAGE_FEATURES_SCHEMA = ("image_id string, w int, h int, fmt string, "
+                         "mean_r double, mean_g double, mean_b double, "
+                         "phash long, decode_ok boolean")
+
+
+def image_features(pages: DataFrame) -> DataFrame:
+    """Decode each image and emit per-channel means + recomputed phash.
+    One Arrow batch per call; bytes never enter a shuffle (narrow map)."""
+    def fn(iterator):
+        for pdf in iterator:
+            rows = []
+            for _, r in pdf.iterrows():
+                try:
+                    px = decode_image(bytes(r["bytes"]))
+                    m = px.reshape(-1, 3).mean(axis=0)
+                    rows.append((r["image_id"], int(px.shape[1]),
+                                 int(px.shape[0]), r["fmt"],
+                                 round(float(m[0]), 6), round(float(m[1]), 6),
+                                 round(float(m[2]), 6),
+                                 average_phash(px), True))
+                except Exception:
+                    rows.append((r["image_id"], None, None, r["fmt"],
+                                 None, None, None, None, False))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "w", "h", "fmt", "mean_r", "mean_g", "mean_b",
+                "phash", "decode_ok"])
+    return (pages.select("image_id", "fmt", "bytes")
+            .mapInPandas(fn, schema=IMAGE_FEATURES_SCHEMA))
+
+
+def image_resize(pages: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize (numpy) re-encoded as PNG — a real transform
+    over the binary column; demonstrates decode -> transform -> re-encode."""
+    from ..functions.codec import png_encode
+
+    def fn(iterator):
+        for pdf in iterator:
+            rows = []
+            for _, r in pdf.iterrows():
+                px = decode_image(bytes(r["bytes"]))
+                ys = (np.arange(out_h) * px.shape[0] // out_h)
+                xs = (np.arange(out_w) * px.shape[1] // out_w)
+                small = px[ys][:, xs]
+                rows.append((r["image_id"], png_encode(small), out_w, out_h))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h"])
+    return (pages.select("image_id", "bytes")
+            .mapInPandas(fn, schema="image_id string, bytes binary, w int, h int"))
+
+
+def phash_hamming_neardup(pages: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate IMAGES by perceptual-hash hamming distance, using the
+    same 16-bit-block LSH trick as simhash (no O(n^2))."""
+    from pyspark.sql import functions as F
+    blocks = pages.select(
+        F.col("image_id"), F.col("phash"),
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned("phash", k * 16).bitwiseAND(F.lit(0xFFFF))
+            for k in range(4)])).alias("blk", "blk_val"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col("a.blk_val") == F.col("b.blk_val"))
+                   & (F.col("a.image_id") < F.col("b.image_id")))
+            .select(F.col("a.image_id").alias("id_a"),
+                    F.col("b.image_id").alias("id_b"),
+                    F.col("a.phash").alias("pa"), F.col("b.phash").alias("pb"))
+            .dropDuplicates(["id_a", "id_b"]))
+    return (cand.withColumn("hamming",
+                            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))))
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+def audio_features(df: DataFrame) -> DataFrame:  # pragma: no cover - stub
+    """STUB: audio decode (no audio libs in this container). Real Spark
+    plumbing: binary column in, fixed feature schema out via mapInPandas."""
+    def fn(iterator):
+        for _pdf in iterator:
+            raise NotImplementedError(
+                "audio decode requires a codec library; plumbing is in place —"
+                " swap the body for soundfile/librosa on a real cluster")
+    return df.select("bytes").mapInPandas(
+        fn, schema="duration_s double, rms double")
+
+
+def video_frame_sample(df: DataFrame, every_n: int = 30) -> DataFrame:  # pragma: no cover - stub
+    """STUB: video frame sampling (no video libs in this container)."""
+    def fn(iterator):
+        for _pdf in iterator:
+            raise NotImplementedError(
+                "video decode requires ffmpeg bindings; plumbing is in place")
+    return df.select("bytes").mapInPandas(
+        fn, schema="frame_index int, frame_png binary")

@@ -1,0 +1,155 @@
+"""Text-processing operators (SURVEY P3-P6, P13, C12, C14; plus the
+training-data-pipeline additions: language ID, quality scoring, token
+counting, document fingerprinting).
+
+All implemented with native Column expressions — no Python in the hot path.
+The keyword constants here are the single source of truth: the DuckDB oracle
+SQL in __spark_entry__ is *generated from these same dicts*, so the Spark
+implementation and the oracle cannot drift.
+
+Reference semantics:
+- relevance (C14): fraction of keywords contained, case-insensitive
+  (reference scrapers/blog_scraper.py:217-223)
+- topic tagging (P5): per-topic keyword score, top-3 above threshold
+  (reference processors/topic_tagger.py:62-142); containment-based here
+- sentiment (P13): pos/neg keyword vote -> 4-way label
+  (reference scrapers/community_scraper.py:294-319)
+- quality filter (P6): word-count floor + reason accounting
+  (reference processors/quality_filter.py:67-95)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+TOPICS: dict[str, list[str]] = {
+    "distributed": ["spark", "merge", "window", "hash"],
+    "performance": ["fast", "slow", "small", "sort"],
+    "query_engine": ["query", "scan", "filter", "join"],
+    "storage": ["table", "row", "key", "batch"],
+}
+TOPIC_MIN_SCORE = 0.5
+TOPIC_TOP_N = 3
+
+POS_WORDS = ["fast", "group", "value", "merge"]
+NEG_WORDS = ["slow", "small", "scan", "batch"]
+
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "data", "value"],
+    "es": ["el", "la", "los"],
+    "fr": ["le", "une", "des"],
+}
+
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+MIN_WORDS_QUALITY = 40
+MIN_CHARS_QUALITY = 120
+
+
+def word_count_col(text: Column) -> Column:
+    """SURVEY P3: len(text.split()) — whitespace token count."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def contains_count_col(text_lower: Column, words: list[str]) -> Column:
+    """Number of `words` contained (substring, case-insensitive) in text."""
+    c = F.lit(0)
+    for w in words:
+        c = c + F.when(text_lower.contains(w.lower()), 1).otherwise(0)
+    return c
+
+
+def relevance_score_col(text: Column, keywords: list[str]) -> Column:
+    """SURVEY C14: fraction of priority keywords present."""
+    return (contains_count_col(F.lower(text), keywords)
+            / F.lit(float(len(keywords))))
+
+
+def sentiment_label_col(text: Column) -> Column:
+    """SURVEY P13: keyword-count vote -> positive/negative/mixed/neutral."""
+    lo = F.lower(text)
+    pos = contains_count_col(lo, POS_WORDS)
+    neg = contains_count_col(lo, NEG_WORDS)
+    return (F.when(pos > neg, "positive")
+            .when(neg > pos, "negative")
+            .when((pos == neg) & (pos > 0), "mixed")
+            .otherwise("neutral"))
+
+
+def topic_scores(df: DataFrame, id_col: str, text_col: str,
+                 topics: dict[str, list[str]] | None = None,
+                 min_score: float = TOPIC_MIN_SCORE,
+                 top_n: int = TOPIC_TOP_N) -> DataFrame:
+    """SURVEY P5: per-document topic scores, top-N above threshold.
+    Returns (id, topic, score) rows; deterministic tie-break on topic name.
+    Native plan: one projection per topic, stack to long form, window top-N —
+    no UDF, no shuffle beyond the required per-id window."""
+    topics = topics or TOPICS
+    lo = F.lower(F.col(text_col))
+    scored = df.select(
+        F.col(id_col),
+        *[(contains_count_col(lo, kws) / F.lit(float(len(kws))))
+          .alias(f"_t_{i}") for i, kws in enumerate(topics.values())])
+    stack_expr = ", ".join(
+        f"'{name}', _t_{i}" for i, name in enumerate(topics))
+    long = scored.selectExpr(
+        id_col, f"stack({len(topics)}, {stack_expr}) as (topic, score)")
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("topic"))
+    return (long.where(F.col("score") >= min_score)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= top_n)
+            .select(id_col, "topic", F.round("score", 6).alias("score")))
+
+
+def quality_filter(df: DataFrame, text_col: str,
+                   min_words: int = MIN_WORDS_QUALITY,
+                   min_chars: int = MIN_CHARS_QUALITY) -> DataFrame:
+    """SURVEY P6: tag each row keep/removal-reason (first failing reason
+    wins, reference order). Callers split on `reason`."""
+    wc = word_count_col(F.col(text_col))
+    return df.withColumn(
+        "reason",
+        F.when(wc < min_words, "too_few_words")
+         .when(F.length(F.col(text_col)) < min_chars, "too_short")
+         .otherwise("kept"))
+
+
+def lang_id_col(text: Column) -> Column:
+    """Language-ID heuristic: argmax stopword hits (ties -> lexicographic
+    smallest lang), 'unknown' when nothing matches."""
+    lo = F.lower(text)
+    scores = [(lang, contains_count_col(lo, words))
+              for lang, words in sorted(LANG_STOPWORDS.items())]
+    best = F.greatest(*[s for _, s in scores])
+    out = F.lit("unknown")
+    for lang, s in reversed(scores):  # earlier langs win ties
+        out = F.when((s == best) & (best > 0), lang).otherwise(out)
+    return out
+
+
+def token_count_col(text: Column) -> Column:
+    """BPE-ish token proxy: count of letter-runs, digit-runs, punct marks."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0))
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Deterministic document fingerprint (md5 of lowercased text)."""
+    return F.md5(F.lower(text))
+
+
+def quality_score_col(text: Column) -> Column:
+    """Composite quality score in [0,1]: word-count saturation, stopword
+    presence, punctuation ratio (training-data-pipeline heuristic)."""
+    wc = word_count_col(text).cast("double")
+    stop = contains_count_col(F.lower(text), LANG_STOPWORDS["en"]).cast("double")
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0)).cast("double")
+    punct_ratio = n_punct / F.greatest(F.length(text).cast("double"), F.lit(1.0))
+    return F.round(
+        F.least(wc / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(stop / F.lit(3.0), F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.2, 6)
+
+
+def extract_year_col(text: Column) -> Column:
+    """SURVEY P4 analog: first 4-digit year in the leading 500 chars."""
+    return F.regexp_extract(F.substring(text, 1, 500), r"((19|20)[0-9]{2})", 1)

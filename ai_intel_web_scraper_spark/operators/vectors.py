@@ -1,0 +1,119 @@
+"""Vector / similarity-search operators over array<float> embedding columns.
+
+Brute-force cosine top-k is the exactness baseline (native higher-order
+functions, no UDF); the LSH-bucketed variant is the 100 TB scale path: random
+hyperplane signatures shrink the candidate set so the expensive exact score
+runs on a small fraction of rows. Embedding *generation* (reference
+vectorstore/embedder.py:41-123 calls OpenAI) is replaced by a deterministic
+hash-projection embedder — a clearly-marked stand-in with the same Spark
+plumbing (Arrow-batched mapInPandas, fixed dim, L2-normalized output).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .ranking import cosine_col, topk_by_score
+
+EMBED_DIM = 32
+_HYPERPLANE_SEED = 1234
+N_HYPERPLANES = 12  # 4096 buckets
+
+
+def brute_force_topk(embeddings: DataFrame, query: list[float], k: int,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k (SURVEY S10/R4): scan + TakeOrderedAndProject."""
+    return topk_by_score(embeddings, cosine_col(vec_col, query), k, id_col)
+
+
+def _hyperplanes(dim: int) -> np.ndarray:
+    rng = np.random.default_rng(_HYPERPLANE_SEED)
+    return rng.standard_normal((N_HYPERPLANES, dim))
+
+
+def lsh_bucket_udf(dim: int):
+    @F.pandas_udf(T.IntegerType())
+    def bucket(vec: pd.Series) -> pd.Series:
+        H = _hyperplanes(dim)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vec])
+        signs = (M @ H.T) > 0
+        vals = (signs * (1 << np.arange(N_HYPERPLANES))).sum(axis=1)
+        return pd.Series(vals.astype(np.int32))
+    return bucket
+
+
+def lsh_topk(embeddings: DataFrame, query: list[float], k: int,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_probe_bits: int = 2) -> DataFrame:
+    """Approximate cosine top-k: random-hyperplane LSH bucket pruning.
+    Probes the query's bucket plus all buckets within `n_probe_bits`
+    hamming bits (multi-probe), then exact-scores only those rows.
+    At scale the bucket column is a partition/cluster key, so the probe is
+    partition pruning, not a full scan."""
+    dim = len(query)
+    H = _hyperplanes(dim)
+    qsig = int((((H @ np.asarray(query)) > 0)
+                * (1 << np.arange(N_HYPERPLANES))).sum())
+    probes = {qsig}
+    if n_probe_bits >= 1:
+        probes |= {qsig ^ (1 << b) for b in range(N_HYPERPLANES)}
+    if n_probe_bits >= 2:
+        probes |= {qsig ^ (1 << b1) ^ (1 << b2)
+                   for b1 in range(N_HYPERPLANES)
+                   for b2 in range(b1 + 1, N_HYPERPLANES)}
+    bucketed = embeddings.withColumn("_bkt", lsh_bucket_udf(dim)(F.col(vec_col)))
+    cand = bucketed.where(F.col("_bkt").isin([int(p) for p in probes]))
+    return topk_by_score(cand, cosine_col(vec_col, query), k, id_col)
+
+
+def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.92,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucket self-join:
+    pairs sharing a bucket are exact-scored; no O(n^2) cross join."""
+    first = embeddings.select(vec_col).first()
+    dim = len(first[vec_col])
+    b = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                          lsh_bucket_udf(dim)(F.col(vec_col)).alias("bkt"))
+    l, r = b.alias("l"), b.alias("r")
+    pairs = (l.join(r, (F.col("l.bkt") == F.col("r.bkt"))
+                    & (F.col("l.id") < F.col("r.id")))
+             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                     F.col("l.v").alias("va"), F.col("r.v").alias("vb")))
+    dot = F.aggregate(F.zip_with(F.col("va").cast("array<double>"),
+                                 F.col("vb").cast("array<double>"),
+                                 lambda a, c: a * c),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = (F.sqrt(F.aggregate(F.col("va").cast("array<double>"), F.lit(0.0),
+                              lambda acc, x: acc + x * x))
+           * F.sqrt(F.aggregate(F.col("vb").cast("array<double>"), F.lit(0.0),
+                                lambda acc, x: acc + x * x)))
+    return (pairs.withColumn("cosine", F.round(dot / nrm, 6))
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
+def hash_embed_udf(dim: int = EMBED_DIM):
+    """Deterministic text embedder STAND-IN (reference embedder.py calls
+    OpenAI text-embedding-3-small; no network here). Same plumbing:
+    Arrow-batched, fixed dim, L2-normalized float array."""
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def embed(text: pd.Series) -> pd.Series:
+        import hashlib
+        out = []
+        for t in text:
+            acc = np.zeros(dim, dtype=np.float64)
+            for tok in (t or "").lower().split():
+                h = hashlib.blake2b(tok.encode(), digest_size=16).digest()
+                idx = int.from_bytes(h[:4], "little") % dim
+                sign = 1.0 if h[4] & 1 else -1.0
+                acc[idx] += sign
+            n = np.linalg.norm(acc)
+            out.append((acc / n if n > 0 else acc).astype(np.float32).tolist())
+        return pd.Series(out)
+    return embed

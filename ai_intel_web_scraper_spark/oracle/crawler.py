@@ -42,7 +42,8 @@ def _load_tables(fixtures: dict) -> tuple[dict, list, dict, dict]:
     return graph, seeds, pol, rob
 
 
-def oracle_crawl(fixtures: dict, max_rounds: int = 200) -> OracleResult:
+def oracle_crawl(fixtures: dict, max_rounds: int = 200,
+                 round_seconds: float = S.ROUND_SECONDS) -> OracleResult:
     graph, seeds, pol, rob = _load_tables(fixtures)
 
     def host_cfg(host: str) -> dict | None:
@@ -95,7 +96,8 @@ def oracle_crawl(fixtures: dict, max_rounds: int = 200) -> OracleResult:
             cfg = host_cfg(host)
             rows = sorted(by_host[host], key=lambda r: (r["depth"], r["seq"]))
             remaining = cfg["max_pages"] - fetched_count.get(host, 0)
-            quota = min(S.host_round_quota(cfg["crawl_delay"]), remaining)
+            quota = min(S.host_round_quota(cfg["crawl_delay"], round_seconds),
+                        remaining)
             if quota <= 0:
                 continue  # budget exhausted: host's frontier rows are dropped
             scheduled, deferred = rows[:quota], rows[quota:]
@@ -121,7 +123,8 @@ def oracle_crawl(fixtures: dict, max_rounds: int = 200) -> OracleResult:
                     "round": round_no, "discovery_seq": row["seq"],
                     "fetch_slot": slot,
                     "fetch_ts": S.virtual_fetch_ts(round_no, slot,
-                                                   cfg["crawl_delay"]),
+                                                   cfg["crawl_delay"],
+                                                   round_seconds),
                     "image_id": g["image_id"],
                 })
                 if row["depth"] < cfg["max_depth"]:

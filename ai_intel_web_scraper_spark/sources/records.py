@@ -1,0 +1,68 @@
+"""Record sources/sinks re-expressing the reference's file I/O (SURVEY
+S7/S8/S11) plus the paginated-source pattern (S3/S4).
+
+The reference loads JSON arrays per file with per-record Pydantic validation
+and skips invalid rows with a counter (reference vectorstore/ingest.py:37-73);
+here: explicit schema on read (never inferred), recursive lookup, and a
+`_corrupt_record` column so the invalid-row metric is a cheap aggregation,
+not a Python loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SOURCE_RECORD_SCHEMA = T.StructType([
+    # reference schemas/source_record.py:37-57
+    T.StructField("id", T.StringType()),
+    T.StructField("origin", T.StringType()),
+    T.StructField("source_type", T.StringType()),
+    T.StructField("url", T.StringType()),
+    T.StructField("title", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("scraped_date", T.DateType()),
+    T.StructField("content_date", T.DateType()),
+    T.StructField("topics", T.ArrayType(T.StringType())),
+    T.StructField("subtopics", T.ArrayType(T.StringType())),
+    T.StructField("credibility", T.StringType()),
+    T.StructField("sentiment", T.StringType()),
+    T.StructField("word_count", T.IntegerType()),
+    T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
+    T.StructField("_corrupt_record", T.StringType()),
+])
+
+
+def load_source_records(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """Recursive JSON source with validation accounting (SURVEY S8).
+    Returns (valid_records, invalid_metric_df)."""
+    df = (spark.read.schema(SOURCE_RECORD_SCHEMA)
+          .option("recursiveFileLookup", "true")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(path))
+    valid = df.where(F.col("_corrupt_record").isNull()
+                     & F.col("id").isNotNull()).drop("_corrupt_record")
+    invalid = (df.where(F.col("_corrupt_record").isNotNull()
+                        | F.col("id").isNull())
+               .agg(F.count("*").alias("invalid_records")))
+    return valid, invalid
+
+
+def record_id_col(origin, source_type, url):
+    """SURVEY C11: deterministic record id
+    `{origin}-{source_type}-{sha256(url)[:12]}`
+    (reference scrapers/utils.py:249-252)."""
+    return F.concat_ws("-", origin, source_type,
+                       F.substring(F.sha2(url, 256), 1, 12))
+
+
+def paginated_urls(spark: SparkSession, pattern: str,
+                   first: int = 2, last: int = 99) -> DataFrame:
+    """SURVEY S11: pagination pre-seeding — generate listing URLs
+    `pattern % page` for pages [first, last] (reference
+    scrapers/blog_scraper.py:102-115) as a distributed range, no driver loop."""
+    return (spark.range(first, last + 1)
+            .select(F.col("id").cast("int").alias("page"),
+                    F.format_string(pattern, F.col("id")).alias("url")))

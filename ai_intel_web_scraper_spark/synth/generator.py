@@ -103,10 +103,12 @@ class WebSpec:
         rng = self._rng(11, seq)
         rng.integers(0, len(_SIZES), 2)  # consume the w/h draws
         rng.random()  # consume the fmt draw
-        # smooth-ish gradient + noise: compressible and quantization-sensitive
-        yy, xx = np.mgrid[0:h, 0:w]
-        base = ((xx * 255 / max(w - 1, 1))[..., None]
-                + (yy * 255 / max(h - 1, 1))[..., None] * 0.5)
+        # per-image random low-frequency structure (distinct phash per image,
+        # compressible, quantization-sensitive) + fine noise
+        ry = rng.random(h)
+        rx = rng.random(w)
+        chan = rng.random(3) + 0.5
+        base = np.outer(ry, rx)[..., None] * chan[None, None, :] * 200.0
         noise = rng.integers(0, 64, size=(h, w, 3))
         return np.clip(base + noise, 0, 255).astype(np.uint8)
 
