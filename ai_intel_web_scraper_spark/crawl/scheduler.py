@@ -196,7 +196,11 @@ class CrawlEngine:
     def _bloom_add(self, bloom: BloomShards, df: DataFrame) -> None:
         """OR executor-built per-partition bitmaps into the sidecar shards.
         Constant-size data to the driver per (partition, bucket)."""
+        # co-partition by bucket first: one bitmap per (partition, bucket)
+        # reaches the driver, so the transfer is n_buckets * m/8 bytes per
+        # round, independent of row count
         parts = (df.select("bucket", "url_hash")
+                 .repartition(self.cfg.n_buckets, "bucket")
                  .mapInPandas(partial_bitmaps(bloom.m_bits, bloom.n_buckets),
                               schema="bucket int, bitmap binary")
                  .collect())

@@ -1,0 +1,79 @@
+"""Streaming aggregations over an event stream (fetch-log shaped).
+
+In production the fetch log (url, host, status, ts, value) is a Kafka/queue
+stream; here the same queries run over a file source so tests can drive them
+to completion synchronously. The operators:
+
+- `windowed_counts` — tumbling/sliding window counts + sums per event_type
+  with a watermark for late data.
+- `session_rollup` — native `session_window` per user (gap-based), the
+  streaming analog of the reference's per-session token accounting
+  (reference webapp/sessions.py, SURVEY R7).
+- `run_stream_once` — helper: start on a file source, drain, return rows
+  from the memory sink.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour",
+                    slide: str | None = None,
+                    watermark: str = "2 hours") -> DataFrame:
+    w = (F.window("ts", window, slide) if slide else F.window("ts", window))
+    return (events.withWatermark("ts", watermark)
+            .groupBy(w.alias("win"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("total_value"))
+            .select(F.col("win.start").alias("win_start"),
+                    F.col("win.end").alias("win_end"),
+                    "event_type", "n", "total_value"))
+
+
+def session_rollup(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("session_value"))
+            .select(F.col("sess.start").alias("sess_start"),
+                    F.col("sess.end").alias("sess_end"),
+                    "user_id", "n_events", "session_value"))
+
+
+def run_stream_once(spark: SparkSession, src_path: str, op,
+                    output_mode: str = "complete") -> list:
+    """Drive a streaming op over a parquet file source to completion and
+    return the memory-sink rows (test/bench harness)."""
+    import os
+    name = f"out_{uuid.uuid4().hex[:8]}"
+    if os.path.isfile(src_path):
+        # the file streaming source requires a directory
+        d = f"/tmp/stream_src_{uuid.uuid4().hex[:8]}"
+        os.makedirs(d, exist_ok=True)
+        os.symlink(os.path.abspath(src_path),
+                   os.path.join(d, os.path.basename(src_path)))
+        src_path = d
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .parquet(src_path))
+    q = (op(stream).writeStream.outputMode(output_mode)
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}").collect()

@@ -59,6 +59,8 @@ class WebSpec:
     zipf_s: float = 1.2
     seed_frac: float = 0.6
     max_links: int = 12
+    budget_scale: int = 1  # multiplies per-host max_pages (bench sizing)
+    max_pages_per_host: int | None = None  # cap Zipf head (bench sizing)
     pages_per_host: np.ndarray = field(init=False)
     cum_pages: np.ndarray = field(init=False)
 
@@ -67,6 +69,8 @@ class WebSpec:
         weights = 1.0 / k**self.zipf_s
         weights /= weights.sum()
         counts = np.maximum(2, np.round(weights * self.total_pages).astype(np.int64))
+        if self.max_pages_per_host is not None:
+            counts = np.minimum(counts, self.max_pages_per_host)
         self.pages_per_host = counts
         self.cum_pages = np.concatenate([[0], np.cumsum(counts)])
 
@@ -171,7 +175,7 @@ class WebSpec:
     def politeness(self, k: int) -> tuple[float, int, int, list[str]]:
         rng = self._rng(19, k)
         delay = float([0.3, 0.5, 1.0][rng.integers(0, 3)])
-        max_pages = int(rng.integers(30, 201))
+        max_pages = int(rng.integers(30, 201)) * self.budget_scale
         max_depth = int(rng.integers(2, 5))
         return delay, max_pages, max_depth, ["/tag/", "/login"]
 
@@ -313,13 +317,16 @@ def generate_fixtures_spark(spark, spec: WebSpec, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     paths = {n: os.path.join(out_dir, n + ".parquet") for n in
              ("pages", "web_graph", "seeds", "politeness", "robots")}
-    sd, nh, tp, zs, sf, ml = (spec.seed, spec.n_hosts, spec.total_pages,
-                              spec.zipf_s, spec.seed_frac, spec.max_links)
+    sd, nh, tp, zs, sf, ml, bs, mph = (
+        spec.seed, spec.n_hosts, spec.total_pages, spec.zipf_s,
+        spec.seed_frac, spec.max_links, spec.budget_scale,
+        spec.max_pages_per_host)
 
     def gen_partition(table: str, wb: bool):
         def fn(iterator):
             local = WebSpec(seed=sd, n_hosts=nh, total_pages=tp, zipf_s=zs,
-                            seed_frac=sf, max_links=ml)
+                            seed_frac=sf, max_links=ml, budget_scale=bs,
+                            max_pages_per_host=mph)
             for pdf in iterator:
                 for k in pdf["id"]:
                     rows = [(p if table == "pages" else g)
@@ -334,7 +341,9 @@ def generate_fixtures_spark(spark, spec: WebSpec, out_dir: str,
     graph_schema = ("url string, host string, path string, url_hash long, "
                     "bucket int, status int, fail_attempts int, "
                     "out_links array<string>, image_id string")
-    hosts = spark.range(0, spec.n_hosts, 1, slices)
+    # hash-distribute hosts across tasks: the Zipf head would otherwise put
+    # nearly all pages in the first contiguous range slice
+    hosts = spark.range(0, spec.n_hosts).repartition(slices, "id")
     (hosts.mapInPandas(gen_partition("pages", with_bytes), schema=pages_schema)
      .write.mode("overwrite").partitionBy("bucket").parquet(paths["pages"]))
     (hosts.mapInPandas(gen_partition("graph", with_bytes), schema=graph_schema)

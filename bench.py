@@ -50,13 +50,16 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def crawl_fixtures(spark, n_hosts: int, total_pages: int, with_bytes: bool) -> dict:
+def crawl_fixtures(spark, n_hosts: int, total_pages: int, with_bytes: bool,
+                   budget_scale: int = 1) -> dict:
     from ai_intel_web_scraper_spark.synth.generator import (
         WebSpec, generate_fixtures_spark)
-    tag = f"h{n_hosts}_p{total_pages}_b{int(with_bytes)}"
+    tag = f"h{n_hosts}_p{total_pages}_b{int(with_bytes)}_s{budget_scale}"
     out = f"/tmp/spark_graft_bench_fx_{tag}"
     done = os.path.join(out, "_DONE")
-    spec = WebSpec(seed=42, n_hosts=n_hosts, total_pages=total_pages)
+    spec = WebSpec(seed=42, n_hosts=n_hosts, total_pages=total_pages,
+                   budget_scale=budget_scale,
+                   max_pages_per_host=400 * budget_scale)
     if not os.path.exists(done):
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
@@ -68,10 +71,12 @@ def crawl_fixtures(spark, n_hosts: int, total_pages: int, with_bytes: bool) -> d
 
 
 def run_crawl(spark, n_hosts: int, total_pages: int,
-              with_payload: bool, round_seconds: float) -> dict:
+              with_payload: bool, round_seconds: float,
+              budget_scale: int = 1) -> dict:
     from ai_intel_web_scraper_spark.crawl.scheduler import (CrawlConfig,
                                                             CrawlEngine)
-    fx = crawl_fixtures(spark, n_hosts, total_pages, with_bytes=with_payload)
+    fx = crawl_fixtures(spark, n_hosts, total_pages,
+                        with_bytes=with_payload, budget_scale=budget_scale)
     wh = "/tmp/spark_graft_bench_wh"
     shutil.rmtree(wh, ignore_errors=True)
     eng = CrawlEngine(spark, fx, wh, CrawlConfig(
@@ -104,6 +109,7 @@ def main() -> None:
     ap.add_argument("--payload", action="store_true", default=True)
     ap.add_argument("--no-payload", dest="payload", action="store_false")
     ap.add_argument("--round-seconds", type=float, default=600.0)
+    ap.add_argument("--budget-scale", type=int, default=1)
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -120,7 +126,8 @@ def main() -> None:
         queries = run_queries(spark, sf_dir)
     if not args.queries_only:
         crawl = run_crawl(spark, args.hosts, args.pages,
-                          args.payload, args.round_seconds)
+                          args.payload, args.round_seconds,
+                          args.budget_scale)
         queries["crawl_scheduling"] = crawl["wall_sec"]
     total = round(time.time() - t_all, 2)
 
