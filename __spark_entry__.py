@@ -271,9 +271,10 @@ def q_hash_embed(spark, sf_dir):
 
 def _crawl_fixture_paths() -> dict:
     """Tiny deterministic crawl fixtures, built once per process."""
-    from ai_intel_web_scraper_spark.synth.generator import (WebSpec,
+    from ai_intel_web_scraper_spark.synth.generator import (FX_VERSION,
+                                                            WebSpec,
                                                             generate_fixtures)
-    out = "/tmp/spark_graft_entry_fx"
+    out = f"/tmp/spark_graft_entry_fx_v{FX_VERSION}"
     marker = os.path.join(out, "pages.parquet")
     if not os.path.exists(marker):
         generate_fixtures(WebSpec(seed=7, n_hosts=5, total_pages=120), out)
@@ -310,7 +311,7 @@ def q_phash_neardup(spark, sf_dir):
     pages = spark.read.parquet(_crawl_fixture_paths()["pages"])
     from ai_intel_web_scraper_spark.operators.multimodal import (
         phash_hamming_neardup)
-    return phash_hamming_neardup(pages, max_hamming=2)
+    return phash_hamming_neardup(pages, max_hamming=6)
 
 
 # ---------------------------------------------------------------- contract

@@ -374,38 +374,60 @@ class CrawlEngine:
             "discovery_seq", "attempt",
             F.col("outcome").alias("reason"))
 
-        # -- metrics: ONE pass over the fetch outcomes gives both the
-        # outcome counters and the per-host budget deltas; ONE pass over the
-        # new urls gives per-bucket lineage + the new-url count; the policy
-        # pass is a third small aggregation. Everything else comes free from
-        # parquet footers of the staged writes — no redundant Spark jobs.
-        ho = fetch.groupBy("host", "outcome").agg(F.count("*").alias("cnt")) \
-            .collect()
+        # -- metrics: the three small aggregations (fetch outcomes per host,
+        # policy-reject breakdown, per-bucket new-url lineage) are unioned
+        # into ONE action so the driver pays one job-scheduling round trip;
+        # the subtrees read only the persisted fetch/policed/new_urls caches.
+        # Everything else comes free from parquet footers of the staged
+        # writes — no redundant Spark jobs.
+        ho_agg = (fetch.groupBy("host", "outcome")
+                  .agg(F.count("*").alias("cnt"))
+                  .select(F.lit("outcome").alias("kind"),
+                          F.col("host").alias("k1"),
+                          F.col("outcome").alias("k2"), "cnt"))
+        pol_agg = (policed.groupBy("reject").agg(F.count("*").alias("cnt"))
+                   .select(F.lit("policy").alias("kind"),
+                           F.lit(None).cast("string").alias("k1"),
+                           F.coalesce("reject", F.lit("ok")).alias("k2"), "cnt"))
+        lin_agg = (new_urls.groupBy("bucket").agg(F.count("*").alias("cnt"))
+                   .select(F.lit("lineage").alias("kind"),
+                           F.lit(None).cast("string").alias("k1"),
+                           F.col("bucket").cast("string").alias("k2"), "cnt"))
+        stats = ho_agg.unionByName(pol_agg).unionByName(lin_agg).collect()
         outcome_counts: dict[str, int] = {}
         host_ok: dict[str, int] = {}
-        for r in ho:
-            outcome_counts[r["outcome"]] = \
-                outcome_counts.get(r["outcome"], 0) + r["cnt"]
-            if r["outcome"] == "success":
-                host_ok[r["host"]] = r["cnt"]
-        policy_counts = {(r["reject"] or "ok"): r["cnt"] for r in
-                         policed.groupBy("reject").agg(F.count("*").alias("cnt"))
-                         .collect()}
+        policy_counts: dict[str, int] = {}
+        lineage: dict[str, int] = {}
+        for r in stats:
+            if r["kind"] == "outcome":
+                outcome_counts[r["k2"]] = outcome_counts.get(r["k2"], 0) + r["cnt"]
+                if r["k2"] == "success":
+                    host_ok[r["k1"]] = r["cnt"]
+            elif r["kind"] == "policy":
+                policy_counts[r["k2"]] = r["cnt"]
+            else:
+                lineage[r["k2"]] = r["cnt"]
         reject_counts = {k: v for k, v in policy_counts.items() if k != "ok"}
         n_discovered = int(sum(policy_counts.values()))
-        lineage = {str(r["bucket"]): r["cnt"] for r in
-                   new_urls.groupBy("bucket").agg(F.count("*").alias("cnt"))
-                   .collect()}
         n_new = int(sum(lineage.values()))
 
-        # -- stage + commit ---------------------------------------------------
-        self.store.stage_write("frontier", next_frontier, "replace")
-        self.store.stage_write("url_seen",
-                               new_urls.select("url", "url_hash", "bucket",
-                                               F.lit(round_no).alias("round_added")),
-                               "append")
-        self.store.stage_write("fetched", fetched_rows, "append")
-        self.store.stage_write("failures", failure_rows, "append")
+        # -- stage + commit: the four sinks are independent DAGs over cached
+        # inputs, so they run as CONCURRENT Spark jobs (threaded driver) —
+        # the cluster pipelines them instead of idling between actions.
+        from concurrent.futures import ThreadPoolExecutor
+        sink_writes = [
+            ("frontier", next_frontier, "replace"),
+            ("url_seen", new_urls.select("url", "url_hash", "bucket",
+                                         F.lit(round_no).alias("round_added")),
+             "append"),
+            ("fetched", fetched_rows, "append"),
+            ("failures", failure_rows, "append"),
+        ]
+        with ThreadPoolExecutor(max_workers=len(sink_writes)) as pool:
+            futs = [pool.submit(self.store.stage_write, t, df, m)
+                    for t, df, m in sink_writes]
+            for f in futs:
+                f.result()
         new_hs = hs.copy()
         if host_ok:
             delta = new_hs["host"].map(host_ok).fillna(0).astype(np.int64)

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 
@@ -44,6 +45,9 @@ class SnapshotStore:
         os.makedirs(os.path.join(root, "blobs"), exist_ok=True)
         self._staged: dict[str, dict] = {}
         self._staged_blobs: dict[str, str] = {}
+        self._stage_lock = threading.Lock()  # stage_write is called from
+        # concurrent sink-writer threads (scheduler runs independent sinks
+        # as parallel Spark jobs)
 
     # ---------------------------------------------------------------- paths
     def _table_dir(self, table: str) -> str:
@@ -79,10 +83,11 @@ class SnapshotStore:
         dirname = f"w-{uuid.uuid4().hex[:12]}"
         path = os.path.join(self._table_dir(table), dirname)
         df.write.mode("overwrite").parquet(path)
-        st = self._staged.setdefault(table, {"mode": mode, "dirs": []})
-        if mode == "replace":
-            st["mode"] = "replace"
-        st["dirs"].append(dirname)
+        with self._stage_lock:
+            st = self._staged.setdefault(table, {"mode": mode, "dirs": []})
+            if mode == "replace":
+                st["mode"] = "replace"
+            st["dirs"].append(dirname)
 
     def stage_write_arrow(self, table: str, pdf, mode: str) -> None:
         """Driver-side write for SMALL tables (host_state, metrics): one

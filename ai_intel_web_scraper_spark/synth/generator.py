@@ -46,6 +46,7 @@ _NOUN = ["bridge", "kettle", "orchard", "canyon", "lantern", "harbor", "spindle"
 _SIZES = np.array([32, 64, 96], dtype=np.int32)
 
 N_BUCKETS = 16  # web_graph/pages disk partitioning (maps to Iceberg bucket(N))
+FX_VERSION = 2  # bump to invalidate cached /tmp fixture dirs on content change
 
 
 @dataclass
@@ -59,6 +60,7 @@ class WebSpec:
     zipf_s: float = 1.2
     seed_frac: float = 0.6
     max_links: int = 12
+    dup_frac: float = 0.10  # fraction of pages with exact/near-dup images
     budget_scale: int = 1  # multiplies per-host max_pages (bench sizing)
     max_pages_per_host: int | None = None  # cap Zipf head (bench sizing)
     pages_per_host: np.ndarray = field(init=False)
@@ -95,7 +97,29 @@ class WebSpec:
         return np.random.default_rng([self.seed, *key])
 
     # ------------------------------------------------------------ payload
+    def dup_base(self, seq: int) -> tuple[int, bool] | None:
+        """Web-realistic image duplication: ~dup_frac of pages carry an image
+        that is an exact (logos, re-hosted assets) or near (re-encode /
+        watermark noise) duplicate of an EARLIER page's image. Returns
+        (base_seq, exact) for duplicate pages, None otherwise; resolves
+        chains so the base is always an original. Pure function of seq."""
+        if seq == 0 or self.dup_frac <= 0.0:
+            return None
+        rng = self._rng(31, seq)
+        if rng.random() >= self.dup_frac:
+            return None
+        base = int(rng.integers(0, seq))
+        exact = bool(rng.random() < 0.5)
+        while True:  # walk to the original (chains are short: P(dup)^k)
+            parent = self.dup_base(base) if base > 0 else None
+            if parent is None:
+                return base, exact
+            base = parent[0]
+
     def image_meta(self, seq: int) -> tuple[int, int, str]:
+        dup = self.dup_base(seq)
+        if dup is not None:
+            return self.image_meta(dup[0])
         rng = self._rng(11, seq)
         w = int(_SIZES[rng.integers(0, len(_SIZES))])
         h = int(_SIZES[rng.integers(0, len(_SIZES))])
@@ -103,6 +127,22 @@ class WebSpec:
         return w, h, fmt
 
     def image_pixels(self, seq: int) -> np.ndarray:
+        dup = self.dup_base(seq)
+        if dup is not None:
+            base_seq, exact = dup
+            px = self.image_pixels(base_seq)
+            if exact:
+                return px
+            # re-encode/watermark stand-in: block-structured noise strong
+            # enough to flip a few phash bits (hamming 1-6), weak enough to
+            # stay an obvious near-duplicate
+            rng = self._rng(37, seq)
+            h, w = px.shape[0], px.shape[1]
+            block = (rng.random((max(h // 8, 1), max(w // 8, 1), 3)) - 0.5) * 48
+            by = np.minimum(np.arange(h) // 8, block.shape[0] - 1)
+            bx = np.minimum(np.arange(w) // 8, block.shape[1] - 1)
+            jitter = block[by][:, bx] + rng.integers(-4, 5, size=px.shape)
+            return np.clip(px.astype(np.float64) + jitter, 0, 255).astype(np.uint8)
         w, h, _ = self.image_meta(seq)
         rng = self._rng(11, seq)
         rng.integers(0, len(_SIZES), 2)  # consume the w/h draws
@@ -317,16 +357,16 @@ def generate_fixtures_spark(spark, spec: WebSpec, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     paths = {n: os.path.join(out_dir, n + ".parquet") for n in
              ("pages", "web_graph", "seeds", "politeness", "robots")}
-    sd, nh, tp, zs, sf, ml, bs, mph = (
+    sd, nh, tp, zs, sf, ml, bs, mph, dfr = (
         spec.seed, spec.n_hosts, spec.total_pages, spec.zipf_s,
         spec.seed_frac, spec.max_links, spec.budget_scale,
-        spec.max_pages_per_host)
+        spec.max_pages_per_host, spec.dup_frac)
 
     def gen_partition(table: str, wb: bool):
         def fn(iterator):
             local = WebSpec(seed=sd, n_hosts=nh, total_pages=tp, zipf_s=zs,
                             seed_frac=sf, max_links=ml, budget_scale=bs,
-                            max_pages_per_host=mph)
+                            max_pages_per_host=mph, dup_frac=dfr)
             for pdf in iterator:
                 for k in pdf["id"]:
                     rows = [(p if table == "pages" else g)

@@ -53,8 +53,9 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 def crawl_fixtures(spark, n_hosts: int, total_pages: int, with_bytes: bool,
                    budget_scale: int = 1) -> dict:
     from ai_intel_web_scraper_spark.synth.generator import (
-        WebSpec, generate_fixtures_spark)
-    tag = f"h{n_hosts}_p{total_pages}_b{int(with_bytes)}_s{budget_scale}"
+        FX_VERSION, WebSpec, generate_fixtures_spark)
+    tag = (f"h{n_hosts}_p{total_pages}_b{int(with_bytes)}_s{budget_scale}"
+           f"_v{FX_VERSION}")
     out = f"/tmp/spark_graft_bench_fx_{tag}"
     done = os.path.join(out, "_DONE")
     spec = WebSpec(seed=42, n_hosts=n_hosts, total_pages=total_pages,
