@@ -25,6 +25,7 @@ from ai_intel_web_scraper_spark.operators import dedup as D
 from ai_intel_web_scraper_spark.operators import ranking as R
 from ai_intel_web_scraper_spark.operators import stats as S
 from ai_intel_web_scraper_spark.operators import text as X
+from ai_intel_web_scraper_spark.operators import urlrules as _UR
 from ai_intel_web_scraper_spark.operators import vectors as V
 
 # ---------------------------------------------------------------- constants
@@ -237,6 +238,138 @@ def q_token_window_chunks(spark, sf_dir):
     return C.token_window_chunks(docs, "doc_id", "text")
 
 
+def q_record_ids(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.record_id_col(F.col("source"), F.lit("doc"), F.col("text"))
+        .alias("rid"))
+
+
+def q_date_extraction(spark, sf_dir):
+    """SURVEY P4 over synthesized prose: orders dates are rendered into text
+    in one of the three reference formats, then mined back out."""
+    o = _t(spark, sf_dir, "orders")
+    branch = F.pmod(F.col("o_orderkey"), F.lit(3))
+    txt = (F.when(branch == 0,
+                  F.concat(F.lit("posted "),
+                           F.date_format("o_orderdate", "yyyy-MM-dd"),
+                           F.lit(" by admin")))
+           .when(branch == 1,
+                 F.concat(F.lit("updated "),
+                          F.date_format("o_orderdate", "MM/dd/yyyy"),
+                          F.lit(" midway")))
+           .otherwise(F.concat(F.lit("released "),
+                               F.date_format("o_orderdate", "MMM dd, yyyy"),
+                               F.lit(" to all"))))
+    return o.select("o_orderkey",
+                    X.extract_date_col(txt).alias("content_date"))
+
+
+def q_url_classify(spark, sf_dir):
+    """SURVEY C5/C12/C13: URL router over deterministic URLs derived from
+    document texts (slug = first three words)."""
+    from ai_intel_web_scraper_spark.operators import urlrules as UR
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), r"\s+")
+    slug = F.array_join(F.slice(words, 1, 3), "-")
+    word1 = F.element_at(words, 1)
+    base = "https://blog.example/"
+    branch = F.pmod(F.col("doc_id"), F.lit(4))
+    url = (F.when(branch == 0, F.concat(F.lit(base + "tags/"), slug))
+           .when(branch == 1, F.concat(F.lit(base), slug))
+           .when(branch == 2, F.concat(F.lit(base + "2021/"), word1))
+           .otherwise(F.concat(F.lit(base + "img-"),
+                               F.col("doc_id").cast("string"),
+                               F.lit(".png"))))
+    return docs.select("doc_id", url.alias("url"),
+                       UR.classify_url_col(url).alias("kind"))
+
+
+def q_bench_numbers(spark, sf_dir):
+    """SURVEY P14: regex-mine (value, unit) perf figures from prose built
+    over events rows."""
+    ev = _t(spark, sf_dir, "events")
+    txt = F.concat(F.lit("ingest ran at "),
+                   F.col("value").cast("decimal(10,2)").cast("string"),
+                   F.lit(" ms sustained "),
+                   F.col("user_id").cast("string"), F.lit(" QPS"))
+    mined = X.mine_metrics(ev.select("event_id", txt.alias("t")),
+                           "event_id", "t")
+    return mined.select("event_id", "pos",
+                        F.round("metric_value", 2).alias("metric_value"),
+                        "unit")
+
+
+def q_nation_coverage(spark, sf_dir):
+    """Set-difference (EXCEPT) + broadcast dim join: nations that have
+    customers but no high-balance supplier."""
+    cust = (_t(spark, sf_dir, "customer")
+            .select(F.col("c_nationkey").alias("nationkey")).distinct())
+    supp = (_t(spark, sf_dir, "supplier")
+            .where(F.col("s_acctbal") > 9000)
+            .select(F.col("s_nationkey").alias("nationkey")).distinct())
+    nation = _t(spark, sf_dir, "nation")
+    return (cust.subtract(supp)
+            .join(F.broadcast(nation),
+                  F.col("nationkey") == F.col("n_nationkey"))
+            .select("nationkey", "n_name"))
+
+
+def q_global_budget(spark, sf_dir):
+    """SURVEY P12: credibility-sort + char-budget analog — biggest docs
+    first, keep while the running char total stays under budget. Global
+    (unpartitioned) window; at cluster scale this becomes a two-phase
+    per-partition prefix + offset join, same semantics."""
+    docs = _t(spark, sf_dir, "documents")
+    return (R.budget_prefix_filter(
+        docs, [], [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        F.col("n_chars"), 50000.0)
+        .select("doc_id", "n_chars"))
+
+
+def _events_cents(s):
+    return s.withColumn(
+        "value", F.round(F.col("value") * 100).cast("long").cast("double"))
+
+
+def q_stream_windowed_counts(spark, sf_dir):
+    """Structured Streaming tumbling-window counts driven to completion over
+    a file source; oracle = epoch-aligned date_trunc buckets (Spark's
+    F.window aligns to the epoch). Values in exact cents so the hash
+    comparison is FP-safe."""
+    from ai_intel_web_scraper_spark.streaming.events import (run_stream_once,
+                                                             windowed_counts)
+    rows = run_stream_once(
+        spark, os.path.join(sf_dir, "events.parquet"),
+        lambda s: windowed_counts(_events_cents(s)))
+    return spark.createDataFrame(rows)
+
+
+def q_stream_sessions(spark, sf_dir):
+    """Structured Streaming gap-based session windows (session_window);
+    oracle = SQL islands (lag >= gap starts a new island, cumulative-sum
+    session ids). Session end = last event + gap, matching Spark."""
+    from ai_intel_web_scraper_spark.streaming.events import (run_stream_once,
+                                                             session_rollup)
+    rows = run_stream_once(
+        spark, os.path.join(sf_dir, "events.parquet"),
+        lambda s: session_rollup(_events_cents(s), gap="30 minutes"))
+    return spark.createDataFrame(rows)
+
+
+def q_new_docs_anti(spark, sf_dir):
+    """SURVEY C2 shape: exact anti-join of candidate fingerprints against a
+    seen-set (the url_seen membership pattern on the documents table)."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = X.fingerprint_col(F.col("text"))
+    seen = (docs.where(F.col("doc_id") < 50)
+            .select(fp.alias("fp")).distinct())
+    return (docs.select("doc_id", fp.alias("fp"))
+            .join(seen, "fp", "left_anti")
+            .select("doc_id"))
+
+
 # ------------------------------------------------------- rows-only queries
 
 def q_minhash_pairs(spark, sf_dir):
@@ -361,6 +494,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "source_status": q_source_status,
         "token_window_chunks": q_token_window_chunks,
+        "record_ids": q_record_ids,
+        "date_extraction": q_date_extraction,
+        "url_classify": q_url_classify,
+        "bench_numbers": q_bench_numbers,
+        "nation_coverage": q_nation_coverage,
+        "global_budget": q_global_budget,
+        "new_docs_anti": q_new_docs_anti,
+        "stream_windowed_counts": q_stream_windowed_counts,
+        "stream_sessions": q_stream_sessions,
         # rows-only (non-SQL-expressible: UDF-bound / stateful)
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -582,4 +724,93 @@ def oracle_sql() -> dict[str, str]:
                    LATERAL unnest(generate_series(
                      0, greatest(len(w) - 1, 0), {C.CHUNK_STRIDE})) t(s))
             WHERE token_count >= {C.MIN_TOKENS}""",
+        "record_ids": """
+            SELECT doc_id,
+                   source || '-doc-' || substring(sha256(text), 1, 12) AS rid
+            FROM documents""",
+        "date_extraction": """
+            SELECT o_orderkey, CASE
+              WHEN o_orderkey % 3 = 0 THEN strptime(regexp_extract(
+                'posted ' || strftime(o_orderdate, '%Y-%m-%d') || ' by admin',
+                '([0-9]{4}-[0-9]{2}-[0-9]{2})', 1), '%Y-%m-%d')::DATE
+              WHEN o_orderkey % 3 = 1 THEN strptime(regexp_extract(
+                'updated ' || strftime(o_orderdate, '%m/%d/%Y') || ' midway',
+                '([0-9]{2}/[0-9]{2}/[0-9]{4})', 1), '%m/%d/%Y')::DATE
+              ELSE strptime(regexp_extract(
+                'released ' || strftime(o_orderdate, '%b %d, %Y') || ' to all',
+                '([A-Z][a-z]{2} [0-9]{2}, [0-9]{4})', 1), '%b %d, %Y')::DATE
+              END AS content_date
+            FROM orders""",
+        "url_classify": f"""
+            SELECT doc_id, url, CASE
+              WHEN regexp_matches(url, '{_UR.ASSET_EXT_RX}') THEN 'asset'
+              WHEN regexp_matches(url, '{_UR.LISTING_RX}') THEN 'listing'
+              WHEN regexp_matches(url, '{_UR.POST_SLUG_RX}')
+                   OR regexp_matches(url, '{_UR.YEAR_RX}') THEN 'post'
+              ELSE 'other' END AS kind
+            FROM (
+              SELECT doc_id, CASE doc_id % 4
+                WHEN 0 THEN 'https://blog.example/tags/' || slug
+                WHEN 1 THEN 'https://blog.example/' || slug
+                WHEN 2 THEN 'https://blog.example/2021/' || w[1]
+                ELSE 'https://blog.example/img-' || doc_id::VARCHAR || '.png'
+                END AS url
+              FROM (SELECT doc_id, {_sql_words()} AS w,
+                           array_to_string(list_slice({_sql_words()}, 1, 3),
+                                           '-') AS slug
+                    FROM documents))""",
+        "bench_numbers": f"""
+            SELECT event_id, (i - 1)::INT AS pos,
+                   round(vs[i]::DOUBLE, 2) AS metric_value, us[i] AS unit
+            FROM (
+              SELECT event_id,
+                     regexp_extract_all(t, '{X.METRIC_RX}', 1) AS vs,
+                     regexp_extract_all(t, '{X.METRIC_RX}', 2) AS us
+              FROM (
+                SELECT event_id,
+                       'ingest ran at ' || value::DECIMAL(10,2)::VARCHAR ||
+                       ' ms sustained ' || user_id::VARCHAR || ' QPS' AS t
+                FROM events)),
+              LATERAL unnest(generate_series(1, len(vs))) AS g(i)""",
+        "nation_coverage": """
+            SELECT nationkey, n_name FROM (
+              SELECT DISTINCT c_nationkey AS nationkey FROM customer
+              EXCEPT
+              SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+              WHERE s_acctbal > 9000)
+            JOIN nation ON nationkey = n_nationkey""",
+        "global_budget": """
+            SELECT doc_id, n_chars FROM (
+              SELECT doc_id, n_chars,
+                     sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS run
+              FROM documents) WHERE run <= 50000""",
+        "new_docs_anti": """
+            SELECT d.doc_id FROM documents d
+            WHERE NOT EXISTS (
+              SELECT 1 FROM documents s WHERE s.doc_id < 50
+                AND md5(lower(s.text)) = md5(lower(d.text)))""",
+        "stream_windowed_counts": """
+            SELECT date_trunc('hour', ts) AS win_start,
+                   date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+                   event_type, count(*)::BIGINT AS n,
+                   round(sum(CAST(round(value * 100) AS BIGINT))::DOUBLE, 4)
+                       AS total_value
+            FROM events GROUP BY 1, 2, 3""",
+        "stream_sessions": """
+            WITH o AS (
+              SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+              FROM events),
+            f AS (SELECT *, CASE WHEN pts IS NULL
+                                   OR ts - pts >= INTERVAL 30 MINUTE
+                                 THEN 1 ELSE 0 END AS brk FROM o),
+            g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM f)
+            SELECT min(ts) AS sess_start,
+                   max(ts) + INTERVAL 30 MINUTE AS sess_end,
+                   user_id, count(*)::BIGINT AS n_events,
+                   round(sum(cents)::DOUBLE, 4) AS session_value
+            FROM g GROUP BY user_id, sid""",
     }

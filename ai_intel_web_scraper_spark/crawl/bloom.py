@@ -103,6 +103,41 @@ class BloomShards:
         return cls(nb, m, shards)
 
 
+_DESERIALIZED_CACHE: dict[object, "BloomShards"] = {}
+
+
+def cached_from_bytes(key: object, data: bytes) -> "BloomShards":
+    """Worker-side memo for deserialized shard dicts. Python workers are
+    reused across Arrow batches, so without this every 10k-row batch would
+    re-zlib-decompress the full sidecar — O(batches), not O(1)."""
+    got = _DESERIALIZED_CACHE.get(key)
+    if got is None:
+        _DESERIALIZED_CACHE.clear()  # one live sidecar per worker is enough
+        got = BloomShards.from_bytes(data)
+        _DESERIALIZED_CACHE[key] = got
+    return got
+
+
+def bloom_probe_udf(spark, blob: bytes):
+    """Vectorized probe UDF over (bucket, url_hash): True = maybe seen.
+    The packed sidecar travels once as a broadcast; each worker
+    deserializes it once (cached_from_bytes) and probes numpy-vectorized."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    bc = spark.sparkContext.broadcast(blob)
+    key = ("bloom", uuid.uuid4().hex)  # one cache entry per sidecar version
+
+    @F.pandas_udf("boolean")
+    def maybe_seen(bucket: pd.Series, url_hash: pd.Series) -> pd.Series:
+        shards = cached_from_bytes(key, bc.value)
+        return pd.Series(shards.maybe_contains(
+            bucket.to_numpy(), url_hash.to_numpy()))
+
+    return maybe_seen
+
+
 def partial_bitmaps(m_bits: int, n_buckets: int):
     """mapInPandas function: (bucket int, url_hash long) rows ->
     (bucket int, bitmap binary) one row per bucket present in the partition."""

@@ -46,7 +46,7 @@ from pyspark.sql import types as T
 
 from ..functions import urls as U
 from . import semantics as S
-from .bloom import BloomShards, partial_bitmaps
+from .bloom import BloomShards, bloom_probe_udf, partial_bitmaps
 from .statestore import SnapshotStore
 
 FRONTIER_SCHEMA = ("url string, url_hash long, bucket int, host string, "
@@ -83,6 +83,44 @@ def resolve_udf(link: pd.Series, base: pd.Series) -> pd.DataFrame:
         "host": U.host_series(canon),
         "url_hash": U.hash64_series(canon),
     })
+
+
+def politeness_rank(frontier: DataFrame, quota_cfg: DataFrame,
+                    order_cols: list, n_salt: int,
+                    round_no: int, round_seconds: float,
+                    max_quota: int | None = None) -> DataFrame:
+    """The frontier-scheduling core (SURVEY C1/C8/C9): two-phase salted
+    per-host quota ranking.
+
+    Phase 1 ranks within (host, url_hash % n_salt) so a hot host's rows fan
+    out across n_salt window tasks; survivors are bounded by n_salt * quota
+    per host. Phase 2 ranks the small survivor set exactly per host and
+    assigns virtual fetch slots/timestamps (politeness floor = crawl_delay
+    between slots). quota_cfg: (host, crawl_delay, quota).
+
+    max_quota (driver-known max of quota_cfg.quota) is CRITICAL at scale:
+    the per-host quota is a column, so `rn <= quota` alone cannot use
+    Spark's WindowGroupLimit; adding the literal conjunct `rn <= max_quota`
+    lets Catalyst insert a partial per-partition top-k BEFORE the window
+    shuffle — on a quota-bound frontier this prunes the shuffle input from
+    |frontier| to ~n_hosts * n_salt * max_quota rows."""
+    if max_quota is None:
+        max_quota = int(quota_cfg.agg(F.max("quota")).first()[0] or 0)
+    cand = frontier.join(F.broadcast(quota_cfg), "host")
+    w1 = (Window.partitionBy("host", F.pmod(F.abs("url_hash"), F.lit(n_salt)))
+          .orderBy(*order_cols))
+    survivors = (cand.withColumn("rn1", F.row_number().over(w1))
+                 .where((F.col("rn1") <= F.lit(max_quota))
+                        & (F.col("rn1") <= F.col("quota"))).drop("rn1"))
+    w2 = Window.partitionBy("host").orderBy(*order_cols)
+    return (survivors.withColumn("rn", F.row_number().over(w2))
+            .where((F.col("rn") <= F.lit(max_quota))
+                   & (F.col("rn") <= F.col("quota")))
+            .withColumn("fetch_slot", (F.col("rn") - 1).cast("int"))
+            .withColumn("fetch_ts",
+                        F.lit(float(round_no) * round_seconds)
+                        + F.col("fetch_slot") * F.col("crawl_delay"))
+            .drop("rn", "quota"))
 
 
 @dataclass
@@ -233,19 +271,32 @@ class CrawlEngine:
         else:
             order_cols = [F.col("priority").desc(), F.col("depth").asc(),
                           F.col("discovery_seq").asc()]
-        cand = frontier.join(F.broadcast(quota_cfg), "host")
-        w1 = (Window.partitionBy("host", F.pmod(F.abs("url_hash"), F.lit(cfg.n_salt)))
-              .orderBy(*order_cols))
-        survivors = (cand.withColumn("rn1", F.row_number().over(w1))
-                     .where(F.col("rn1") <= F.col("quota")).drop("rn1"))
-        w2 = Window.partitionBy("host").orderBy(*order_cols)
-        scheduled = (survivors.withColumn("rn", F.row_number().over(w2))
-                     .where(F.col("rn") <= F.col("quota"))
-                     .withColumn("fetch_slot", (F.col("rn") - 1).cast("int"))
-                     .withColumn("fetch_ts",
-                                 F.lit(float(round_no) * cfg.round_seconds)
-                                 + F.col("fetch_slot") * F.col("crawl_delay"))
-                     .drop("rn", "quota"))
+        # rank on NARROW columns (late materialization): the url string is
+        # dead weight through the two window shuffles — rank moves ~32B/row,
+        # then the quota-bounded survivor set joins the full row back. At
+        # 10^10-frontier scale this is the difference between shuffling
+        # hashes and shuffling the web's URLs.
+        narrow = frontier.select("url_hash", "host", "depth", "priority",
+                                 "discovery_seq")
+        ranked = politeness_rank(
+            narrow, quota_cfg, order_cols, cfg.n_salt, round_no,
+            cfg.round_seconds,
+            max_quota=int(alive_pdf["quota"].max())
+            if len(alive_pdf) else 0)
+        ranked_keys = ranked.select("url_hash", "discovery_seq",
+                                    "crawl_delay", "fetch_slot", "fetch_ts")
+        # the ranked set is quota-bounded (<= sum of host quotas rows): when
+        # that bound is broadcastable, the frontier joins it without a
+        # shuffle; beyond the bound fall back to a shuffled join (at real
+        # scale: storage-partitioned join on the shared url_hash bucketing)
+        if int(alive_pdf["quota"].sum() if len(alive_pdf) else 0) <= 4_000_000:
+            ranked_keys = F.broadcast(ranked_keys)
+        scheduled = (frontier.join(
+            ranked_keys,
+            ["url_hash", "discovery_seq"])
+            .persist())  # consumed by the fetch join AND
+        # the next-frontier anti-join — persisting avoids running the
+        # two-phase ranking windows twice
 
         # -- fetch-simulate (SURVEY S1/S2): join the web graph --------------
         g = self.graph.select(F.col("bucket").alias("g_bucket"),
@@ -308,14 +359,7 @@ class CrawlEngine:
         bloom_bytes = self.store.read_blob("bloom") if cfg.use_bloom else None
         if bloom_bytes is not None:
             bloom = BloomShards.from_bytes(bloom_bytes)
-            bc = sp.sparkContext.broadcast(bloom_bytes)
-
-            @F.pandas_udf(T.BooleanType())
-            def maybe_seen(bucket: pd.Series, url_hash: pd.Series) -> pd.Series:
-                shards = BloomShards.from_bytes(bc.value)
-                return pd.Series(shards.maybe_contains(
-                    bucket.to_numpy(), url_hash.to_numpy()))
-
+            maybe_seen = bloom_probe_udf(sp, bloom_bytes)
             probed = deduped.withColumn("maybe", maybe_seen("bucket", "url_hash"))
             definite_new = probed.where(~F.col("maybe")).drop("maybe")
             to_confirm = probed.where(F.col("maybe")).drop("maybe")
@@ -460,6 +504,7 @@ class CrawlEngine:
             "new_urls": n_new, "frontier_size": int(frontier_size),
             "wall_ms": wall_ms}]), "append")
         self.store.commit(round_no, metrics)
+        scheduled.unpersist()
         fetch.unpersist()
         policed.unpersist()
         new_urls.unpersist()

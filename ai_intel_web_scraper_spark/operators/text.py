@@ -153,3 +153,50 @@ def quality_score_col(text: Column) -> Column:
 def extract_year_col(text: Column) -> Column:
     """SURVEY P4 analog: first 4-digit year in the leading 500 chars."""
     return F.regexp_extract(F.substring(text, 1, 500), r"((19|20)[0-9]{2})", 1)
+
+
+def record_id_col(origin: Column, source_type: Column, key: Column) -> Column:
+    """SURVEY C11: deterministic record id
+    `{origin}-{source_type}-{sha256(key)[:12]}`
+    (reference scrapers/utils.py:249-252). Native sha2 — no UDF."""
+    return F.concat_ws("-", origin, source_type,
+                       F.substring(F.sha2(key, 256), 1, 12))
+
+
+# P4 date formats, tried in order (reference scrapers/utils.py:260-276 tries
+# three regex formats over the first 500 chars then dateutil-parses).
+# (regex to locate, spark to_date pattern) pairs; the DuckDB oracle uses the
+# equivalent strptime formats.
+DATE_PATTERNS: list[tuple[str, str]] = [
+    (r"([0-9]{4}-[0-9]{2}-[0-9]{2})", "yyyy-MM-dd"),
+    (r"([0-9]{2}/[0-9]{2}/[0-9]{4})", "MM/dd/yyyy"),
+    (r"([A-Z][a-z]{2} [0-9]{2}, [0-9]{4})", "MMM dd, yyyy"),
+]
+
+
+def extract_date_col(text: Column) -> Column:
+    """SURVEY P4: first parseable date in the leading 500 chars, trying the
+    three reference formats in order; NULL when none matches."""
+    head = F.substring(text, 1, 500)
+    candidates = [
+        F.to_date(F.nullif(F.regexp_extract(head, rx, 1), F.lit("")), fmt)
+        for rx, fmt in DATE_PATTERNS]
+    return F.coalesce(*candidates)
+
+
+# P14 benchmark-mining units (reference scrapers/benchmark_scraper.py:161-209
+# regex-mines rows/s, ms, GB/s, QPS, x-faster figures out of prose).
+METRIC_UNITS = ["rows/s", "GB/s", "QPS", "ms"]
+METRIC_RX = (r"([0-9]+(?:\.[0-9]+)?)\s*(" + "|".join(METRIC_UNITS) + r")")
+
+
+def mine_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """SURVEY P14: regex-mine (value, unit) performance figures into long
+    format — regexp_extract_all + posexplode, all native."""
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(F.col(text_col), F.lit(METRIC_RX), 1),
+        F.regexp_extract_all(F.col(text_col), F.lit(METRIC_RX), 2))
+    return (df.select(F.col(id_col), F.posexplode(pairs).alias("pos", "m"))
+            .select(id_col, "pos",
+                    F.col("m.0").cast("double").alias("metric_value"),
+                    F.col("m.1").alias("unit")))

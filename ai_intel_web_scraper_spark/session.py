@@ -27,9 +27,20 @@ def get_spark(app: str = "ai_intel_web_scraper_spark",
          .config("spark.sql.adaptive.skewJoin.enabled", "true")
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+         # big Arrow batches: the vectorized UDFs (canonicalize/hash, bloom
+         # probe, chunkers) amortize per-batch pandas/Arrow overhead; 64k
+         # rows of scheduling-path columns is ~4 MB — well inside worker
+         # memory, ~6x fewer batch boundaries than the 10k default
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
          .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
          .config("spark.ui.enabled", "false")
+         # shuffle/spill files on tmpfs: local-mode stand-in for a real
+         # cluster's per-executor local disks (a shared /tmp spindle would
+         # serialize shuffle I/O across all threads and mask task scaling)
+         .config("spark.local.dir",
+                 os.environ.get("SPARK_GRAFT_LOCAL_DIR",
+                                "/dev/shm/spark_graft_tmp"
+                                if os.path.isdir("/dev/shm") else "/tmp"))
          .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -63,6 +63,7 @@ class WebSpec:
     dup_frac: float = 0.10  # fraction of pages with exact/near-dup images
     budget_scale: int = 1  # multiplies per-host max_pages (bench sizing)
     max_pages_per_host: int | None = None  # cap Zipf head (bench sizing)
+    depth_add: int = 0  # deepens per-host max_depth (bench sizing)
     pages_per_host: np.ndarray = field(init=False)
     cum_pages: np.ndarray = field(init=False)
 
@@ -216,7 +217,7 @@ class WebSpec:
         rng = self._rng(19, k)
         delay = float([0.3, 0.5, 1.0][rng.integers(0, 3)])
         max_pages = int(rng.integers(30, 201)) * self.budget_scale
-        max_depth = int(rng.integers(2, 5))
+        max_depth = int(rng.integers(2, 5)) + self.depth_add
         return delay, max_pages, max_depth, ["/tag/", "/login"]
 
     def robots(self, k: int) -> tuple[list[str], float | None]:
@@ -357,16 +358,17 @@ def generate_fixtures_spark(spark, spec: WebSpec, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     paths = {n: os.path.join(out_dir, n + ".parquet") for n in
              ("pages", "web_graph", "seeds", "politeness", "robots")}
-    sd, nh, tp, zs, sf, ml, bs, mph, dfr = (
+    sd, nh, tp, zs, sf, ml, bs, mph, dfr, da = (
         spec.seed, spec.n_hosts, spec.total_pages, spec.zipf_s,
         spec.seed_frac, spec.max_links, spec.budget_scale,
-        spec.max_pages_per_host, spec.dup_frac)
+        spec.max_pages_per_host, spec.dup_frac, spec.depth_add)
 
     def gen_partition(table: str, wb: bool):
         def fn(iterator):
             local = WebSpec(seed=sd, n_hosts=nh, total_pages=tp, zipf_s=zs,
                             seed_frac=sf, max_links=ml, budget_scale=bs,
-                            max_pages_per_host=mph, dup_frac=dfr)
+                            max_pages_per_host=mph, dup_frac=dfr,
+                            depth_add=da)
             for pdf in iterator:
                 for k in pdf["id"]:
                     rows = [(p if table == "pages" else g)

@@ -141,3 +141,85 @@ def test_multimodal_stubs_raise(spark, fixtures):
     pages = spark.read.parquet(fixtures["pages"]).limit(2)
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         audio_features(pages).collect()
+
+
+def test_url_classify_routes_each_kind(spark):
+    from ai_intel_web_scraper_spark.operators import urlrules as UR
+    rows = [
+        ("https://b.example/my-long-post-title", "post"),
+        ("https://b.example/2021/launch", "post"),
+        ("https://b.example/tags/python", "listing"),
+        ("https://b.example/page/2", "listing"),
+        ("https://b.example/logo.png", "asset"),
+        ("https://b.example/about", "other"),
+    ]
+    df = spark.createDataFrame(rows, "url string, want string")
+    got = df.select("want", UR.classify_url_col(F.col("url")).alias("got"))
+    assert all(r["got"] == r["want"] for r in got.collect())
+
+
+def test_extract_date_tries_reference_formats(spark):
+    rows = [
+        ("posted 2023-05-17 by admin", "2023-05-17"),
+        ("updated 05/17/2023 midway", "2023-05-17"),
+        ("released May 17, 2023 to all", "2023-05-17"),
+        ("no date at all here", None),
+    ]
+    df = spark.createDataFrame(rows, "text string, want string")
+    got = df.select("want",
+                    X.extract_date_col(F.col("text")).cast("string")
+                    .alias("got")).collect()
+    assert all(r["got"] == r["want"] for r in got)
+
+
+def test_record_id_shape_and_determinism(spark):
+    df = spark.createDataFrame([("kx", "docs", "https://a/b")],
+                               "origin string, st string, url string")
+    rid = df.select(X.record_id_col(
+        F.col("origin"), F.col("st"), F.col("url")).alias("rid")).first()["rid"]
+    import hashlib
+    want = "kx-docs-" + hashlib.sha256(b"https://a/b").hexdigest()[:12]
+    assert rid == want
+
+
+def test_mine_metrics_long_format(spark):
+    df = spark.createDataFrame(
+        [(1, "ingested 1200 rows/s at 3.5 ms and 88 QPS")], "id int, t string")
+    got = [(r["pos"], r["metric_value"], r["unit"]) for r in
+           X.mine_metrics(df, "id", "t").orderBy("pos").collect()]
+    assert got == [(0, 1200.0, "rows/s"), (1, 3.5, "ms"), (2, 88.0, "QPS")]
+
+
+def test_phash_neardup_finds_planted_duplicates(spark, fixtures):
+    from ai_intel_web_scraper_spark.operators.multimodal import (
+        phash_hamming_neardup)
+    pages = spark.read.parquet(fixtures["pages"])
+    pairs = phash_hamming_neardup(pages, max_hamming=6)
+    assert pairs.count() > 0  # generator plants exact + near image dups
+    assert pairs.where(F.col("hamming") == 0).count() > 0
+
+
+def test_politeness_rank_quota_and_order(spark):
+    from ai_intel_web_scraper_spark.crawl.scheduler import politeness_rank
+    rows = [(f"u{i}", i * 7 + 1, "h1" if i < 8 else "h2", i % 3, float(i), i)
+            for i in range(12)]
+    frontier = spark.createDataFrame(
+        rows, "url string, url_hash long, host string, depth int, "
+              "priority double, discovery_seq long")
+    quota = spark.createDataFrame(
+        [("h1", 0.5, 3), ("h2", 1.0, 2)],
+        "host string, crawl_delay double, quota int")
+    out = politeness_rank(
+        frontier, quota, [F.col("depth").asc(), F.col("discovery_seq").asc()],
+        n_salt=4, round_no=2, round_seconds=100.0).collect()
+    per_host = {}
+    for r in out:
+        per_host.setdefault(r["host"], []).append(r)
+    assert len(per_host["h1"]) == 3 and len(per_host["h2"]) == 2
+    for host, rs in per_host.items():
+        rs.sort(key=lambda r: r["fetch_slot"])
+        keys = [(r["depth"], r["discovery_seq"]) for r in rs]
+        assert keys == sorted(keys)  # slot order == BFS order
+        for a, b in zip(rs, rs[1:]):  # politeness floor between slots
+            assert b["fetch_ts"] - a["fetch_ts"] >= 0.5 - 1e-9
+        assert rs[0]["fetch_ts"] == 2 * 100.0  # virtual round clock
