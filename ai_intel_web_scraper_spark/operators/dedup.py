@@ -84,8 +84,9 @@ _MERSENNE = (1 << 61) - 1
 
 def _minhash_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, N_PERM, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, N_PERM, dtype=np.int64)
+    # odd 64-bit multipliers + xor seeds for multiply-xorshift mixing
+    a = rng.integers(0, 1 << 63, N_PERM, dtype=np.uint64) * 2 + 1
+    b = rng.integers(0, 1 << 63, N_PERM, dtype=np.uint64)
     return a, b
 
 
@@ -93,23 +94,60 @@ def _minhash_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
 def minhash_sig_udf(shingles: pd.Series) -> pd.Series:
     """64-permutation MinHash signature of a shingle array (SURVEY P9;
     reference uses datasketch MinHash(128), deduplicator.py:110-146).
-    Vectorized: one numpy pass per Arrow batch."""
+
+    Permutation family: multiply-xorshift over the 64-bit shingle hash with
+    natural uint64 wraparound — ((h ^ b_j) * a_j) ^ (v >> 32) — fully
+    vectorized numpy, one (n_shingles x N_PERM) pass per row. (An affine
+    (a*h+b) mod M map over NARROW h is NOT min-wise usable: when a*h never
+    exceeds M the map is monotone in h and every such "permutation" shares
+    one argmin, inflating agreement between unrelated short docs.)"""
     import hashlib
     a, b = _minhash_params()
     out = []
-    for arr in shingles:
-        if arr is None or len(arr) == 0:
-            out.append([0] * N_PERM)
-            continue
-        hv = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
-                            "little") & ((1 << 61) - 1) for s in arr),
-            dtype=np.int64, count=len(arr))
-        # (a*h + b) mod M, min over shingles, per permutation
-        sig = ((a[None, :].astype(object) * hv[:, None].astype(object)
-                + b[None, :]) % _MERSENNE).min(axis=0)
-        out.append([int(x) for x in sig])
+    with np.errstate(over="ignore"):
+        for arr in shingles:
+            if arr is None or len(arr) == 0:
+                out.append([0] * N_PERM)
+                continue
+            hv = np.fromiter(
+                (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8)
+                                .digest(), "little") for s in arr),
+                dtype=np.uint64, count=len(arr))
+            v = (hv[:, None] ^ b[None, :]) * a[None, :]
+            v ^= v >> np.uint64(32)
+            sig = v.min(axis=0).astype(np.int64)  # signed view; equality-only
+            out.append([int(x) for x in sig])
     return pd.Series(out)
+
+
+def minhash_text_sig_udf(n: int = 3):
+    """text -> MinHash signature in ONE Arrow UDF (shingling included).
+    Shingling in Python str ops beats the equivalent JVM higher-order
+    expression (transform/slice/concat_ws builds each shingle string
+    through codegen ~5x slower) AND avoids shipping the exploded shingle
+    arrays through Arrow — only the fixed-size signature crosses."""
+    a, b = _minhash_params()
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def fn(text: pd.Series) -> pd.Series:
+        import hashlib
+        out = []
+        with np.errstate(over="ignore"):
+            for t in text:
+                w = (t or "").lower().split()
+                sh = ([" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+                      if len(w) >= n else [" ".join(w)])
+                hv = np.fromiter(
+                    (int.from_bytes(hashlib.blake2b(
+                        s.encode(), digest_size=8).digest(), "little")
+                     for s in sh),
+                    dtype=np.uint64, count=len(sh))
+                v = (hv[:, None] ^ b[None, :]) * a[None, :]
+                v ^= v >> np.uint64(32)
+                out.append([int(x) for x in
+                            v.min(axis=0).astype(np.int64)])
+        return pd.Series(out)
+    return fn
 
 
 def minhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -117,9 +155,8 @@ def minhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
     """Candidate near-dup pairs via MinHash LSH banding: signature ->
     band hashes -> explode -> self-equi-join on (band, band_hash) ->
     estimated Jaccard = matching permutations / N_PERM."""
-    sig = (df.select(F.col(id_col).alias("id"),
-                     shingle_col(text_col, n).alias("sh"))
-           .withColumn("sig", minhash_sig_udf("sh")).drop("sh"))
+    sig = df.select(F.col(id_col).alias("id"),
+                    minhash_text_sig_udf(n)(F.col(text_col)).alias("sig"))
     rows_per_band = N_PERM // LSH_BANDS
     bands = sig.select(
         "id", "sig",

@@ -307,7 +307,7 @@ def main() -> None:
     ap.add_argument("--sched-only", action="store_true",
                     help="run only the single-round frontier-scheduling "
                          "bench (the N-vs-4N scaling evidence)")
-    ap.add_argument("--sched-urls", type=int, default=20_000_000)
+    ap.add_argument("--sched-urls", type=int, default=8_000_000)
     ap.add_argument("--sched-hosts", type=int, default=2000)
     ap.add_argument("--sched-seen-frac", type=float, default=0.3)
     ap.add_argument("--sched-salt", type=int, default=16)
@@ -348,6 +348,10 @@ def main() -> None:
                               args.budget_scale, args.depth_add,
                               args.max_links, args.seed_frac)
             queries["crawl_scheduling"] = crawl["wall_sec"]
+            sched = run_sched(spark, args.sched_urls, args.sched_hosts,
+                              args.sched_seen_frac, args.round_seconds,
+                              args.sched_salt)
+            queries["sched_round"] = sched["wall_sec"]
     total = round(time.time() - t_all, 2)
     calib = run_calibration() if args.calibrate else {}
 
