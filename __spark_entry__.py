@@ -328,6 +328,42 @@ def q_global_budget(spark, sf_dir):
         .select("doc_id", "n_chars"))
 
 
+def q_boilerplate_clean(spark, sf_dir):
+    """SURVEY P2 over synthesized boilerplate: cookie/newsletter/social/©
+    chrome is injected around each document, then stripped natively."""
+    docs = _t(spark, sf_dir, "documents")
+    dirty = F.concat(F.lit("Accept all cookies to continue. "),
+                     F.col("text"),
+                     F.lit(" Subscribe to our newsletter for updates! "
+                           "Follow us on twitter © 2024 Example Corp"))
+    return docs.select(
+        "doc_id", X.clean_boilerplate_col(dirty).alias("cleaned"))
+
+
+def q_topic_fanout(spark, sf_dir):
+    """SURVEY P11: invert doc->topics into topic->ordered doc list."""
+    docs = _t(spark, sf_dir, "documents")
+    tags = X.topic_scores(docs, "doc_id", "text")
+    return (tags.groupBy("topic")
+            .agg(F.count("*").alias("n_docs"),
+                 F.array_join(
+                     F.transform(F.sort_array(F.collect_list("doc_id")),
+                                 lambda x: x.cast("string")), ",")
+                 .alias("doc_ids")))
+
+
+def q_bin_pack(spark, sf_dir):
+    """SURVEY V6: greedy token-budget bin packing of each user's events in
+    time order (applyInPandas per group; running-reset not SQL-expressible)."""
+    ev = _t(spark, sf_dir, "events")
+    weighted = ev.select("user_id", "ts", "event_id",
+                         F.pmod(F.col("event_id"), F.lit(9)).cast("int")
+                         .alias("w"))
+    return (C.greedy_bin_pack(weighted, ["user_id"], ["ts", "event_id"],
+                              "w", budget=20)
+            .select("user_id", "event_id", "bin_index"))
+
+
 def _events_cents(s):
     return s.withColumn(
         "value", F.round(F.col("value") * 100).cast("long").cast("double"))
@@ -503,6 +539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "new_docs_anti": q_new_docs_anti,
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_sessions": q_stream_sessions,
+        "boilerplate_clean": q_boilerplate_clean,
+        "topic_fanout": q_topic_fanout,
         # rows-only (non-SQL-expressible: UDF-bound / stateful)
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -513,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         "image_features": q_image_features,
         "phash_neardup": q_phash_neardup,
+        "bin_pack": q_bin_pack,
     }
 
 
@@ -541,6 +580,19 @@ def oracle_sql() -> dict[str, str]:
              f"embedding::DOUBLE[])) * "
              f"{np.sqrt(sum(x * x for x in QUERY_VEC_A))!r}))")
     qs_stop = _sql_contains_count(lower, X.LANG_STOPWORDS["en"])
+    topic_tags_sql = f"""
+            SELECT doc_id, topic, round(score, 6) AS score FROM (
+              SELECT doc_id, topic, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, topic) AS rn
+              FROM ({topic_scores_sql}) WHERE score >= {X.TOPIC_MIN_SCORE})
+            WHERE rn <= {X.TOPIC_TOP_N}"""
+    dirty = ("'Accept all cookies to continue. ' || text || "
+             "' Subscribe to our newsletter for updates! "
+             "Follow us on twitter © 2024 Example Corp'")
+    for p in X.BOILERPLATE_PATTERNS:
+        dirty = f"regexp_replace({dirty}, '{p}', ' ', 'g')"
+    cleaned_sql = f"trim(regexp_replace({dirty}, '\\s+', ' ', 'g'))"
 
     return {
         "pricing_summary": """
@@ -563,13 +615,14 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY user_id
                                         ORDER BY ts, event_id) AS rn
               FROM events) WHERE rn = 1""",
-        "topic_tags": f"""
-            SELECT doc_id, topic, round(score, 6) AS score FROM (
-              SELECT doc_id, topic, score,
-                     row_number() OVER (PARTITION BY doc_id
-                                        ORDER BY score DESC, topic) AS rn
-              FROM ({topic_scores_sql}) WHERE score >= {X.TOPIC_MIN_SCORE})
-            WHERE rn <= {X.TOPIC_TOP_N}""",
+        "topic_tags": topic_tags_sql,
+        "topic_fanout": f"""
+            SELECT topic, count(*)::BIGINT AS n_docs,
+                   array_to_string(list(doc_id ORDER BY doc_id), ',')
+                       AS doc_ids
+            FROM ({topic_tags_sql}) GROUP BY topic""",
+        "boilerplate_clean": f"""
+            SELECT doc_id, {cleaned_sql} AS cleaned FROM documents""",
         "quality_filter": f"""
             SELECT reason, count(*)::BIGINT AS n FROM (
               SELECT CASE WHEN {wc} < {X.MIN_WORDS_QUALITY}

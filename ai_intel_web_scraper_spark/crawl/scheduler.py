@@ -192,6 +192,19 @@ class CrawlEngine:
         sp = self.spark
         pol = pq.read_table(self.fixtures["politeness"]).to_pandas()
         rob = pq.read_table(self.fixtures["robots"]).to_pandas()
+        if "body" in rob.columns:
+            # SURVEY C18: the engine consumes the RAW robots.txt bodies (as
+            # fetched) and parses them itself; pre-parsed fixture columns
+            # exist only for the oracle, so crawl parity also proves the
+            # parser. At fleet scale this parse runs in robots_udf over the
+            # robots-fetch output; host_state is per-HOST (small), so the
+            # driver-side frame here is fine.
+            from ..functions.robots import parse_robots_frame
+            parsed = parse_robots_frame(rob["body"])
+            rob = pd.DataFrame({"host": rob["host"].to_numpy(),
+                                "disallow": parsed["disallow"].to_numpy(),
+                                "crawl_delay_override":
+                                    parsed["crawl_delay"].to_numpy()})
         hs = pol.merge(rob, on="host", how="left")
         hs["crawl_delay"] = hs["crawl_delay_override"].fillna(hs["crawl_delay"])
         hs["fetched_count"] = np.int64(0)

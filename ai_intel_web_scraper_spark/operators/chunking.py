@@ -119,3 +119,37 @@ def recursive_chunks(df: DataFrame, id_col: str, text_col: str,
     return df.select(*cols).mapInPandas(
         fn, schema=f"{id_col} long, chunk_index int, chunk_text string, "
                    "token_count int, chunk_id string")
+
+
+BIN_TOKEN_BUDGET = 25  # scaled-down analog of the reference's issue budget
+
+
+def greedy_bin_pack(df: DataFrame, group_cols: list[str], order_cols: list[str],
+                    weight_col: str, budget: int = BIN_TOKEN_BUDGET) -> DataFrame:
+    """SURVEY V6: greedy sequential bin-packing per group (reference
+    vectorstore/chunker.py:334-386 packs issue comments into token-budget
+    bins in comment order). Start a new bin when adding the next item would
+    exceed `budget` (oversized single items get their own bin).
+
+    Running-threshold-reset is NOT expressible with plain SQL windows
+    (the reset depends on its own output), so each group runs sequentially
+    inside applyInPandas — groups are independent and parallel, the
+    per-group scan is O(rows)."""
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        bins = []
+        cur, acc = 0, 0
+        for w in pdf[weight_col]:
+            w = int(w)
+            if acc > 0 and acc + w > budget:
+                cur += 1
+                acc = 0
+            acc += w
+            bins.append(cur)
+        out = pdf[group_cols + order_cols + [weight_col]].copy()
+        out["bin_index"] = pd.Series(bins, index=pdf.index, dtype="int32")
+        return out
+
+    schema = (df.select(*group_cols, *order_cols, weight_col)
+              .withColumn("bin_index", F.lit(0).cast("int")).schema)
+    return df.groupBy(*group_cols).applyInPandas(pack, schema=schema)

@@ -200,3 +200,24 @@ def mine_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             .select(id_col, "pos",
                     F.col("m.0").cast("double").alias("metric_value"),
                     F.col("m.1").alias("unit")))
+
+
+# P2 boilerplate strip patterns (reference processors/content_extractor.py:
+# 22-67 strips cookie banners, newsletter CTAs, social chrome, copyright
+# footers, then normalizes whitespace)
+BOILERPLATE_PATTERNS = [
+    r"(?i)accept (all )?cookies[^.!?]*[.!?]",
+    r"(?i)subscribe to our newsletter[^.!?]*[.!?]",
+    r"(?i)follow us on [a-z]+",
+    r"©\s*[0-9]{4}[^\n]*",
+]
+
+
+def clean_boilerplate_col(text: Column) -> Column:
+    """SURVEY P2: chained native regexp_replace passes + whitespace
+    normalization. Stays inside whole-stage codegen; the fence-preserving
+    variant of the reference lives in the recursive chunker's UDF."""
+    c = text
+    for p in BOILERPLATE_PATTERNS:
+        c = F.regexp_replace(c, p, " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

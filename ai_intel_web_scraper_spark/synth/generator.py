@@ -46,7 +46,7 @@ _NOUN = ["bridge", "kettle", "orchard", "canyon", "lantern", "harbor", "spindle"
 _SIZES = np.array([32, 64, 96], dtype=np.int32)
 
 N_BUCKETS = 16  # web_graph/pages disk partitioning (maps to Iceberg bucket(N))
-FX_VERSION = 2  # bump to invalidate cached /tmp fixture dirs on content change
+FX_VERSION = 3  # bump to invalidate cached /tmp fixture dirs on content change
 
 
 @dataclass
@@ -316,8 +316,14 @@ def write_config_tables(spec: WebSpec, paths: dict) -> None:
         pol.append({"host": spec.host(k), "crawl_delay": delay, "max_pages": mp,
                     "max_depth": md, "exclude_patterns": excl})
         dis, ovr = spec.robots(k)
+        # the engine receives only the RAW robots.txt body (as a crawler
+        # would fetch it) and must parse it; the pre-parsed columns are the
+        # oracle's ground truth — crawl parity proves the parser
+        body = "User-agent: *\n" + "".join(f"Disallow: {d}\n" for d in dis)
+        if ovr is not None:
+            body += f"Crawl-delay: {ovr}\n"
         rob.append({"host": spec.host(k), "disallow": dis,
-                    "crawl_delay_override": ovr})
+                    "crawl_delay_override": ovr, "body": body})
     pq.write_table(pa.Table.from_pylist(pol, schema=pa.schema([
         ("host", pa.string()), ("crawl_delay", pa.float64()),
         ("max_pages", pa.int32()), ("max_depth", pa.int32()),
@@ -325,7 +331,7 @@ def write_config_tables(spec: WebSpec, paths: dict) -> None:
         paths["politeness"])
     pq.write_table(pa.Table.from_pylist(rob, schema=pa.schema([
         ("host", pa.string()), ("disallow", pa.list_(pa.string())),
-        ("crawl_delay_override", pa.float64())])),
+        ("crawl_delay_override", pa.float64()), ("body", pa.string())])),
         paths["robots"])
 
 

@@ -84,3 +84,35 @@ def test_bloom_serialization_roundtrip():
     b2 = BloomShards.from_bytes(b.to_bytes())
     assert b2.m_bits == b.m_bits
     assert b2.maybe_contains(buckets, keys).all()
+
+
+def test_parse_robots_groups_and_fallback():
+    from ai_intel_web_scraper_spark.functions.robots import parse_robots
+    body = """
+# comment
+User-agent: googlebot
+Disallow: /private/
+Crawl-delay: 2
+
+User-agent: spark-frontier
+Disallow: /tmp/
+Disallow: /draft/
+Crawl-delay: 0.5
+
+User-agent: *
+Disallow: /admin/
+"""
+    dis, delay = parse_robots(body, agent="spark-frontier")
+    assert dis == ["/tmp/", "/draft/"] and delay == 0.5
+    dis, delay = parse_robots(body, agent="otherbot")
+    assert dis == ["/admin/"] and delay is None
+    assert parse_robots(None) == ([], None)
+    assert parse_robots("User-agent: *\nDisallow:") == ([], None)
+
+
+def test_parse_robots_multiple_agents_one_group():
+    from ai_intel_web_scraper_spark.functions.robots import parse_robots
+    body = ("User-agent: a\nUser-agent: b\nDisallow: /x/\n"
+            "User-agent: *\nCrawl-delay: 1\n")
+    assert parse_robots(body, agent="b") == (["/x/"], None)
+    assert parse_robots(body, agent="zzz") == ([], 1.0)

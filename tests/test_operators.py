@@ -223,3 +223,37 @@ def test_politeness_rank_quota_and_order(spark):
         for a, b in zip(rs, rs[1:]):  # politeness floor between slots
             assert b["fetch_ts"] - a["fetch_ts"] >= 0.5 - 1e-9
         assert rs[0]["fetch_ts"] == 2 * 100.0  # virtual round clock
+
+
+def test_greedy_bin_pack_matches_python_reference(spark, sf_dir):
+    ev = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+          .select("user_id", "ts", "event_id",
+                  F.pmod("event_id", F.lit(9)).cast("int").alias("w")))
+    got = {(r["user_id"], r["event_id"]): r["bin_index"] for r in
+           C.greedy_bin_pack(ev, ["user_id"], ["ts", "event_id"], "w",
+                             budget=20).collect()}
+    rows = sorted(ev.collect(), key=lambda r: (r["user_id"], r["ts"],
+                                               r["event_id"]))
+    want, cur, acc, prev_user = {}, 0, 0, None
+    for r in rows:
+        if r["user_id"] != prev_user:
+            cur, acc, prev_user = 0, 0, r["user_id"]
+        if acc > 0 and acc + r["w"] > 20:
+            cur += 1
+            acc = 0
+        acc += r["w"]
+        want[(r["user_id"], r["event_id"])] = cur
+    assert got == want
+
+
+def test_robots_udf_parses_bodies(spark):
+    from ai_intel_web_scraper_spark.functions.robots import robots_udf
+    df = spark.createDataFrame(
+        [("h1", "User-agent: *\nDisallow: /a/\nCrawl-delay: 2"),
+         ("h2", None)], "host string, body string")
+    rows = {r["host"]: r for r in
+            df.select("host", robots_udf()("body").alias("r"))
+            .select("host", "r.disallow", "r.crawl_delay").collect()}
+    assert rows["h1"]["disallow"] == ["/a/"]
+    assert rows["h1"]["crawl_delay"] == 2.0
+    assert rows["h2"]["disallow"] == []
