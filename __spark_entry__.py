@@ -394,6 +394,20 @@ def q_stream_sessions(spark, sf_dir):
     return spark.createDataFrame(rows)
 
 
+def q_stream_budget_state(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running totals in the state store; single trigger here so the final
+    emission per user equals the batch aggregate (multi-batch accumulation
+    is covered by tests/test_streaming.py). Values in exact cents."""
+    from ai_intel_web_scraper_spark.streaming.events import (
+        run_stream_once, running_budget_state)
+    rows = run_stream_once(
+        spark, os.path.join(sf_dir, "events.parquet"),
+        lambda s: running_budget_state(_events_cents(s), budget=80000.0),
+        output_mode="update")
+    return spark.createDataFrame(rows)
+
+
 def q_new_docs_anti(spark, sf_dir):
     """SURVEY C2 shape: exact anti-join of candidate fingerprints against a
     seen-set (the url_seen membership pattern on the documents table)."""
@@ -541,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions": q_stream_sessions,
         "boilerplate_clean": q_boilerplate_clean,
         "topic_fanout": q_topic_fanout,
+        "stream_budget_state": q_stream_budget_state,
         # rows-only (non-SQL-expressible: UDF-bound / stateful)
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -850,6 +865,13 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CAST(round(value * 100) AS BIGINT))::DOUBLE, 4)
                        AS total_value
             FROM events GROUP BY 1, 2, 3""",
+        "stream_budget_state": """
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   round(sum(CAST(round(value * 100) AS BIGINT))::DOUBLE, 4)
+                       AS total_value,
+                   sum(CAST(round(value * 100) AS BIGINT)) > 80000
+                       AS over_budget
+            FROM events GROUP BY user_id""",
         "stream_sessions": """
             WITH o AS (
               SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,

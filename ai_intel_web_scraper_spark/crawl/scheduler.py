@@ -397,9 +397,14 @@ class CrawlEngine:
                                     "priority",
                                     "discovery_seq",
                                     (F.col("attempt") + 1).alias("attempt"))
+        # discovered-link priority (SURVEY C12 slot: in production this is
+        # the post-URL heuristic score; here a deterministic hash-derived
+        # score so rank_mode="priority" is exercised — the oracle computes
+        # the identical function)
         new_frontier_rows = new_urls.select(
             "url", "url_hash", "bucket", "host", "depth",
-            F.lit(0.0).alias("priority"), "discovery_seq",
+            (F.pmod(F.abs("url_hash"), F.lit(1000)).cast("double") / 1000.0)
+            .alias("priority"), "discovery_seq",
             F.lit(1).alias("attempt"))
         next_frontier = (unscheduled
                          .select("url", "url_hash", "bucket", "host", "depth",

@@ -20,7 +20,8 @@ from dataclasses import dataclass, field
 import pyarrow.parquet as pq
 
 from ..crawl import semantics as S
-from ..functions.urls import canonicalize_url, url_host, url_path
+from ..functions.urls import (canonicalize_url, url_hash64, url_host,
+                              url_path)
 
 
 @dataclass
@@ -43,8 +44,13 @@ def _load_tables(fixtures: dict) -> tuple[dict, list, dict, dict]:
 
 
 def oracle_crawl(fixtures: dict, max_rounds: int = 200,
-                 round_seconds: float = S.ROUND_SECONDS) -> OracleResult:
+                 round_seconds: float = S.ROUND_SECONDS,
+                 rank_mode: str = "bfs") -> OracleResult:
     graph, seeds, pol, rob = _load_tables(fixtures)
+    if rank_mode == "bfs":
+        rank_key = lambda r: (r["depth"], r["seq"])  # noqa: E731
+    else:  # priority: seed priority desc, then BFS order (engine parity)
+        rank_key = lambda r: (-r["priority"], r["depth"], r["seq"])  # noqa: E731
 
     def host_cfg(host: str) -> dict | None:
         p = pol.get(host)
@@ -80,7 +86,8 @@ def oracle_crawl(fixtures: dict, max_rounds: int = 200,
             continue
         res.url_seen.add(u)
         frontier.append({"url": u, "host": host, "depth": 0,
-                         "seq": srow["seed_seq"], "attempt": 1})
+                         "seq": srow["seed_seq"], "attempt": 1,
+                         "priority": float(srow["priority"])})
 
     for round_no in range(1, max_rounds + 1):
         if not frontier:
@@ -94,7 +101,7 @@ def oracle_crawl(fixtures: dict, max_rounds: int = 200,
         n_sched = n_ok = 0
         for host in by_host:
             cfg = host_cfg(host)
-            rows = sorted(by_host[host], key=lambda r: (r["depth"], r["seq"]))
+            rows = sorted(by_host[host], key=rank_key)
             remaining = cfg["max_pages"] - fetched_count.get(host, 0)
             quota = min(S.host_round_quota(cfg["crawl_delay"], round_seconds),
                         remaining)
@@ -137,7 +144,9 @@ def oracle_crawl(fixtures: dict, max_rounds: int = 200,
                         candidates.append({
                             "url": cu, "host": host,
                             "depth": row["depth"] + 1,
-                            "seq": S.child_seq(row["seq"], pos)})
+                            "seq": S.child_seq(row["seq"], pos),
+                            # same hash-derived score as the engine
+                            "priority": (abs(url_hash64(cu)) % 1000) / 1000.0})
 
         # round-batch dedupe: keep-first by min (depth, seq), then anti-join seen
         best: dict[str, dict] = {}

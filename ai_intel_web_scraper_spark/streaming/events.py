@@ -77,3 +77,43 @@ def run_stream_once(spark: SparkSession, src_path: str, op,
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def running_budget_state(events: DataFrame, budget: float = 500.0,
+                         timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running value total maintained across micro-batches, emitting one row
+    per (user, batch) with the cumulative total and whether the budget
+    tripped. This is the streaming analog of the crawl engine's per-host
+    budget state (host_state.fetched_count): state the reference keeps in
+    a Python dict for its single process, held here in the state store of
+    an arbitrarily wide cluster."""
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("over_budget", T.BooleanType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        import pandas as pd
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [round(total, 4)],
+                            "over_budget": [total > budget]})
+
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(update, outputStructType=out_schema,
+                                    stateStructType=state_schema,
+                                    outputMode="update",
+                                    timeoutConf=timeout))

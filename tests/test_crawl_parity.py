@@ -169,3 +169,28 @@ def test_excluded_and_robots_never_fetched(engine, spark, fixtures):
                 if h == r["host"]:
                     path = u.split(h, 1)[1]
                     assert not path.startswith(d), (u, d)
+
+
+def test_priority_rank_mode_matches_oracle(spark, fixtures, oracle):
+    """rank_mode='priority' (seed priority desc, BFS tiebreak) must match
+    the oracle's priority ordering — and differ from plain BFS."""
+    wh = "/tmp/spark_graft_wh_prio"
+    shutil.rmtree(wh, ignore_errors=True)
+    eng = CrawlEngine(spark, fixtures, wh,
+                      CrawlConfig(rank_mode="priority", write_payload=False))
+    eng.run()
+    from ai_intel_web_scraper_spark.oracle.crawler import oracle_crawl
+    want_res = oracle_crawl(fixtures, rank_mode="priority")
+    got = [(r["url"], r["round"], r["fetch_slot"]) for r in
+           eng.store.read("fetched")
+           .select("url", "round", "depth", "discovery_seq", "fetch_slot")
+           .orderBy("round", "depth", "discovery_seq").collect()]
+    want = [(r["url"], r["round"], r["fetch_slot"]) for r in want_res.fetched]
+    assert sorted(got) == sorted(want)
+    # priority ordering must actually change some fetch slots vs BFS
+    bfs_slots = {(r["url"], r["round"]): r["fetch_slot"]
+                 for r in oracle.fetched}
+    prio_slots = {(r["url"], r["round"]): r["fetch_slot"]
+                  for r in want_res.fetched}
+    common = set(bfs_slots) & set(prio_slots)
+    assert any(bfs_slots[k] != prio_slots[k] for k in common)

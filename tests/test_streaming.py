@@ -33,3 +33,56 @@ def test_session_rollup_runs(spark, sf_dir):
     for r in rows:
         assert r["sess_end"] >= r["sess_start"]
         assert r["n_events"] >= 1
+
+
+def test_running_budget_state_accumulates_across_batches(spark, sf_dir):
+    """applyInPandasWithState: totals must accumulate ACROSS micro-batches
+    (one file per trigger), matching the batch ground truth at the end."""
+    import shutil
+    import uuid
+
+    from ai_intel_web_scraper_spark.streaming.events import (
+        EVENTS_SCHEMA, running_budget_state)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    src = "/tmp/stream_state_src"
+    shutil.rmtree(src, ignore_errors=True)
+    ev.where(F.col("event_id") % 2 == 0).write.parquet(src + "/b0")
+    ev.where(F.col("event_id") % 2 == 1).write.parquet(src + "/b1")
+    # flatten into one dir with distinct file names
+    os.makedirs(src + "/all")
+    for sub in ("b0", "b1"):
+        for f in os.listdir(os.path.join(src, sub)):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(src, sub, f),
+                          os.path.join(src, "all", f"{sub}_{f}"))
+    name = f"state_{uuid.uuid4().hex[:8]}"
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/all"))
+    q = (running_budget_state(stream, budget=500.0)
+         .writeStream.outputMode("update").format("memory")
+         .queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    # one emission per (user, batch containing that user): users in both
+    # batches emit twice — proof the state store carried totals across
+    per_user = {}
+    emissions = {}
+    for r in rows:
+        emissions[r["user_id"]] = emissions.get(r["user_id"], 0) + 1
+        cur = per_user.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            per_user[r["user_id"]] = r
+    assert max(emissions.values()) >= 2
+    want = {r["user_id"]: (r["n"], round(r["t"], 4)) for r in
+            ev.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+            .collect()}
+    got = {u: (r["n_events"], r["total_value"]) for u, r in per_user.items()}
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 0.01
+        assert per_user[u]["over_budget"] == (want[u][1] > 500.0)
