@@ -150,6 +150,20 @@ class SnapshotStore:
         self._staged_blobs = {}
         return snap_id
 
+    def history(self) -> list[dict]:
+        """Snapshot lineage (Iceberg `history()` analog): one entry per
+        committed snapshot, newest last — drives time-travel reads via
+        ``read(table, snap_id=...)`` and resume-from-checkpoint."""
+        out = []
+        snap_id = self.current_snapshot_id()
+        while snap_id is not None:
+            s = self.snapshot(snap_id)
+            out.append({"snapshot_id": s["snapshot_id"],
+                        "parent_id": s["parent_id"], "round": s["round"],
+                        "committed_at": s.get("committed_at")})
+            snap_id = s["parent_id"]
+        return list(reversed(out))
+
     # ---------------------------------------------------------------- reads
     def read(self, table: str, snap_id: int | None = None) -> DataFrame:
         """Table state as of a snapshot (default: CURRENT). Unknown/empty

@@ -4,6 +4,7 @@ resume bit-identically from a snapshot."""
 
 from __future__ import annotations
 
+import os
 import shutil
 
 import numpy as np
@@ -194,3 +195,35 @@ def test_priority_rank_mode_matches_oracle(spark, fixtures, oracle):
                   for r in want_res.fetched}
     common = set(bfs_slots) & set(prio_slots)
     assert any(bfs_slots[k] != prio_slots[k] for k in common)
+
+
+def test_snapshot_history_and_time_travel(engine, spark):
+    """Iceberg-analog time travel: history() lists the commit chain and a
+    read at snapshot k returns exactly the state after round k."""
+    hist = engine.store.history()
+    assert [h["round"] for h in hist] == list(range(len(hist)))
+    assert [h["snapshot_id"] for h in hist] == \
+        [h["parent_id"] for h in hist[1:]] + [hist[-1]["snapshot_id"]]
+    mid = hist[2]  # after round 2
+    fetched_mid = engine.store.read("fetched", snap_id=mid["snapshot_id"])
+    assert fetched_mid.agg(F.max("round")).first()[0] <= 2
+    full = engine.store.read("fetched")
+    assert fetched_mid.count() == full.where(F.col("round") <= 2).count()
+
+
+def test_pyfiles_zip_importable(tmp_path):
+    """The --py-files artifact contains the whole package, importable from
+    the zip alone (zipimport, as executors do)."""
+    import subprocess
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tools.package_pyfiles import build
+    zp = build(str(tmp_path / "pkg.zip"))
+    code = (f"import sys; sys.path.insert(0, {zp!r}); "
+            "import ai_intel_web_scraper_spark.crawl.scheduler as s; "
+            "import ai_intel_web_scraper_spark.operators.dedup as d; "
+            "print('ok')")
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, cwd="/")
+    assert out.returncode == 0 and out.stdout.strip() == "ok", out.stderr
