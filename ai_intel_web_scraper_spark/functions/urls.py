@@ -81,16 +81,52 @@ def is_excluded_extension(url: str) -> bool:
 
 # ---------------------------------------------------------------- vectorized
 
+def _canon_abs_fast(u: str) -> str | None:
+    """Slicing-only canonicalizer for absolute http(s) URLs — byte-identical
+    to canonicalize_url on that subset (no urlsplit/regex; ~10x faster)."""
+    h = u.find("#")
+    if h >= 0:
+        u = u[:h]
+    q = u.find("?")
+    if q >= 0:
+        u = u[:q]
+    i = u.find("://")
+    j = u.find("/", i + 3)
+    if j < 0:
+        host, path = u[i + 3:], ""
+    else:
+        host, path = u[i + 3:j], u[j:].rstrip("/")
+    if not host:
+        return None
+    return u[:i].lower() + "://" + host.lower() + path
+
+
+def _canon_one(u, b) -> str | None:
+    if u is None:
+        return None
+    u = u.strip()
+    head = u[:8].lower()
+    if head.startswith("https://") or head.startswith("http://"):
+        r = _canon_abs_fast(u)
+        if r is not None or b is None:
+            return r
+        # empty-host absolutes (https://?q) resolve against the base in
+        # urljoin — rare garbage; keep byte-identical via the slow path
+    return canonicalize_url(u, b)
+
+
 def canonicalize_series(urls: pd.Series, bases: pd.Series | None = None) -> pd.Series:
     """Vectorized canonicalize for pandas-UDF use (one Python call per Arrow
-    batch, not per row of the DataFrame API)."""
+    batch). Absolute http(s) URLs — the overwhelming majority of crawl
+    candidates — take a slicing-only fast path; relative hrefs and exotic
+    schemes fall back to the urlsplit-based scalar so semantics stay
+    byte-identical (guarded by test_vectorized_matches_scalar + the crawl
+    parity suite)."""
     if bases is None:
-        return urls.map(lambda u: canonicalize_url(u) if u is not None else None)
-    return pd.Series(
-        [canonicalize_url(u, b) if u is not None else None
-         for u, b in zip(urls, bases)],
-        index=urls.index, dtype=object,
-    )
+        vals = [_canon_one(u, None) for u in urls]
+    else:
+        vals = [_canon_one(u, b) for u, b in zip(urls, bases)]
+    return pd.Series(vals, index=urls.index, dtype=object)
 
 
 def hash64_series(urls: pd.Series) -> pd.Series:
