@@ -394,6 +394,28 @@ def q_stream_sessions(spark, sf_dir):
     return spark.createDataFrame(rows)
 
 
+def q_process_pipeline(spark, sf_dir):
+    """SURVEY §3.2 lifecycle composite (reference pipeline.py:161-223):
+    clean -> quality-filter -> exact dedup, with per-stage record accounting
+    (P10). One DAG; counts emitted as (stage, n) rows."""
+    docs = _t(spark, sf_dir, "documents")
+    cleaned = docs.select(
+        "doc_id", X.clean_boilerplate_col(F.col("text")).alias("text"))
+    kept = (X.quality_filter(cleaned, "text")
+            .where(F.col("reason") == "kept").drop("reason"))
+    deduped = D.keep_first(
+        kept.withColumn("fp", X.fingerprint_col(F.col("text"))),
+        ["fp"], ["doc_id"])
+    stages = [("1_raw", docs), ("2_quality_kept", kept),
+              ("3_deduped", deduped)]
+    out = None
+    for name, df in stages:
+        c = df.agg(F.count("*").alias("n")).select(
+            F.lit(name).alias("stage"), "n")
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
 def q_stream_budget_state(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState): per-user
     running totals in the state store; single trigger here so the final
@@ -556,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_clean": q_boilerplate_clean,
         "topic_fanout": q_topic_fanout,
         "stream_budget_state": q_stream_budget_state,
+        "process_pipeline": q_process_pipeline,
         # rows-only (non-SQL-expressible: UDF-bound / stateful)
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -865,6 +888,23 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CAST(round(value * 100) AS BIGINT))::DOUBLE, 4)
                        AS total_value
             FROM events GROUP BY 1, 2, 3""",
+        "process_pipeline": f"""
+            WITH cleaned AS (
+              SELECT doc_id,
+                     trim(regexp_replace({"".join(["regexp_replace(" for _ in X.BOILERPLATE_PATTERNS])}text{"".join(f", '{p}', ' ', 'g')" for p in X.BOILERPLATE_PATTERNS)}, '\\s+', ' ', 'g')) AS text
+              FROM documents),
+            kept AS (
+              SELECT doc_id, text FROM cleaned
+              WHERE len(regexp_split_to_array(trim(text), '\\s+'))
+                      >= {X.MIN_WORDS_QUALITY}
+                AND length(text) >= {X.MIN_CHARS_QUALITY}),
+            deduped AS (
+              SELECT min(doc_id) FROM kept GROUP BY md5(lower(text)))
+            SELECT '1_raw' AS stage, count(*)::BIGINT AS n FROM documents
+            UNION ALL
+            SELECT '2_quality_kept', count(*)::BIGINT FROM kept
+            UNION ALL
+            SELECT '3_deduped', count(*)::BIGINT FROM deduped""",
         "stream_budget_state": """
             SELECT user_id, count(*)::BIGINT AS n_events,
                    round(sum(CAST(round(value * 100) AS BIGINT))::DOUBLE, 4)

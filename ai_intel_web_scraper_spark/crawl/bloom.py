@@ -156,3 +156,71 @@ def partial_bitmaps(m_bits: int, n_buckets: int):
                 "bitmap": [v.tobytes() for v in acc.values()],
             })
     return fn
+
+
+class CountingBloomShards(BloomShards):
+    """Counting variant (4-bit saturating counters, 2 per byte): supports
+    `remove_many`, needed when url_seen entries EXPIRE (re-crawl windows,
+    politeness-driven eviction) rather than only grow. The plain bitmap
+    variant above stays the default for the insert-only crawl; the two share
+    probe semantics so the scheduler can swap them by construction flag.
+
+    Memory: 4 bits/slot (vs 1) — still ~5 bytes/key at 10 bits/key sizing.
+    Counters saturate at 15 (saturated slots never decrement: classic
+    counting-bloom safety rule, avoids false negatives after heavy reuse)."""
+
+    _MAX = 15
+
+    def _shard(self, bucket: int) -> np.ndarray:
+        s = self.shards.get(bucket)
+        if s is None:
+            s = np.zeros(self.m_bits // 2, dtype=np.uint8)  # 2 counters/byte
+            self.shards[bucket] = s
+        return s
+
+    def _bump(self, shard: np.ndarray, pos: np.ndarray, delta: int) -> None:
+        # pos may repeat (K probes of many keys can land on one slot): apply
+        # each increment/decrement individually via unique+counts
+        upos, cnt = np.unique(pos, return_counts=True)
+        byte, hi = upos >> 1, (upos & 1).astype(bool)
+        cur = np.where(hi, shard[byte] >> 4, shard[byte] & 0x0F).astype(np.int64)
+        if delta > 0:
+            new = np.minimum(cur + cnt, self._MAX)
+            new = np.where(cur == self._MAX, cur, new)  # saturated stays
+        else:
+            new = np.where(cur == self._MAX, cur, np.maximum(cur - cnt, 0))
+        for b, h, v in zip(byte, hi, new):
+            if h:
+                shard[b] = (shard[b] & 0x0F) | (np.uint8(v) << 4)
+            else:
+                shard[b] = (shard[b] & 0xF0) | np.uint8(v)
+
+    def add_many(self, buckets: np.ndarray, hashes: np.ndarray) -> None:
+        for b in np.unique(buckets):
+            pos = _positions(hashes[buckets == b], self.m_bits).ravel()
+            self._bump(self._shard(int(b)), pos, +1)
+
+    def remove_many(self, buckets: np.ndarray, hashes: np.ndarray) -> None:
+        """Delete keys (caller guarantees they were added — standard
+        counting-bloom contract)."""
+        for b in np.unique(buckets):
+            pos = _positions(hashes[buckets == b], self.m_bits).ravel()
+            self._bump(self._shard(int(b)), pos, -1)
+
+    def maybe_contains(self, buckets: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(hashes), dtype=bool)
+        for b in np.unique(buckets):
+            mask = buckets == b
+            shard = self.shards.get(int(b))
+            if shard is None:
+                continue
+            pos = _positions(hashes[mask], self.m_bits)
+            byte, hi = pos >> 1, (pos & 1).astype(bool)
+            cnt = np.where(hi, shard[byte] >> 4, shard[byte] & 0x0F)
+            out[mask] = (cnt > 0).all(axis=1)
+        return out
+
+    def merge_bitmap(self, bucket: int, packed: np.ndarray) -> None:  # pragma: no cover
+        raise NotImplementedError(
+            "counting shards merge by counter addition, not OR; "
+            "use add_many from the executor rows")

@@ -116,3 +116,37 @@ def test_parse_robots_multiple_agents_one_group():
             "User-agent: *\nCrawl-delay: 1\n")
     assert parse_robots(body, agent="b") == (["/x/"], None)
     assert parse_robots(body, agent="zzz") == ([], 1.0)
+
+
+def test_counting_bloom_add_remove_no_false_negatives():
+    from ai_intel_web_scraper_spark.crawl.bloom import CountingBloomShards
+    rng = np.random.default_rng(5)
+    n = 20_000
+    hashes = rng.integers(-(2**63), 2**63 - 1, n, dtype=np.int64)
+    buckets = (np.abs(hashes) % 16).astype(np.int64)
+    cb = CountingBloomShards.sized_for(n, 16)
+    cb.add_many(buckets, hashes)
+    assert cb.maybe_contains(buckets, hashes).all()  # no false negatives
+    # remove the first half: kept keys must STILL all probe true
+    half = n // 2
+    cb.remove_many(buckets[:half], hashes[:half])
+    assert cb.maybe_contains(buckets[half:], hashes[half:]).all()
+    # removed keys mostly gone (some residue from shared slots is allowed)
+    removed_rate = cb.maybe_contains(buckets[:half], hashes[:half]).mean()
+    assert removed_rate < 0.05
+    # unrelated keys: low FPR
+    other = rng.integers(-(2**63), 2**63 - 1, n, dtype=np.int64)
+    ob = (np.abs(other) % 16).astype(np.int64)
+    assert cb.maybe_contains(ob, other).mean() < 0.05
+
+
+def test_counting_bloom_saturation_is_safe():
+    from ai_intel_web_scraper_spark.crawl.bloom import CountingBloomShards
+    cb = CountingBloomShards(1, 1024)
+    h = np.array([12345], dtype=np.int64)
+    b = np.array([0], dtype=np.int64)
+    for _ in range(20):  # push counters past the 4-bit max
+        cb.add_many(b, h)
+    for _ in range(20):  # saturated slots must never decrement to zero
+        cb.remove_many(b, h)
+    assert cb.maybe_contains(b, h)[0]
