@@ -64,6 +64,8 @@ HOST_STATE_SCHEMA = ("host string, crawl_delay double, max_pages int, "
 METRICS_SCHEMA = ("round int, scheduled long, fetched_ok long, failed long, "
                   "retried long, discovered long, new_urls long, "
                   "frontier_size long, wall_ms double")
+EDGES_SCHEMA = ("src_url string, dst_url string, round int, "
+                "reject string")
 
 _RESOLVE_TYPE = T.StructType([
     T.StructField("url", T.StringType()),
@@ -144,6 +146,7 @@ class CrawlEngine:
             "frontier": FRONTIER_SCHEMA, "url_seen": URL_SEEN_SCHEMA,
             "fetched": FETCHED_SCHEMA, "failures": FAILURES_SCHEMA,
             "host_state": HOST_STATE_SCHEMA, "metrics": METRICS_SCHEMA,
+            "edges": EDGES_SCHEMA,
         })
         self.fixtures = fixtures
         self.graph = spark.read.parquet(fixtures["web_graph"])
@@ -349,6 +352,7 @@ class CrawlEngine:
                     .select(F.col("r.url").alias("url"),
                             F.col("r.host").alias("host"),
                             F.col("r.url_hash").alias("url_hash"),
+                            F.col("parent_url").alias("src_url"),
                             "parent_host", "parent_depth", "parent_seq", "pos")
                     .where(F.col("url").isNotNull()
                            & (F.col("host") == F.col("parent_host")))
@@ -477,7 +481,14 @@ class CrawlEngine:
         # inputs, so they run as CONCURRENT Spark jobs (threaded driver) —
         # the cluster pipelines them instead of idling between actions.
         from concurrent.futures import ThreadPoolExecutor
+        # materialized web-graph edges (SURVEY §1.3): every same-host
+        # candidate link this round, with its policy outcome — downstream
+        # link-analysis (PageRank-style priors, dead-link audits) reads this
+        edges_rows = policed.select(
+            "src_url", F.col("url").alias("dst_url"),
+            F.lit(round_no).alias("round"), "reject")
         sink_writes = [
+            ("edges", edges_rows, "append"),
             ("frontier", next_frontier, "replace"),
             ("url_seen", new_urls.select("url", "url_hash", "bucket",
                                          F.lit(round_no).alias("round_added")),

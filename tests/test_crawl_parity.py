@@ -227,3 +227,30 @@ def test_pyfiles_zip_importable(tmp_path):
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, cwd="/")
     assert out.returncode == 0 and out.stdout.strip() == "ok", out.stderr
+
+
+def test_edges_table_materializes_link_graph(engine, spark):
+    """The edges sink records every same-host candidate link with its
+    policy outcome; structural invariants tie it to fetched/url_seen."""
+    edges = engine.store.read("edges").persist()
+    fetched = engine.store.read("fetched").select("url", "depth").persist()
+    # every edge source is a fetched page (links only come from fetches)
+    assert (edges.select(F.col("src_url").alias("url")).distinct()
+            .join(fetched, "url", "left_anti").count()) == 0
+    # every fetched page at depth > 0 was discovered via some edge
+    assert (fetched.where(F.col("depth") > 0)
+            .join(edges.select(F.col("dst_url").alias("url")).distinct(),
+                  "url", "left_anti").count()) == 0
+    # policy outcomes recorded: excluded pattern edges tagged, never fetched
+    excl = edges.where(F.col("dst_url").contains("/tag/"))
+    if excl.count():
+        assert (excl.where(F.col("reject") != "excluded").count()) == 0
+    # per-round edge counts == the 'discovered' metric
+    em = {r["round"]: r["n"] for r in
+          edges.groupBy("round").agg(F.count("*").alias("n")).collect()}
+    mm = {r["round"]: r["discovered"] for r in
+          engine.store.read("metrics").collect()}
+    for rnd, n in em.items():
+        assert mm[rnd] == n
+    edges.unpersist()
+    fetched.unpersist()

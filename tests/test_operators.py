@@ -257,3 +257,15 @@ def test_robots_udf_parses_bodies(spark):
     assert rows["h1"]["disallow"] == ["/a/"]
     assert rows["h1"]["crawl_delay"] == 2.0
     assert rows["h2"]["disallow"] == []
+
+
+def test_image_resize_roundtrip(spark, fixtures):
+    from ai_intel_web_scraper_spark.functions.codec import decode_image
+    from ai_intel_web_scraper_spark.operators.multimodal import image_resize
+    pages = spark.read.parquet(fixtures["pages"]).limit(6)
+    out = image_resize(pages, 16, 16).collect()
+    assert len(out) == 6
+    for r in out:
+        px = decode_image(bytes(r["bytes"]))
+        assert px.shape == (16, 16, 3)
+        assert r["w"] == 16 and r["h"] == 16
