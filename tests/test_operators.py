@@ -269,3 +269,42 @@ def test_image_resize_roundtrip(spark, fixtures):
         px = decode_image(bytes(r["bytes"]))
         assert px.shape == (16, 16, 3)
         assert r["w"] == 16 and r["h"] == 16
+
+
+def test_politeness_rank_equals_naive_single_window(spark):
+    """The salted two-phase quota rank (the skew-safe scale path) must be
+    SEMANTICALLY identical to the naive one-window-per-host rank, including
+    on a hot-host-skewed frontier with per-host quotas."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    from ai_intel_web_scraper_spark.crawl.scheduler import politeness_rank
+    rng = np.random.default_rng(17)
+    n = 5000
+    hosts = np.where(rng.random(n) < 0.5, 0,
+                     rng.integers(0, 40, n))  # host0 holds ~50% of rows
+    rows = [(f"u{i}", int(rng.integers(-2**62, 2**62)), f"h{int(h)}",
+             int(rng.integers(0, 5)), float(rng.integers(0, 100)), i)
+            for i, h in enumerate(hosts)]
+    frontier = spark.createDataFrame(
+        rows, "url string, url_hash long, host string, depth int, "
+              "priority double, discovery_seq long")
+    quota = spark.createDataFrame(
+        [(f"h{k}", [0.3, 0.5, 1.0][k % 3], int(5 + 7 * (k % 9)))
+         for k in range(40)],
+        "host string, crawl_delay double, quota int")
+    order = [F.col("depth").asc(), F.col("discovery_seq").asc()]
+    got = politeness_rank(frontier, quota, order, n_salt=8, round_no=3,
+                          round_seconds=100.0, max_quota=68)
+    w = Window.partitionBy("host").orderBy(*order)
+    naive = (frontier.join(F.broadcast(quota), "host")
+             .withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") <= F.col("quota"))
+             .withColumn("fetch_slot", (F.col("rn") - 1).cast("int"))
+             .withColumn("fetch_ts", F.lit(300.0)
+                         + F.col("fetch_slot") * F.col("crawl_delay"))
+             .drop("rn", "quota"))
+    key = ["url", "host", "fetch_slot", "fetch_ts"]
+    a = {tuple(r[c] for c in key) for r in got.select(*key).collect()}
+    b = {tuple(r[c] for c in key) for r in naive.select(*key).collect()}
+    assert a == b and len(a) > 0
