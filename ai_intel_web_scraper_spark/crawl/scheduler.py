@@ -231,6 +231,11 @@ class CrawlEngine:
             seeds, self._host_cfg(["host", "crawl_delay", "exclude_patterns",
                                    "disallow"]))
         ok = seeds.where(F.col("reject").isNull())
+        # alias seeds (distinct raw strings, same canonical URL) collapse
+        # keep-first by seed_seq — the oracle's add-before-enqueue skip
+        w_seed = Window.partitionBy("url").orderBy("seed_seq")
+        ok = (ok.withColumn("_rn", F.row_number().over(w_seed))
+              .where(F.col("_rn") == 1).drop("_rn"))
         frontier = ok.select(
             "url", "url_hash", self._bucket("url_hash").alias("bucket"), "host",
             F.lit(0).alias("depth"), "priority",
@@ -281,6 +286,24 @@ class CrawlEngine:
                              "crawl_delay": hs["crawl_delay"],
                              "quota": quota.astype(np.int32)})
         alive_pdf = qpdf[qpdf["quota"] > 0]
+        if len(alive_pdf) == 0:
+            # every remaining host's max_pages budget is exhausted: the
+            # crawl is over (oracle: quota<=0 drops the host's rows).
+            # Commit an empty frontier so the driver loop terminates.
+            self.store.stage_write(
+                "frontier", sp.createDataFrame([], FRONTIER_SCHEMA),
+                "replace")
+            metrics = {"round": round_no, "scheduled": 0, "fetched_ok": 0,
+                       "failed": 0, "retried": 0, "rejected": {},
+                       "discovered": 0, "new_urls": 0, "frontier_size": 0,
+                       "url_seen_lineage_per_bucket": {},
+                       "wall_ms": (time.time() - t0) * 1000.0}
+            self.store.stage_write_arrow("metrics", pd.DataFrame([{
+                k: v for k, v in metrics.items()
+                if k not in ("rejected", "url_seen_lineage_per_bucket")}]),
+                "append")
+            self.store.commit(round_no, metrics)
+            return metrics
         quota_cfg = sp.createDataFrame(alive_pdf)
         if cfg.rank_mode == "bfs":
             order_cols = [F.col("depth").asc(), F.col("discovery_seq").asc()]
@@ -314,15 +337,17 @@ class CrawlEngine:
         # the next-frontier anti-join — persisting avoids running the
         # two-phase ranking windows twice
 
-        # -- fetch-simulate (SURVEY S1/S2): join the web graph --------------
-        g = self.graph.select(F.col("bucket").alias("g_bucket"),
-                              F.col("url").alias("g_url"), "status",
+        # -- fetch-simulate (SURVEY S1/S2): join the web graph. URL equality
+        # alone is the correctness key; bucket pruning belongs to the
+        # storage layer (Iceberg SPJ) — a bucket-equality conjunct here
+        # would silently break whenever cfg.n_buckets differs from the
+        # fixture's on-disk bucketing.
+        g = self.graph.select(F.col("url").alias("g_url"), "status",
                               "fail_attempts", "out_links", "image_id")
         fetch = (scheduled.join(
-                     g, on=[scheduled["bucket"] == g["g_bucket"],
-                            scheduled["url"] == g["g_url"]],
+                     g, on=[scheduled["url"] == g["g_url"]],
                      how="left")
-                 .drop("g_url", "g_bucket"))
+                 .drop("g_url"))
         fetch = fetch.withColumn(
             "outcome",
             F.when(F.col("status").isNull() | (F.col("status") != 200),
@@ -357,8 +382,10 @@ class CrawlEngine:
                     .where(F.col("url").isNotNull()
                            & (F.col("host") == F.col("parent_host")))
                     .withColumn("depth", F.col("parent_depth") + 1)
-                    .withColumn("discovery_seq",
-                                F.col("parent_seq") * 64 + F.col("pos") + 1)
+                    .withColumn("discovery_seq",  # = S.child_seq, columnar
+                                F.col("parent_seq")
+                                * F.lit(1 << S.SEQ_LEVEL_BITS)
+                                + F.col("pos") + 1)
                     .drop("parent_host", "parent_depth", "parent_seq", "pos"))
         policed = self._apply_url_policies(
             resolved, self._host_cfg(["host", "crawl_delay",
@@ -373,8 +400,19 @@ class CrawlEngine:
                    .withColumn("bucket", self._bucket("url_hash")))
 
         # -- url_seen anti-join with bloom pre-filter (SURVEY C2) -----------
-        bloom_bytes = self.store.read_blob("bloom") if cfg.use_bloom else None
-        if bloom_bytes is not None:
+        # The sidecar must remain a SUPERSET of url_seen across config
+        # changes: it is read and maintained whenever it exists (even with
+        # probing disabled), and rebuilt from url_seen when probing is
+        # enabled but no blob was carried — otherwise a stale blob's false
+        # "definitely new" verdicts would bypass the exact anti-join.
+        bloom_bytes = self.store.read_blob("bloom")
+        if cfg.use_bloom and bloom_bytes is None:
+            rebuilt = BloomShards.sized_for(cfg.expected_urls, cfg.n_buckets)
+            self._bloom_add(rebuilt,
+                            self.store.read("url_seen")
+                            .select("bucket", "url_hash"))
+            bloom_bytes = rebuilt.to_bytes()
+        if bloom_bytes is not None and cfg.use_bloom:
             bloom = BloomShards.from_bytes(bloom_bytes)
             maybe_seen = bloom_probe_udf(sp, bloom_bytes)
             probed = deduped.withColumn("maybe", maybe_seen("bucket", "url_hash"))
@@ -385,7 +423,10 @@ class CrawlEngine:
                 ["bucket", "url_hash", "url"], "left_anti")
             new_urls = definite_new.unionByName(confirmed)
         else:
-            bloom = None
+            # probing disabled — but keep maintaining an existing sidecar so
+            # re-enabling use_bloom later stays safe
+            bloom = (BloomShards.from_bytes(bloom_bytes)
+                     if bloom_bytes is not None else None)
             new_urls = deduped.join(
                 self.store.read("url_seen").select("bucket", "url_hash", "url"),
                 ["bucket", "url_hash", "url"], "left_anti")
@@ -474,7 +515,10 @@ class CrawlEngine:
             else:
                 lineage[r["k2"]] = r["cnt"]
         reject_counts = {k: v for k, v in policy_counts.items() if k != "ok"}
-        n_discovered = int(sum(policy_counts.values()))
+        # discovered = policy-ACCEPTED candidates (oracle semantics: its
+        # candidates list excludes rejected links); rejects are reported
+        # separately in reject_counts / the edges table
+        n_discovered = int(policy_counts.get("ok", 0))
         n_new = int(sum(lineage.values()))
 
         # -- stage + commit: the four sinks are independent DAGs over cached

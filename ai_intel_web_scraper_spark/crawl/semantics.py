@@ -53,7 +53,7 @@ SEQ_LEVEL_BITS = 6  # 2^6 = 64 slots per page > max 12 out-links + 1
 
 
 def child_seq(parent_seq: int, pos: int) -> int:
-    return parent_seq * 64 + pos + 1
+    return parent_seq * (1 << SEQ_LEVEL_BITS) + pos + 1
 
 
 def host_round_quota(crawl_delay: float,

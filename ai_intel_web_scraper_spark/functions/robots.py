@@ -54,9 +54,11 @@ def parse_robots(text: str | None, agent: str = "spark-frontier") -> tuple[list[
         elif key == "crawl-delay":
             in_rules = True
             try:
-                cur_delay = float(val)
+                v = float(val)
             except ValueError:
-                pass
+                v = None
+            if v is not None and v > 0:  # 0/negative delays are meaningless
+                cur_delay = v            # — treat as absent
         elif key == "allow":
             in_rules = True  # group continues; engine is prefix-deny only
     flush()
@@ -67,7 +69,11 @@ def parse_robots(text: str | None, agent: str = "spark-frontier") -> tuple[list[
         for ua in agents:
             if ua == "*":
                 star = (dis, delay)
-            elif ua in agent or agent in ua:
+            elif ua and agent.startswith(ua):
+                # RFC 9309 §2.2.1: a group matches when its user-agent line
+                # is a case-insensitive PREFIX of the crawler's product
+                # token; longest prefix wins. (Substring containment would
+                # let a group named 'r' hijack 'spark-frontier'.)
                 if best is None or len(ua) > best[0]:
                     best = (len(ua), dis, delay)
     if best is not None:

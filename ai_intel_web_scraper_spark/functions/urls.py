@@ -106,7 +106,10 @@ def _canon_one(u, b) -> str | None:
         return None
     u = u.strip()
     head = u[:8].lower()
-    if head.startswith("https://") or head.startswith("http://"):
+    if ((head.startswith("https://") or head.startswith("http://"))
+            and "\t" not in u and "\n" not in u and "\r" not in u):
+        # embedded tab/CR/LF: urlsplit strips them (WHATWG); route those
+        # rarities through the scalar so fast == slow byte-identically
         r = _canon_abs_fast(u)
         if r is not None or b is None:
             return r

@@ -1,0 +1,153 @@
+"""Regression tests for engine edge cases found in review: budget
+exhaustion, alias seeds, bucket-count independence, bloom staleness across
+config toggles."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ai_intel_web_scraper_spark.crawl.scheduler import CrawlConfig, CrawlEngine
+from ai_intel_web_scraper_spark.functions.urls import canonicalize_url, url_hash64
+from ai_intel_web_scraper_spark.oracle.crawler import oracle_crawl
+
+
+def _mini_fixtures(out: str, seeds: list[tuple[int, str, float]],
+                   pages: dict[str, list[str]], max_pages: int = 1,
+                   max_depth: int = 3) -> dict:
+    """Hand-built one-host web: pages maps url -> out_links."""
+    os.makedirs(out, exist_ok=True)
+    paths = {n: os.path.join(out, f"{n}.parquet")
+             for n in ("web_graph", "seeds", "politeness", "robots")}
+    host = "h0.example"
+    pq.write_table(pa.Table.from_pylist(
+        [{"seed_seq": s, "url": u, "priority": p} for s, u, p in seeds],
+        schema=pa.schema([("seed_seq", pa.int64()), ("url", pa.string()),
+                          ("priority", pa.float64())])), paths["seeds"])
+    graph = []
+    for u, links in pages.items():
+        cu = canonicalize_url(u)
+        h = url_hash64(cu)
+        graph.append({"url": cu, "host": host, "path": cu.split(host)[1],
+                      "url_hash": h, "bucket": int(abs(h)) % 16,
+                      "status": 200, "fail_attempts": 0,
+                      "out_links": links, "image_id": f"img-{len(graph)}"})
+    pq.write_table(pa.Table.from_pylist(graph, schema=pa.schema([
+        ("url", pa.string()), ("host", pa.string()), ("path", pa.string()),
+        ("url_hash", pa.int64()), ("bucket", pa.int32()),
+        ("status", pa.int32()), ("fail_attempts", pa.int32()),
+        ("out_links", pa.list_(pa.string())), ("image_id", pa.string())])),
+        paths["web_graph"])
+    pq.write_table(pa.Table.from_pylist(
+        [{"host": host, "crawl_delay": 1.0, "max_pages": max_pages,
+          "max_depth": max_depth, "exclude_patterns": ["/tag/"]}],
+        schema=pa.schema([("host", pa.string()),
+                          ("crawl_delay", pa.float64()),
+                          ("max_pages", pa.int32()),
+                          ("max_depth", pa.int32()),
+                          ("exclude_patterns", pa.list_(pa.string()))])),
+        paths["politeness"])
+    pq.write_table(pa.Table.from_pylist(
+        [{"host": host, "disallow": [], "crawl_delay_override": None,
+          "body": "User-agent: *\nDisallow:\n"}],
+        schema=pa.schema([("host", pa.string()),
+                          ("disallow", pa.list_(pa.string())),
+                          ("crawl_delay_override", pa.float64()),
+                          ("body", pa.string())])), paths["robots"])
+    return paths
+
+
+BASE = "https://h0.example"
+
+
+@pytest.fixture()
+def mini(tmp_path):
+    """Two pages linking to each other, but max_pages=1: the budget
+    exhausts with a non-empty frontier."""
+    return _mini_fixtures(
+        str(tmp_path / "fx"),
+        seeds=[(0, f"{BASE}/p/0", 0.5)],
+        pages={f"{BASE}/p/0": [f"{BASE}/p/1"],
+               f"{BASE}/p/1": [f"{BASE}/p/0"]},
+        max_pages=1)
+
+
+def test_budget_exhaustion_terminates_cleanly(spark, mini, tmp_path):
+    """When every remaining host's budget is exhausted, the round must
+    commit an empty frontier and stop — not crash on an empty quota table."""
+    eng = CrawlEngine(spark, mini, str(tmp_path / "wh"),
+                      CrawlConfig(write_payload=False, expected_urls=1024))
+    rounds = eng.run()
+    assert rounds[-1]["frontier_size"] == 0
+    assert eng.store.read("fetched").count() == 1  # budget respected
+    want = oracle_crawl(mini)
+    assert len(want.fetched) == 1
+
+
+def test_alias_seeds_fetch_once(spark, tmp_path):
+    """Seed aliases (trailing slash/fragment variants of one URL) collapse
+    to a single frontier row, like the oracle's add-before-enqueue skip."""
+    fx = _mini_fixtures(
+        str(tmp_path / "fx"),
+        seeds=[(0, f"{BASE}/p/0", 0.9), (1, f"{BASE}/p/0/", 0.5),
+               (2, f"{BASE}/p/0#frag", 0.1)],
+        pages={f"{BASE}/p/0": []},
+        max_pages=10)
+    eng = CrawlEngine(spark, fx, str(tmp_path / "wh"),
+                      CrawlConfig(write_payload=False, expected_urls=1024))
+    eng.run()
+    fetched = eng.store.read("fetched").collect()
+    assert len(fetched) == 1
+    assert fetched[0]["discovery_seq"] == 0  # keep-first by seed_seq
+    want = oracle_crawl(fx)
+    assert len(want.fetched) == 1
+
+
+def test_engine_correct_with_non_default_bucket_count(spark, fixtures,
+                                                      tmp_path, oracle_small):
+    """cfg.n_buckets different from the fixture's on-disk 16-way bucketing
+    must not change the crawl (URL equality is the fetch-join key)."""
+    eng = CrawlEngine(spark, fixtures, str(tmp_path / "wh"),
+                      CrawlConfig(write_payload=False, n_buckets=8,
+                                  expected_urls=1 << 14))
+    eng.run()
+    got = [(r["url"], r["round"], r["discovery_seq"]) for r in
+           eng.store.read("fetched")
+           .select("url", "round", "depth", "discovery_seq")
+           .orderBy("round", "depth", "discovery_seq").collect()]
+    want = [(r["url"], r["round"], r["discovery_seq"])
+            for r in oracle_small.fetched]
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def oracle_small(fixtures):
+    return oracle_crawl(fixtures)
+
+
+def test_bloom_toggle_across_resume_never_refetches(spark, tmp_path):
+    """bloom on -> resume with bloom off -> resume with bloom on: the
+    sidecar must stay a superset of url_seen (maintained while disabled,
+    rebuilt if missing) so no URL is ever fetched twice."""
+    chain = {f"{BASE}/p/{i}": [f"{BASE}/p/{i+1}"] for i in range(6)}
+    chain[f"{BASE}/p/6"] = [f"{BASE}/p/0"]  # cycle back: refetch bait
+    fx = _mini_fixtures(str(tmp_path / "fx"),
+                        seeds=[(0, f"{BASE}/p/0", 0.5)],
+                        pages=chain, max_pages=50, max_depth=10)
+    wh = str(tmp_path / "wh")
+    CrawlEngine(spark, fx, wh, CrawlConfig(
+        write_payload=False, use_bloom=True, expected_urls=1024)).run(
+        max_rounds=2)
+    CrawlEngine(spark, fx, wh, CrawlConfig(
+        write_payload=False, use_bloom=False, expected_urls=1024)).run(
+        max_rounds=2)
+    eng = CrawlEngine(spark, fx, wh, CrawlConfig(
+        write_payload=False, use_bloom=True, expected_urls=1024))
+    eng.run()
+    fetched = eng.store.read("fetched")
+    assert fetched.count() == fetched.select("url").distinct().count()
+    assert fetched.count() == 7  # the whole chain, each exactly once

@@ -109,6 +109,7 @@ def test_metrics_match_oracle_rounds(engine, oracle):
         g = got[orow["round"]]
         assert g["scheduled"] == orow["scheduled"]
         assert g["fetched_ok"] == orow["fetched_ok"]
+        assert g["discovered"] == orow["discovered"]
         assert g["new_urls"] == orow["new_urls"]
         assert g["frontier_size"] == orow["frontier_size"]
 
@@ -245,9 +246,11 @@ def test_edges_table_materializes_link_graph(engine, spark):
     excl = edges.where(F.col("dst_url").contains("/tag/"))
     if excl.count():
         assert (excl.where(F.col("reject") != "excluded").count()) == 0
-    # per-round edge counts == the 'discovered' metric
+    # per-round ACCEPTED edge counts == the 'discovered' metric (rejected
+    # links are in the edges table with their reason but not in the metric)
     em = {r["round"]: r["n"] for r in
-          edges.groupBy("round").agg(F.count("*").alias("n")).collect()}
+          edges.where(F.col("reject").isNull())
+          .groupBy("round").agg(F.count("*").alias("n")).collect()}
     mm = {r["round"]: r["discovered"] for r in
           engine.store.read("metrics").collect()}
     for rnd, n in em.items():

@@ -150,3 +150,36 @@ def test_counting_bloom_saturation_is_safe():
     for _ in range(20):  # saturated slots must never decrement to zero
         cb.remove_many(b, h)
     assert cb.maybe_contains(b, h)[0]
+
+
+def test_parse_robots_prefix_matching_not_substring():
+    from ai_intel_web_scraper_spark.functions.robots import parse_robots
+    body = ("User-agent: r\nDisallow: /secret\n"
+            "User-agent: *\nDisallow: /public\n")
+    # 'r' is a substring of 'spark-frontier' but NOT a prefix: * group wins
+    assert parse_robots(body, agent="spark-frontier") == (["/public"], None)
+    # prefix groups DO match, longest prefix wins
+    body2 = ("User-agent: spark\nDisallow: /a\n"
+             "User-agent: spark-frontier\nDisallow: /b\n")
+    assert parse_robots(body2, agent="spark-frontier-2.0") == (["/b"], None)
+    # a LONGER token than the agent is not a prefix of it: no hijack
+    body3 = ("User-agent: spark-frontier-extended\nDisallow: /x\n"
+             "User-agent: *\nDisallow: /y\n")
+    assert parse_robots(body3, agent="spark-frontier") == (["/y"], None)
+
+
+def test_parse_robots_nonpositive_crawl_delay_ignored():
+    from ai_intel_web_scraper_spark.functions.robots import parse_robots
+    assert parse_robots("User-agent: *\nCrawl-delay: 0\n") == ([], None)
+    assert parse_robots("User-agent: *\nCrawl-delay: -2\n") == ([], None)
+    assert parse_robots("User-agent: *\nCrawl-delay: 1.5\n") == ([], 1.5)
+
+
+def test_canonicalize_control_chars_match_scalar():
+    from ai_intel_web_scraper_spark.functions.urls import (canonicalize_series,
+                                                           canonicalize_url)
+    cases = ["http://host/a\tb", "https://ho\nst/x", "http://h/p\r/q/",
+             "https://ok.example/clean"]
+    got = canonicalize_series(pd.Series(cases, dtype=object))
+    for c, g in zip(cases, got):
+        assert g == canonicalize_url(c), (c, g)
