@@ -451,7 +451,7 @@ def q_minhash_pairs(spark, sf_dir):
 
 def q_simhash_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return D.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=12)
+    return D.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=8)
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -459,8 +459,12 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    return V.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"),
-                                     threshold=0.3)
+    """Near-dup vectors: the fixture has no true high-cosine pairs (max
+    observed 0.51), so deterministic perturbed copies (~0.98 cosine) are
+    planted; multi-table LSH banding must recover them."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    both = emb.unionByName(V.perturbed_copies(emb))
+    return V.embedding_neardup_pairs(both, threshold=0.9)
 
 
 def q_recursive_chunks(spark, sf_dir):
@@ -480,9 +484,14 @@ def _crawl_fixture_paths() -> dict:
                                                             WebSpec,
                                                             generate_fixtures)
     out = f"/tmp/spark_graft_entry_fx_v{FX_VERSION}"
-    marker = os.path.join(out, "pages.parquet")
+    marker = os.path.join(out, "_DONE")  # written LAST: a crash mid-generate
+    # must not leave a half-built dir that poisons the cache
     if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
         generate_fixtures(WebSpec(seed=7, n_hosts=5, total_pages=120), out)
+        with open(marker, "w") as f:
+            f.write("ok")
     return {n: os.path.join(out, f"{n}.parquet")
             for n in ("pages", "web_graph", "seeds", "politeness", "robots")}
 

@@ -72,7 +72,10 @@ def _recursive_split(text: str, max_tokens: int, overlap: int) -> list[str]:
         return out
 
     pieces = split_by(text, 0)
-    # greedy merge to <= max_tokens with token overlap between neighbors
+    # greedy merge to <= max_tokens with token overlap between neighbors;
+    # the overlap carry is DROPPED when carry+piece would overflow, so
+    # every emitted chunk is <= max_tokens (pieces are <= max_tokens by
+    # construction of split_by)
     merged: list[str] = []
     cur: list[str] = []
     for p in pieces:
@@ -82,7 +85,10 @@ def _recursive_split(text: str, max_tokens: int, overlap: int) -> list[str]:
         else:
             if cur:
                 merged.append(" ".join(cur))
-            cur = (cur[-overlap:] if overlap and merged else []) + ptoks
+            carry = cur[-overlap:] if overlap and cur else []
+            cur = carry + ptoks
+            if len(cur) > max_tokens:
+                cur = ptoks
     if cur:
         merged.append(" ".join(cur))
     return merged
@@ -116,8 +122,9 @@ def recursive_chunks(df: DataFrame, id_col: str, text_col: str,
                     id_col, "chunk_index", "chunk_text", "token_count",
                     "chunk_id"])
 
+    id_type = dict(df.dtypes)[id_col]  # preserve the caller's id type
     return df.select(*cols).mapInPandas(
-        fn, schema=f"{id_col} long, chunk_index int, chunk_text string, "
+        fn, schema=f"{id_col} {id_type}, chunk_index int, chunk_text string, "
                    "token_count int, chunk_id string")
 
 

@@ -90,10 +90,12 @@ def _minhash_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-@F.pandas_udf(T.ArrayType(T.LongType()))
-def minhash_sig_udf(shingles: pd.Series) -> pd.Series:
-    """64-permutation MinHash signature of a shingle array (SURVEY P9;
-    reference uses datasketch MinHash(128), deduplicator.py:110-146).
+def minhash_text_sig_udf(n: int = 3):
+    """text -> MinHash signature in ONE Arrow UDF (shingling included).
+    Shingling in Python str ops beats the equivalent JVM higher-order
+    expression (transform/slice/concat_ws builds each shingle string
+    through codegen ~5x slower) AND avoids shipping the exploded shingle
+    arrays through Arrow — only the fixed-size signature crosses.
 
     Permutation family: multiply-xorshift over the 64-bit shingle hash with
     natural uint64 wraparound — ((h ^ b_j) * a_j) ^ (v >> 32) — fully
@@ -101,31 +103,6 @@ def minhash_sig_udf(shingles: pd.Series) -> pd.Series:
     (a*h+b) mod M map over NARROW h is NOT min-wise usable: when a*h never
     exceeds M the map is monotone in h and every such "permutation" shares
     one argmin, inflating agreement between unrelated short docs.)"""
-    import hashlib
-    a, b = _minhash_params()
-    out = []
-    with np.errstate(over="ignore"):
-        for arr in shingles:
-            if arr is None or len(arr) == 0:
-                out.append([0] * N_PERM)
-                continue
-            hv = np.fromiter(
-                (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8)
-                                .digest(), "little") for s in arr),
-                dtype=np.uint64, count=len(arr))
-            v = (hv[:, None] ^ b[None, :]) * a[None, :]
-            v ^= v >> np.uint64(32)
-            sig = v.min(axis=0).astype(np.int64)  # signed view; equality-only
-            out.append([int(x) for x in sig])
-    return pd.Series(out)
-
-
-def minhash_text_sig_udf(n: int = 3):
-    """text -> MinHash signature in ONE Arrow UDF (shingling included).
-    Shingling in Python str ops beats the equivalent JVM higher-order
-    expression (transform/slice/concat_ws builds each shingle string
-    through codegen ~5x slower) AND avoids shipping the exploded shingle
-    arrays through Arrow — only the fixed-size signature crosses."""
     a, b = _minhash_params()
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
@@ -214,26 +191,46 @@ def simhash_udf(text: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
-                          max_hamming: int = 8) -> DataFrame:
-    """SimHash near-dup: 4x16-bit block LSH (a pair within hamming distance
-    <=8 of 64 bits shares at least one exact 16-bit block w.h.p. when
-    distance is spread; exact check via bit_count on candidates)."""
-    sh = df.select(F.col(id_col).alias("id"),
-                   simhash_udf(F.col(text_col)).alias("sim"))
-    blocks = sh.select(
-        "id", "sim",
-        F.posexplode(F.array(*[
-            F.shiftrightunsigned("sim", k * 16).bitwiseAND(F.lit(0xFFFF))
-            for k in range(4)])).alias("blk", "blk_val"))
+def hamming_block_pairs(df: DataFrame, id_col: str, hash_col: str,
+                        max_hamming: int) -> DataFrame:
+    """Shared block-LSH for 64-bit hamming near-dup (SimHash, image phash):
+    split the hash into max_hamming+1 bit blocks — by pigeonhole ANY pair
+    within max_hamming differs in at most max_hamming blocks, so at least
+    one block matches EXACTLY (guaranteed recall, not probabilistic) —
+    self-equi-join on (block, value), then exact bit_count verify.
+    Narrower blocks (bigger max_hamming) mean more candidates: the
+    guaranteed-recall tradeoff is inherent."""
+    n_blocks = min(max_hamming + 1, 16)
+    bounds = [i * 64 // n_blocks for i in range(n_blocks)] + [64]
+
+    def block(i: int):
+        width = bounds[i + 1] - bounds[i]
+        shifted = F.shiftrightunsigned(hash_col, bounds[i])
+        if width >= 64:  # single-block case: the mask would overflow int64
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
+    block_cols = [block(i) for i in range(n_blocks)]
+    blocks = df.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h"),
+        F.posexplode(F.array(*block_cols)).alias("blk", "blk_val"))
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (a.join(b, (F.col("a.blk") == F.col("b.blk"))
                    & (F.col("a.blk_val") == F.col("b.blk_val"))
                    & (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    F.col("a.sim").alias("sim_a"), F.col("b.sim").alias("sim_b"))
+                    F.col("a.h").alias("h_a"), F.col("b.h").alias("h_b"))
             .dropDuplicates(["id_a", "id_b"]))
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (cand.withColumn("hamming", hamming)
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
+                          max_hamming: int = 8) -> DataFrame:
+    """SimHash near-dup with guaranteed-recall block LSH (the previous
+    fixed 4x16-bit split only guaranteed recall for hamming <= 3)."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   simhash_udf(F.col(text_col)).alias("sim"))
+    return hamming_block_pairs(sh, "id", "sim", max_hamming)

@@ -68,26 +68,11 @@ def image_resize(pages: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
 
 def phash_hamming_neardup(pages: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """Near-duplicate IMAGES by perceptual-hash hamming distance, using the
-    same 16-bit-block LSH trick as simhash (no O(n^2))."""
-    from pyspark.sql import functions as F
-    blocks = pages.select(
-        F.col("image_id"), F.col("phash"),
-        F.posexplode(F.array(*[
-            F.shiftrightunsigned("phash", k * 16).bitwiseAND(F.lit(0xFFFF))
-            for k in range(4)])).alias("blk", "blk_val"))
-    a, b = blocks.alias("a"), blocks.alias("b")
-    cand = (a.join(b, (F.col("a.blk") == F.col("b.blk"))
-                   & (F.col("a.blk_val") == F.col("b.blk_val"))
-                   & (F.col("a.image_id") < F.col("b.image_id")))
-            .select(F.col("a.image_id").alias("id_a"),
-                    F.col("b.image_id").alias("id_b"),
-                    F.col("a.phash").alias("pa"), F.col("b.phash").alias("pb"))
-            .dropDuplicates(["id_a", "id_b"]))
-    return (cand.withColumn("hamming",
-                            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))))
-            .where(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+    """Near-duplicate IMAGES by perceptual-hash hamming distance via the
+    shared guaranteed-recall block LSH (no O(n^2))."""
+    from .dedup import hamming_block_pairs
+    return hamming_block_pairs(
+        pages.select("image_id", "phash"), "image_id", "phash", max_hamming)
 
 
 def audio_features(df: DataFrame) -> DataFrame:  # pragma: no cover - stub

@@ -22,6 +22,8 @@ from .ranking import cosine_col, topk_by_score
 EMBED_DIM = 32
 _HYPERPLANE_SEED = 1234
 N_HYPERPLANES = 10  # 1024 buckets; multi-probe at 2 bits scans ~5% of data
+N_TABLES = 8        # near-dup banding: 8 tables x 4 hyperplanes
+BITS_PER_TABLE = 4  # P(candidate | cos=0.9) = 1-(1-p^4)^8 ~ 0.9998
 
 
 def brute_force_topk(embeddings: DataFrame, query: list[float], k: int,
@@ -31,9 +33,9 @@ def brute_force_topk(embeddings: DataFrame, query: list[float], k: int,
     return topk_by_score(embeddings, cosine_col(vec_col, query), k, id_col)
 
 
-def _hyperplanes(dim: int) -> np.ndarray:
+def _hyperplanes(dim: int, n: int = N_HYPERPLANES) -> np.ndarray:
     rng = np.random.default_rng(_HYPERPLANE_SEED)
-    return rng.standard_normal((N_HYPERPLANES, dim))
+    return rng.standard_normal((n, dim))
 
 
 def lsh_bucket_udf(dim: int):
@@ -55,36 +57,60 @@ def lsh_topk(embeddings: DataFrame, query: list[float], k: int,
     hamming bits (multi-probe), then exact-scores only those rows.
     At scale the bucket column is a partition/cluster key, so the probe is
     partition pruning, not a full scan."""
+    import itertools
     dim = len(query)
     H = _hyperplanes(dim)
     qsig = int((((H @ np.asarray(query)) > 0)
                 * (1 << np.arange(N_HYPERPLANES))).sum())
     probes = {qsig}
-    if n_probe_bits >= 1:
-        probes |= {qsig ^ (1 << b) for b in range(N_HYPERPLANES)}
-    if n_probe_bits >= 2:
-        probes |= {qsig ^ (1 << b1) ^ (1 << b2)
-                   for b1 in range(N_HYPERPLANES)
-                   for b2 in range(b1 + 1, N_HYPERPLANES)}
+    for r in range(1, min(n_probe_bits, N_HYPERPLANES) + 1):
+        for bits in itertools.combinations(range(N_HYPERPLANES), r):
+            flip = 0
+            for b in bits:
+                flip ^= 1 << b
+            probes.add(qsig ^ flip)
     bucketed = embeddings.withColumn("_bkt", lsh_bucket_udf(dim)(F.col(vec_col)))
     cand = bucketed.where(F.col("_bkt").isin([int(p) for p in probes]))
     return topk_by_score(cand, cosine_col(vec_col, query), k, id_col)
 
 
-def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.92,
+def lsh_table_buckets_udf(dim: int, n_tables: int = N_TABLES,
+                          bits: int = BITS_PER_TABLE):
+    """array of per-TABLE bucket values (banding): one independent
+    bits-hyperplane signature per table. A pair is a candidate if it
+    collides in ANY table — recall 1-(1-p^bits)^n_tables, p = 1 - theta/pi,
+    vs the single-table exact-signature join whose recall is p^all_bits
+    (the bug this replaces: ~1% recall at loose thresholds)."""
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets(vec: pd.Series) -> pd.Series:
+        H = _hyperplanes(dim, n_tables * bits)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vec])
+        signs = ((M @ H.T) > 0).reshape(len(M), n_tables, bits)
+        vals = (signs * (1 << np.arange(bits))).sum(axis=2).astype(np.int32)
+        return pd.Series(list(vals))
+    return buckets
+
+
+def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.9,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH bucket self-join:
-    pairs sharing a bucket are exact-scored; no O(n^2) cross join."""
+    """Embedding-cosine near-duplicate pairs via multi-table LSH banding:
+    candidates collide in >=1 of N_TABLES independent hyperplane tables,
+    then are exact-scored; no O(n^2) cross join."""
     first = embeddings.select(vec_col).first()
     dim = len(first[vec_col])
-    b = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                          lsh_bucket_udf(dim)(F.col(vec_col)).alias("bkt"))
+    b = (embeddings.select(F.col(id_col).alias("id"),
+                           F.col(vec_col).alias("v"),
+                           F.posexplode(
+                               lsh_table_buckets_udf(dim)(F.col(vec_col)))
+                           .alias("tbl", "bkt")))
     l, r = b.alias("l"), b.alias("r")
-    pairs = (l.join(r, (F.col("l.bkt") == F.col("r.bkt"))
+    pairs = (l.join(r, (F.col("l.tbl") == F.col("r.tbl"))
+                    & (F.col("l.bkt") == F.col("r.bkt"))
                     & (F.col("l.id") < F.col("r.id")))
              .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                     F.col("l.v").alias("va"), F.col("r.v").alias("vb")))
+                     F.col("l.v").alias("va"), F.col("r.v").alias("vb"))
+             .dropDuplicates(["id_a", "id_b"]))
     dot = F.aggregate(F.zip_with(F.col("va").cast("array<double>"),
                                  F.col("vb").cast("array<double>"),
                                  lambda a, c: a * c),
@@ -96,6 +122,29 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.92,
     return (pairs.withColumn("cosine", F.round(dot / nrm, 6))
             .where(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+def perturbed_copies(embeddings: DataFrame, id_offset: int = 1_000_000,
+                     noise: float = 0.2, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Deterministic near-duplicate vectors for dedup evaluation: each row
+    gains a copy (id + id_offset) with seeded Gaussian noise added and
+    re-normalized — cos(original, copy) ~ 1/sqrt(1+noise^2) ~ 0.98."""
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def jitter(vid: pd.Series, vec: pd.Series) -> pd.Series:
+        out = []
+        for i, v in zip(vid, vec):
+            a = np.asarray(v, dtype=np.float64)
+            n = np.linalg.norm(a) or 1.0
+            a = a / n
+            g = np.random.default_rng([int(i), 77]).standard_normal(len(a))
+            p = a + noise * g / np.linalg.norm(g)
+            out.append((p / np.linalg.norm(p)).astype(np.float32).tolist())
+        return pd.Series(out)
+
+    return embeddings.select(
+        (F.col(id_col) + id_offset).alias(id_col),
+        jitter(F.col(id_col), F.col(vec_col)).alias(vec_col))
 
 
 def hash_embed_udf(dim: int = EMBED_DIM):

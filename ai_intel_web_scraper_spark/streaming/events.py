@@ -58,25 +58,35 @@ def session_rollup(events: DataFrame, gap: str = "30 minutes",
 def run_stream_once(spark: SparkSession, src_path: str, op,
                     output_mode: str = "complete") -> list:
     """Drive a streaming op over a parquet file source to completion and
-    return the memory-sink rows (test/bench harness)."""
+    return the memory-sink rows (test/bench harness). Cleans up its temp
+    symlink dir and memory-sink view — repeated calls don't accumulate."""
     import os
+    import shutil
+
     name = f"out_{uuid.uuid4().hex[:8]}"
+    tmp_dir = None
     if os.path.isfile(src_path):
         # the file streaming source requires a directory
-        d = f"/tmp/stream_src_{uuid.uuid4().hex[:8]}"
-        os.makedirs(d, exist_ok=True)
+        tmp_dir = f"/tmp/stream_src_{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp_dir, exist_ok=True)
         os.symlink(os.path.abspath(src_path),
-                   os.path.join(d, os.path.basename(src_path)))
-        src_path = d
-    stream = (spark.readStream.schema(EVENTS_SCHEMA)
-              .parquet(src_path))
-    q = (op(stream).writeStream.outputMode(output_mode)
-         .format("memory").queryName(name).start())
+                   os.path.join(tmp_dir, os.path.basename(src_path)))
+        src_path = tmp_dir
     try:
-        q.processAllAvailable()
+        stream = (spark.readStream.schema(EVENTS_SCHEMA)
+                  .parquet(src_path))
+        q = (op(stream).writeStream.outputMode(output_mode)
+             .format("memory").queryName(name).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+        return rows
     finally:
-        q.stop()
-    return spark.sql(f"SELECT * FROM {name}").collect()
+        spark.catalog.dropTempView(name)
+        if tmp_dir is not None:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
 def running_budget_state(events: DataFrame, budget: float = 500.0,

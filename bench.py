@@ -39,15 +39,20 @@ HEADLINE = [
 
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
     import __spark_entry__ as E
     qs = E.queries()
     out = {}
     for name in HEADLINE:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
-        n = df.count()
+        # hash-all-columns aggregate: a bare count() would let Catalyst
+        # prune every computed column on filter-free projection queries and
+        # time only the parquet footer scan
+        df.select(F.xxhash64(*df.columns).alias("_h")) \
+            .agg(F.sum("_h")).collect()
         out[name] = round(time.time() - t0, 3)
-        _ = n
     return out
 
 
