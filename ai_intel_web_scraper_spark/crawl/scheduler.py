@@ -500,7 +500,33 @@ class CrawlEngine:
                    .select(F.lit("lineage").alias("kind"),
                            F.lit(None).cast("string").alias("k1"),
                            F.col("bucket").cast("string").alias("k2"), "cnt"))
-        stats = ho_agg.unionByName(pol_agg).unionByName(lin_agg).collect()
+        stats_df = ho_agg.unionByName(pol_agg).unionByName(lin_agg)
+
+        # -- stage + commit: the five sinks are independent DAGs over cached
+        # inputs, so they run as CONCURRENT Spark jobs (threaded driver),
+        # overlapped with the metrics collect on this thread — the cluster
+        # pipelines all six actions instead of idling between them.
+        from concurrent.futures import ThreadPoolExecutor
+        # materialized web-graph edges (SURVEY §1.3): every same-host
+        # candidate link this round, with its policy outcome — downstream
+        # link-analysis (PageRank-style priors, dead-link audits) reads this
+        edges_rows = policed.select(
+            "src_url", F.col("url").alias("dst_url"),
+            F.lit(round_no).alias("round"), "reject")
+        sink_writes = [
+            ("edges", edges_rows, "append"),
+            ("frontier", next_frontier, "replace"),
+            ("url_seen", new_urls.select("url", "url_hash", "bucket",
+                                         F.lit(round_no).alias("round_added")),
+             "append"),
+            ("fetched", fetched_rows, "append"),
+            ("failures", failure_rows, "append"),
+        ]
+        pool = ThreadPoolExecutor(max_workers=len(sink_writes))
+        futs = [pool.submit(self.store.stage_write, t, df, m)
+                for t, df, m in sink_writes]
+
+        stats = stats_df.collect()
         outcome_counts: dict[str, int] = {}
         host_ok: dict[str, int] = {}
         policy_counts: dict[str, int] = {}
@@ -521,30 +547,9 @@ class CrawlEngine:
         n_discovered = int(policy_counts.get("ok", 0))
         n_new = int(sum(lineage.values()))
 
-        # -- stage + commit: the four sinks are independent DAGs over cached
-        # inputs, so they run as CONCURRENT Spark jobs (threaded driver) —
-        # the cluster pipelines them instead of idling between actions.
-        from concurrent.futures import ThreadPoolExecutor
-        # materialized web-graph edges (SURVEY §1.3): every same-host
-        # candidate link this round, with its policy outcome — downstream
-        # link-analysis (PageRank-style priors, dead-link audits) reads this
-        edges_rows = policed.select(
-            "src_url", F.col("url").alias("dst_url"),
-            F.lit(round_no).alias("round"), "reject")
-        sink_writes = [
-            ("edges", edges_rows, "append"),
-            ("frontier", next_frontier, "replace"),
-            ("url_seen", new_urls.select("url", "url_hash", "bucket",
-                                         F.lit(round_no).alias("round_added")),
-             "append"),
-            ("fetched", fetched_rows, "append"),
-            ("failures", failure_rows, "append"),
-        ]
-        with ThreadPoolExecutor(max_workers=len(sink_writes)) as pool:
-            futs = [pool.submit(self.store.stage_write, t, df, m)
-                    for t, df, m in sink_writes]
-            for f in futs:
-                f.result()
+        for f in futs:  # join the concurrent sink writes
+            f.result()
+        pool.shutdown()
         new_hs = hs.copy()
         if host_ok:
             delta = new_hs["host"].map(host_ok).fillna(0).astype(np.int64)
