@@ -41,9 +41,9 @@ def canonicalize_url(url: str, base_url: str | None = None) -> str | None:
     if not url:
         return None
     u = url.strip()
-    if base_url:
-        u = urljoin(base_url, u)
     try:
+        if base_url:
+            u = urljoin(base_url, u)  # raises on malformed IPv6 brackets
         parts = urlsplit(u)
     except ValueError:
         return None
@@ -104,18 +104,24 @@ def _canon_abs_fast(u: str) -> str | None:
 def _canon_one(u, b) -> str | None:
     if u is None:
         return None
-    u = u.strip()
-    head = u[:8].lower()
+    s = u.strip()
+    head = s[:8].lower()
     if ((head.startswith("https://") or head.startswith("http://"))
-            and "\t" not in u and "\n" not in u and "\r" not in u):
-        # embedded tab/CR/LF: urlsplit strips them (WHATWG); route those
-        # rarities through the scalar so fast == slow byte-identically
-        r = _canon_abs_fast(u)
+            and "\t" not in s and "\n" not in s and "\r" not in s
+            and "[" not in s and "]" not in s
+            and not (b is not None and ";" in s)):
+        # deferred rarities so fast == slow byte-identically: embedded
+        # tab/CR/LF (urlsplit strips them, WHATWG), IPv6-style brackets
+        # (urlsplit validates them, possibly raising), and ';' path-params
+        # when a base is present (urljoin recomposes via urlparse and drops
+        # empty params even for absolute URLs — reference semantics)
+        r = _canon_abs_fast(s)
         if r is not None or b is None:
             return r
         # empty-host absolutes (https://?q) resolve against the base in
         # urljoin — rare garbage; keep byte-identical via the slow path
-    return canonicalize_url(u, b)
+    return canonicalize_url(u, b)  # ORIGINAL string: the scalar's own
+    # empty-vs-whitespace edge semantics must be preserved exactly
 
 
 def canonicalize_series(urls: pd.Series, bases: pd.Series | None = None) -> pd.Series:

@@ -183,3 +183,39 @@ def test_canonicalize_control_chars_match_scalar():
     got = canonicalize_series(pd.Series(cases, dtype=object))
     for c, g in zip(cases, got):
         assert g == canonicalize_url(c), (c, g)
+
+
+def test_canonicalize_fast_path_property_based():
+    """Property test: the vectorized canonicalizer equals the urlsplit-based
+    scalar on arbitrary URL-ish strings (the fast path must be
+    byte-identical or defer)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ai_intel_web_scraper_spark.functions.urls import (canonicalize_series,
+                                                           canonicalize_url)
+
+    piece = st.text(
+        alphabet="abcXYZ019-._~:/?#[]@!$&'()*+,;= \t\n%\\",
+        max_size=24)
+    url_ish = st.one_of(
+        st.builds(lambda h, p: f"https://{h}/{p}", piece, piece),
+        st.builds(lambda h, p: f"HTTP://{h}{p}", piece, piece),
+        piece,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(url_ish, min_size=1, max_size=8),
+           st.one_of(st.none(), st.just("https://base.example/dir/page")))
+    def check(urls, base):
+        bases = (None if base is None
+                 else pd.Series([base] * len(urls), dtype=object))
+        got = canonicalize_series(pd.Series(urls, dtype=object), bases)
+        for u, g in zip(urls, got):
+            try:
+                want = canonicalize_url(u, base)
+            except Exception:
+                want = None
+            assert g == want, (u, base, g, want)
+
+    check()
