@@ -301,6 +301,29 @@ def q_bench_numbers(spark, sf_dir):
                         "unit")
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-table join (broadcast dim -> fact), filtered on
+    both sides of the join, grouped revenue, global top-10 (heap top-k)."""
+    cust = (_t(spark, sf_dir, "customer")
+            .where(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (_t(spark, sf_dir, "orders")
+              .where(F.col("o_orderdate") < "1998-01-01")
+              .select("o_orderkey", "o_custkey", "o_orderdate"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .where(F.col("l_shipdate") > "1996-01-01")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    cents = F.round(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 100).cast("long")
+    return (orders.join(F.broadcast(cust),
+                        orders["o_custkey"] == cust["c_custkey"])
+            .join(li, orders["o_orderkey"] == li["l_orderkey"])
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(F.sum(cents).alias("revenue_cents"))
+            .orderBy(F.desc("revenue_cents"), F.asc("o_orderkey"))
+            .limit(10))
+
+
 def q_nation_coverage(spark, sf_dir):
     """Set-difference (EXCEPT) + broadcast dim join: nations that have
     customers but no high-balance supplier."""
@@ -580,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_classify": q_url_classify,
         "bench_numbers": q_bench_numbers,
         "nation_coverage": q_nation_coverage,
+        "shipping_priority": q_shipping_priority,
         "global_budget": q_global_budget,
         "new_docs_anti": q_new_docs_anti,
         "stream_windowed_counts": q_stream_windowed_counts,
@@ -879,6 +903,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT s_nationkey AS nationkey FROM supplier
               WHERE s_acctbal > 9000)
             JOIN nation ON nationkey = n_nationkey""",
+        "shipping_priority": """
+            SELECT o_orderkey, o_orderdate,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT)) AS revenue_cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1996-01-01'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""",
         "global_budget": """
             SELECT doc_id, n_chars FROM (
               SELECT doc_id, n_chars,

@@ -308,3 +308,16 @@ def test_politeness_rank_equals_naive_single_window(spark):
     a = {tuple(r[c] for c in key) for r in got.select(*key).collect()}
     b = {tuple(r[c] for c in key) for r in naive.select(*key).collect()}
     assert a == b and len(a) > 0
+
+
+def test_greedy_keep_first_dedup_drops_later_matches(spark):
+    pairs = spark.createDataFrame(
+        [(1, 5, 0.9), (2, 7, 0.8), (5, 9, 0.3)],
+        "id_a long, id_b long, est_jaccard double")
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 5, 7, 9)], "doc_id long")
+    kept = {r["doc_id"] for r in
+            D.greedy_keep_first_dedup(pairs, ids, "doc_id",
+                                      threshold=0.6).collect()}
+    # 5 and 7 pair with a smaller id above threshold -> dropped;
+    # 9 only pairs below threshold -> kept
+    assert kept == {1, 2, 9}
