@@ -145,5 +145,16 @@ def hash64_series(urls: pd.Series) -> pd.Series:
     return pd.Series(out, index=urls.index)
 
 
+def _host_of_canonical(u: str) -> str:
+    """Host of an ALREADY-CANONICAL url (scheme://lowerhost[/path]) by
+    slicing — equal to url_host on that domain, ~10x faster than urlsplit."""
+    i = u.find("://") + 3
+    j = u.find("/", i)
+    return u[i:j] if j >= 0 else u[i:]
+
+
 def host_series(urls: pd.Series) -> pd.Series:
-    return urls.map(lambda u: url_host(u) if u else None)
+    """Vectorized host extraction for CANONICAL urls (the resolve pipeline
+    applies this to canonicalize_series output only)."""
+    return pd.Series([_host_of_canonical(u) if u else None for u in urls],
+                     index=urls.index, dtype=object)
