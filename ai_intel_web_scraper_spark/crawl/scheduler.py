@@ -209,7 +209,9 @@ class CrawlEngine:
                                 "crawl_delay_override":
                                     parsed["crawl_delay"].to_numpy()})
         hs = pol.merge(rob, on="host", how="left")
-        hs["crawl_delay"] = hs["crawl_delay_override"].fillna(hs["crawl_delay"])
+        ovr = hs["crawl_delay_override"]
+        hs["crawl_delay"] = np.where(ovr.notna() & (ovr > 0),
+                                     ovr, hs["crawl_delay"])
         hs["fetched_count"] = np.int64(0)
         as_list = (lambda v: list(v)
                    if isinstance(v, (list, np.ndarray)) else [])

@@ -57,7 +57,10 @@ def oracle_crawl(fixtures: dict, max_rounds: int = 200,
         if p is None:
             return None
         r = rob.get(host, {})
-        delay = r.get("crawl_delay_override") or p["crawl_delay"]
+        ovr = r.get("crawl_delay_override")
+        # mirror the engine's robots parser: only positive overrides count
+        # (falsy-or would keep a negative override and diverge)
+        delay = ovr if (ovr is not None and ovr > 0) else p["crawl_delay"]
         return {"crawl_delay": float(delay), "max_pages": p["max_pages"],
                 "max_depth": p["max_depth"],
                 "exclude": list(p["exclude_patterns"]),

@@ -76,6 +76,15 @@ class WebSpec:
             counts = np.minimum(counts, self.max_pages_per_host)
         self.pages_per_host = counts
         self.cum_pages = np.concatenate([[0], np.cumsum(counts)])
+        # discovery_seq grows SEQ_LEVEL_BITS (6) bits per depth level on top
+        # of the seed_seq; enforce the int64 envelope the scheduler's long
+        # column requires (semantics.py documents depth<=8, seeds<2^14)
+        if self.n_hosts >= 1 << 14:
+            raise ValueError("n_hosts >= 2^14 overflows discovery_seq: "
+                             "seed_seq + 6 bits/level must fit int64")
+        if self.depth_add > 4:  # politeness max_depth is 2-4 + depth_add
+            raise ValueError("depth_add > 4 pushes max_depth past 8 and "
+                             "overflows discovery_seq at depth")
 
     # ------------------------------------------------------------ identity
     @property
@@ -207,7 +216,8 @@ class WebSpec:
             elif style < 0.72:
                 u = u + "?utm=x"         # query variant
             links.append(u)
-        # ~2% of pages repeat their first link (duplicate in-list)
+        # ~25% of link-bearing pages repeat their first link (in-list
+        # duplicate, exercises SURVEY C16 keep-first)
         if links and rng.random() < 0.25:
             links.append(links[0])
         return links
@@ -394,7 +404,9 @@ def generate_fixtures_spark(spark, spec: WebSpec, out_dir: str,
     hosts = spark.range(0, spec.n_hosts).repartition(slices, "id")
     (hosts.mapInPandas(gen_partition("pages", with_bytes), schema=pages_schema)
      .write.mode("overwrite").partitionBy("bucket").parquet(paths["pages"]))
-    (hosts.mapInPandas(gen_partition("graph", with_bytes), schema=graph_schema)
+    # graph rows are independent of the image payload: never re-encode the
+    # images just to throw them away (halves bench-scale fixture cost)
+    (hosts.mapInPandas(gen_partition("graph", False), schema=graph_schema)
      .write.mode("overwrite").partitionBy("bucket").parquet(paths["web_graph"]))
 
     write_config_tables(spec, paths)  # small tables: local writer is fine

@@ -31,6 +31,12 @@ def norm_cell(v):
     if isinstance(v, float):
         if v != v:
             return "NaN"
+        if v == 0.0:
+            return "0"  # -0.0 and 0.0 must normalize identically
+        # NOTE: absolute 6-dp formatting mirrors the driver's gate; it is
+        # unstable for |v| >= ~1e8 where engine summation order flips the
+        # 6th decimal — queries therefore keep values exact (integer cents)
+        # or explicitly rounded on BOTH sides, never raw aggregated doubles
         return f"{v:.6f}".rstrip("0").rstrip(".") or "0"
     if isinstance(v, bytes):
         return v.hex()
@@ -58,6 +64,10 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oq = E.queries(), E.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"FAIL: unknown query name(s): {sorted(unknown)}")
+        return 1
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
         if only and name not in only:
