@@ -417,6 +417,20 @@ def q_stream_sessions(spark, sf_dir):
     return spark.createDataFrame(rows)
 
 
+def q_sql_top_events(spark, sf_dir):
+    """The engine's SQL surface: the same catalog the DataFrame API uses,
+    driven through spark.sql text (windowed top-1 per user). Identical SQL
+    runs on DuckDB as the oracle."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql("""
+        SELECT user_id, event_id, event_type, cents FROM (
+          SELECT user_id, event_id, event_type,
+                 CAST(round(value * 100) AS BIGINT) AS cents,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id) AS rn
+          FROM events_v) WHERE rn = 1""")
+
+
 def q_process_pipeline(spark, sf_dir):
     """SURVEY §3.2 lifecycle composite (reference pipeline.py:161-223):
     clean -> quality-filter -> exact dedup, with per-stage record accounting
@@ -612,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_fanout": q_topic_fanout,
         "stream_budget_state": q_stream_budget_state,
         "process_pipeline": q_process_pipeline,
+        "sql_top_events": q_sql_top_events,
         # rows-only (non-SQL-expressible: UDF-bound / stateful)
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -933,6 +948,13 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CAST(round(value * 100) AS BIGINT))::DOUBLE, 4)
                        AS total_value
             FROM events GROUP BY 1, 2, 3""",
+        "sql_top_events": """
+            SELECT user_id, event_id, event_type, cents FROM (
+              SELECT user_id, event_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id) AS rn
+              FROM events) WHERE rn = 1""",
         "process_pipeline": f"""
             WITH cleaned AS (
               SELECT doc_id,
