@@ -151,3 +151,32 @@ def test_bloom_toggle_across_resume_never_refetches(spark, tmp_path):
     fetched = eng.store.read("fetched")
     assert fetched.count() == fetched.select("url").distinct().count()
     assert fetched.count() == 7  # the whole chain, each exactly once
+
+
+@pytest.mark.parametrize("seed,n_hosts,pages,dup", [
+    (101, 7, 200, 0.0),
+    (202, 3, 90, 0.3),
+    (303, 12, 350, 0.1),
+])
+def test_randomized_webs_match_oracle(spark, tmp_path, seed, n_hosts,
+                                      pages, dup):
+    """Crawl parity must hold on arbitrary web shapes, not just the one
+    fixture: random seeds, host counts, sizes, and image-dup rates."""
+    from ai_intel_web_scraper_spark.synth.generator import (WebSpec,
+                                                            generate_fixtures)
+    spec = WebSpec(seed=seed, n_hosts=n_hosts, total_pages=pages,
+                   dup_frac=dup)
+    fx = generate_fixtures(spec, str(tmp_path / "fx"), with_bytes=False)
+    eng = CrawlEngine(spark, fx, str(tmp_path / "wh"),
+                      CrawlConfig(write_payload=False, expected_urls=1 << 12))
+    eng.run()
+    want = oracle_crawl(fx)
+    got = [(r["url"], r["round"], r["depth"], r["discovery_seq"]) for r in
+           eng.store.read("fetched")
+           .select("url", "round", "depth", "discovery_seq")
+           .orderBy("round", "depth", "discovery_seq").collect()]
+    assert got == [(r["url"], r["round"], r["depth"], r["discovery_seq"])
+                   for r in want.fetched]
+    got_seen = {r["url"] for r in
+                eng.store.read("url_seen").select("url").collect()}
+    assert got_seen == want.url_seen
