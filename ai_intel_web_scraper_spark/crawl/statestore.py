@@ -185,3 +185,16 @@ class SnapshotStore:
             return None
         with open(os.path.join(self.root, "blobs", fname), "rb") as f:
             return f.read()
+
+
+def merge_upsert(store: SnapshotStore, table: str, updates,
+                 key_cols: list[str]) -> None:
+    """SURVEY S9: keyed upsert (Iceberg `MERGE INTO ... WHEN MATCHED UPDATE
+    WHEN NOT MATCHED INSERT` analog; the reference batches ChromaDB upserts,
+    vectorstore/store.py:69-125). Stages current-rows-minus-matched plus all
+    updates as a REPLACE; the swap to real Iceberg is a single MERGE
+    statement at this call site."""
+    current = store.read(table)
+    survivors = current.join(updates.select(*key_cols).distinct(),
+                             key_cols, "left_anti")
+    store.stage_write(table, survivors.unionByName(updates), "replace")

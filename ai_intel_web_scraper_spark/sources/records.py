@@ -66,3 +66,24 @@ def paginated_urls(spark: SparkSession, pattern: str,
     return (spark.range(first, last + 1)
             .select(F.col("id").cast("int").alias("page"),
                     F.format_string(pattern, F.col("id")).alias("url")))
+
+
+def cursor_paginated_source(spark: SparkSession, fetch_page,
+                            schema, max_pages: int = 10_000) -> DataFrame:
+    """SURVEY S3/S4: cursor/offset-paginated external source. The reference
+    loops GitHub REST pages (`page`,`per_page` until empty,
+    github_scraper.py:113-216) and GraphQL cursors (`after`/`hasNextPage`,
+    github_scraper.py:233-334). Generic shape: `fetch_page(cursor) ->
+    (rows, next_cursor|None)`; each page becomes a small DataFrame,
+    accumulated with unionByName — the driver holds one page at a time,
+    never the whole result."""
+    out = None
+    cursor = None
+    for _ in range(max_pages):
+        rows, cursor = fetch_page(cursor)
+        if rows:
+            page_df = spark.createDataFrame(rows, schema)
+            out = page_df if out is None else out.unionByName(page_df)
+        if cursor is None:
+            break
+    return out if out is not None else spark.createDataFrame([], schema)
