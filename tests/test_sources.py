@@ -64,3 +64,45 @@ def test_merge_upsert_updates_and_inserts(spark, tmp_path):
     old = {r["cid"]: r["txt"] for r in
            store.read("chunks", snap_id=1).collect()}
     assert old == {"a": "one", "b": "two"}
+
+
+def test_vectorize_pipeline_upserts_changed_docs(spark, sf_dir, tmp_path):
+    """SURVEY §3.3 end-to-end: chunk -> embed -> upsert; re-vectorizing a
+    CHANGED document replaces its chunks while others survive, and the
+    pre-change snapshot remains readable."""
+    from pyspark.sql import functions as F
+
+    from ai_intel_web_scraper_spark.pipelines import vectorize
+    docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .limit(30).persist())
+    wh = str(tmp_path / "vec_wh")
+    store = vectorize(spark, docs, wh)
+    first = store.read("chunks").persist()
+    n1 = first.count()
+    assert n1 > 30  # multiple chunks per doc
+    assert first.where(F.size("embedding") > 0).count() == n1
+    assert first.select("chunk_id").distinct().count() == n1
+
+    # change one document's text and re-vectorize everything
+    changed = docs.withColumn(
+        "text", F.when(F.col("doc_id") == docs.first()["doc_id"],
+                       F.lit("totally new words " * 30))
+        .otherwise(F.col("text")))
+    store2 = vectorize(spark, changed, wh)
+    second = store2.read("chunks")
+    changed_id = docs.first()["doc_id"]
+    old_rows = {r["chunk_id"] for r in
+                first.where(F.col("doc_id") != changed_id)
+                .select("chunk_id").collect()}
+    new_rows = {r["chunk_id"] for r in
+                second.where(F.col("doc_id") != changed_id)
+                .select("chunk_id").collect()}
+    assert old_rows == new_rows  # untouched docs' chunks survive
+    assert (second.where(F.col("doc_id") == changed_id).count()
+            != first.where(F.col("doc_id") == changed_id).count()) or (
+        {r["chunk_id"] for r in
+         second.where(F.col("doc_id") == changed_id).collect()}
+        != {r["chunk_id"] for r in
+            first.where(F.col("doc_id") == changed_id).collect()})
+    # time travel: snapshot 1 still shows the original chunk set
+    assert store2.read("chunks", snap_id=1).count() == n1
