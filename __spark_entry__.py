@@ -486,6 +486,13 @@ def q_minhash_pairs(spark, sf_dir):
     return D.minhash_neardup_pairs(docs, "doc_id", "text")
 
 
+def q_minhash_verified(spark, sf_dir):
+    """LSH candidates -> exact-Jaccard verify (estimate prunes, exact
+    decides)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_verified_pairs(docs, "doc_id", "text", threshold=0.05)
+
+
 def q_simhash_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return D.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=8)
@@ -629,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_top_events": q_sql_top_events,
         # rows-only (non-SQL-expressible: UDF-bound / stateful)
         "minhash_pairs": q_minhash_pairs,
+        "minhash_verified": q_minhash_verified,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_neardup": q_embedding_neardup,

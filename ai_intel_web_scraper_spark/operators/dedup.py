@@ -156,6 +156,39 @@ def minhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("id_a", "id_b", "est_jaccard"))
 
 
+def minhash_verified_pairs(df: DataFrame, id_col: str, text_col: str,
+                           n: int = 3, threshold: float = 0.6) -> DataFrame:
+    """The full near-dup pipeline (SURVEY P9 at scale): MinHash-LSH surfaces
+    candidate pairs (no O(n^2)); the small candidate set then joins the
+    texts back and computes EXACT n-gram Jaccard in one Arrow UDF — the
+    estimate never decides, it only prunes. Returns pairs with
+    (est_jaccard, jaccard) at jaccard >= threshold."""
+    cand = minhash_neardup_pairs(df, id_col, text_col, n)
+    texts = df.select(F.col(id_col), F.col(text_col))
+    with_texts = (cand
+                  .join(texts.select(F.col(id_col).alias("id_a"),
+                                     F.col(text_col).alias("_ta")), "id_a")
+                  .join(texts.select(F.col(id_col).alias("id_b"),
+                                     F.col(text_col).alias("_tb")), "id_b"))
+
+    @F.pandas_udf(T.DoubleType())
+    def exact_jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = np.empty(len(ta), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(ta, tb)):
+            def sh(t):
+                w = (t or "").lower().split()
+                return (set(" ".join(w[j:j + n]) for j in range(len(w) - n + 1))
+                        if len(w) >= n else {" ".join(w)})
+            a, b = sh(x), sh(y)
+            out[i] = len(a & b) / max(len(a | b), 1)
+        return pd.Series(out)
+
+    return (with_texts
+            .withColumn("jaccard", F.round(exact_jaccard("_ta", "_tb"), 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "est_jaccard", "jaccard"))
+
+
 def greedy_keep_first_dedup(pairs: DataFrame, all_ids: DataFrame,
                             id_col: str, threshold: float = 0.6) -> DataFrame:
     """Reference-greedy approximation (deduplicator.py:105-158 keeps a record

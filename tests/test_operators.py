@@ -321,3 +321,17 @@ def test_greedy_keep_first_dedup_drops_later_matches(spark):
     # 5 and 7 pair with a smaller id above threshold -> dropped;
     # 9 only pairs below threshold -> kept
     assert kept == {1, 2, 9}
+
+
+def test_minhash_verified_pairs_match_exact_jaccard(spark, sf_dir):
+    """The verify stage must agree with the exact jaccard_pairs operator on
+    every surviving pair (the LSH estimate only prunes, never decides)."""
+    docs = _docs(spark, sf_dir).limit(150)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           D.minhash_verified_pairs(docs, "doc_id", "text",
+                                    threshold=0.05).collect()}
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             D.jaccard_pairs(docs, "doc_id", "text",
+                             threshold=0.05).collect()}
+    for k, v in got.items():
+        assert abs(exact[k] - v) < 1e-6  # identical exact values
