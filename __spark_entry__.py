@@ -417,6 +417,16 @@ def q_stream_sessions(spark, sf_dir):
     return spark.createDataFrame(rows)
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (corpus length profiling —
+    the training-data analog of the reference's status accounting)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50"),
+                 F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90")))
+
+
 def q_sql_top_events(spark, sf_dir):
     """The engine's SQL surface: the same catalog the DataFrame API uses,
     driven through spark.sql text (windowed top-1 per user). Identical SQL
@@ -634,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_budget_state": q_stream_budget_state,
         "process_pipeline": q_process_pipeline,
         "sql_top_events": q_sql_top_events,
+        "length_quantiles": q_length_quantiles,
         # rows-only (non-SQL-expressible: UDF-bound / stateful)
         "minhash_pairs": q_minhash_pairs,
         "minhash_verified": q_minhash_verified,
@@ -956,6 +967,11 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CAST(round(value * 100) AS BIGINT))::DOUBLE, 4)
                        AS total_value
             FROM events GROUP BY 1, 2, 3""",
+        "length_quantiles": """
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90
+            FROM documents GROUP BY source""",
         "sql_top_events": """
             SELECT user_id, event_id, event_type, cents FROM (
               SELECT user_id, event_id, event_type,
