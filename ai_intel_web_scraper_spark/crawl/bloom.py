@@ -224,3 +224,131 @@ class CountingBloomShards(BloomShards):
         raise NotImplementedError(
             "counting shards merge by counter addition, not OR; "
             "use add_many from the executor rows")
+
+
+class CuckooShards:
+    """Per-bucket cuckoo filters (the rule's alternative to counting bloom):
+    16-bit fingerprints in 4-slot buckets with partial-cuckoo relocation.
+    vs counting bloom: deletes without saturation risk, ~2x denser at 1%
+    FPR, and membership probes touch exactly TWO buckets (cache-friendly)
+    instead of K scattered bits. Same sharding story as BloomShards (one
+    filter per url_hash bucket, serialized into the snapshot sidecar).
+
+    Vectorized probe: both candidate bucket rows for the whole batch are
+    gathered with numpy fancy indexing and compared against fingerprints in
+    one pass — no per-row Python in the hot path.
+    """
+
+    SLOTS = 4
+    MAX_KICKS = 250
+
+    def __init__(self, n_buckets: int, n_slots_log2: int,
+                 shards: dict[int, np.ndarray] | None = None) -> None:
+        self.n_buckets = n_buckets
+        self.n_slots_log2 = n_slots_log2  # buckets per shard = 2^this
+        self.shards = shards if shards is not None else {}
+
+    @classmethod
+    def sized_for(cls, expected_keys: int, n_buckets: int) -> "CuckooShards":
+        per_shard = max(1024, expected_keys // max(1, n_buckets))
+        # 4-slot cuckoo sustains ~84% load with random-walk relocation;
+        # rounding the bucket count up to a power of two leaves headroom
+        need = int(per_shard / (cls.SLOTS * 0.84)) + 1
+        return cls(n_buckets, max(8, int(np.ceil(np.log2(need)))))
+
+    def _shard(self, bucket: int) -> np.ndarray:
+        s = self.shards.get(bucket)
+        if s is None:
+            s = np.zeros((1 << self.n_slots_log2, self.SLOTS),
+                         dtype=np.uint16)  # 0 = empty slot
+            self.shards[bucket] = s
+        return s
+
+    def _fp_and_index(self, hashes: np.ndarray):
+        u = hashes.astype(np.uint64)
+        fp = ((u >> np.uint64(48)) | np.uint64(1)).astype(np.uint16)  # never 0
+        # index bits 16.. — DISJOINT from the shard key (|hash| % n_buckets,
+        # low bits) and the fingerprint (top 16): sharing bits with the
+        # shard key would leave every shard using only a fraction of its
+        # buckets (correlated-hash degeneracy)
+        i1 = ((u >> np.uint64(16))
+              & np.uint64((1 << self.n_slots_log2) - 1)).astype(np.int64)
+        return fp, i1
+
+    def _alt_index(self, i: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        # standard cuckoo-filter partner bucket: i XOR hash(fp)
+        h = (fp.astype(np.uint64) * np.uint64(0x5BD1E9955BD1E995))
+        return ((i.astype(np.uint64) ^ h)
+                & np.uint64((1 << self.n_slots_log2) - 1)).astype(np.int64)
+
+    def add_many(self, buckets: np.ndarray, hashes: np.ndarray) -> None:
+        for b in np.unique(buckets):
+            shard = self._shard(int(b))
+            fps, i1s = self._fp_and_index(hashes[buckets == b])
+            i2s = self._alt_index(i1s, fps)
+            rng = np.random.default_rng(int(b) + 991)
+            for fp, i1, i2 in zip(fps, i1s, i2s):
+                if self._insert_one(shard, int(fp), int(i1), int(i2), rng):
+                    continue
+                raise RuntimeError("cuckoo filter full; resize required")
+
+    def _insert_one(self, shard, fp, i1, i2, rng) -> bool:
+        for i in (i1, i2):
+            row = shard[i]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                return True
+        i = i1 if rng.random() < 0.5 else i2
+        for _ in range(self.MAX_KICKS):
+            slot = int(rng.integers(0, self.SLOTS))
+            fp, shard[i][slot] = int(shard[i][slot]), fp
+            i = int(self._alt_index(np.array([i]), np.array([fp], dtype=np.uint16))[0])
+            row = shard[i]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                return True
+        return False
+
+    def remove_many(self, buckets: np.ndarray, hashes: np.ndarray) -> None:
+        """Delete previously-added keys (standard cuckoo contract)."""
+        for b in np.unique(buckets):
+            shard = self._shard(int(b))
+            fps, i1s = self._fp_and_index(hashes[buckets == b])
+            i2s = self._alt_index(i1s, fps)
+            for fp, i1, i2 in zip(fps, i1s, i2s):
+                for i in (int(i1), int(i2)):
+                    hit = np.nonzero(shard[i] == fp)[0]
+                    if len(hit):
+                        shard[i][hit[0]] = 0
+                        break
+
+    def maybe_contains(self, buckets: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(hashes), dtype=bool)
+        for b in np.unique(buckets):
+            mask = buckets == b
+            shard = self.shards.get(int(b))
+            if shard is None:
+                continue
+            fps, i1s = self._fp_and_index(hashes[mask])
+            i2s = self._alt_index(i1s, fps)
+            hit1 = (shard[i1s] == fps[:, None]).any(axis=1)
+            hit2 = (shard[i2s] == fps[:, None]).any(axis=1)
+            out[mask] = hit1 | hit2
+        return out
+
+    # ------------------------------------------------------------ serialize
+    def to_bytes(self) -> bytes:
+        buf = io.BytesIO()
+        np.savez(buf, meta=np.array([self.n_buckets, self.n_slots_log2],
+                                    dtype=np.int64),
+                 **{f"b{k}": v for k, v in self.shards.items()})
+        return zlib.compress(buf.getvalue(), 3)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "CuckooShards":
+        with np.load(io.BytesIO(zlib.decompress(data))) as z:
+            nb, sl = (int(x) for x in z["meta"])
+            shards = {int(k[1:]): z[k].copy() for k in z.files if k != "meta"}
+        return cls(nb, sl, shards)

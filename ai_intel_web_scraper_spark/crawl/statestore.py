@@ -150,6 +150,20 @@ class SnapshotStore:
         self._staged_blobs = {}
         return snap_id
 
+    def compact(self, table: str) -> int:
+        """Iceberg `rewrite_data_files` analog: an append-heavy table (e.g.
+        url_seen gains one dir per round) is rewritten into a single fresh
+        dir and staged as REPLACE. Old snapshots keep reading the old dirs
+        (they stay on disk, referenced by their manifests); time travel is
+        unaffected. Returns the number of dirs compacted, 0 if nothing to
+        do. Caller commits."""
+        snap = self.snapshot()
+        dirs = (snap or {}).get("tables", {}).get(table, [])
+        if len(dirs) <= 1:
+            return 0
+        self.stage_write(table, self.read(table), "replace")
+        return len(dirs)
+
     def history(self) -> list[dict]:
         """Snapshot lineage (Iceberg `history()` analog): one entry per
         committed snapshot, newest last — drives time-travel reads via

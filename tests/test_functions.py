@@ -219,3 +219,25 @@ def test_canonicalize_fast_path_property_based():
             assert g == want, (u, base, g, want)
 
     check()
+
+
+def test_cuckoo_filter_membership_delete_fpr():
+    from ai_intel_web_scraper_spark.crawl.bloom import CuckooShards
+    rng = np.random.default_rng(6)
+    n = 30_000
+    hashes = rng.integers(-(2**63), 2**63 - 1, n, dtype=np.int64)
+    buckets = (np.abs(hashes) % 16).astype(np.int64)
+    cf = CuckooShards.sized_for(n, 16)
+    cf.add_many(buckets, hashes)
+    assert cf.maybe_contains(buckets, hashes).all()  # no false negatives
+    other = rng.integers(-(2**63), 2**63 - 1, n, dtype=np.int64)
+    ob = (np.abs(other) % 16).astype(np.int64)
+    assert cf.maybe_contains(ob, other).mean() < 0.01  # 16-bit fp FPR
+    # delete half: kept keys still present, removed keys gone
+    half = n // 2
+    cf.remove_many(buckets[:half], hashes[:half])
+    assert cf.maybe_contains(buckets[half:], hashes[half:]).all()
+    assert cf.maybe_contains(buckets[:half], hashes[:half]).mean() < 0.01
+    # serialization round trip preserves membership
+    cf2 = CuckooShards.from_bytes(cf.to_bytes())
+    assert (cf2.maybe_contains(buckets[half:], hashes[half:])).all()
