@@ -321,7 +321,13 @@ def q_shipping_priority(spark, sf_dir):
             .groupBy("o_orderkey", "o_orderdate")
             .agg(F.sum(cents).alias("revenue_cents"))
             .orderBy(F.desc("revenue_cents"), F.asc("o_orderkey"))
-            .limit(10))
+            .limit(10)
+            # date rendered as a string: timestamp canonicalization differs
+            # between value hashers, strings are canonicalization-proof
+            .select("o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("o_orderdate"),
+                    "revenue_cents"))
 
 
 def q_nation_coverage(spark, sf_dir):
@@ -491,21 +497,42 @@ def q_new_docs_anti(spark, sf_dir):
 
 # ------------------------------------------------------- rows-only queries
 
+MINHASH_THRESHOLD = 0.5  # fixture near-dups sit at j>=0.98, next at 0.067:
+# LSH recall at j>=0.98 is 1-(1-0.98^4)^16 ~ 1-2e-18, so the thresholded
+# candidate set equals the exact-Jaccard pair set and is SQL-checkable.
+SIMHASH_MAX_HAMMING = 8
+
+
 def q_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup pair ids at est_jaccard >= threshold. The
+    estimate itself is UDF-random-family-bound, so the checked projection
+    is the pair set (deterministic at this margin); est values are covered
+    by tests/test_operators.py."""
     docs = _t(spark, sf_dir, "documents")
-    return D.minhash_neardup_pairs(docs, "doc_id", "text")
+    cand = D.minhash_neardup_pairs(docs, "doc_id", "text")
+    return (cand.where(F.col("est_jaccard") >= MINHASH_THRESHOLD)
+            .select("id_a", "id_b"))
 
 
 def q_minhash_verified(spark, sf_dir):
     """LSH candidates -> exact-Jaccard verify (estimate prunes, exact
-    decides)."""
+    decides). The exact jaccard column reproduces in DuckDB."""
     docs = _t(spark, sf_dir, "documents")
-    return D.minhash_verified_pairs(docs, "doc_id", "text", threshold=0.05)
+    return (D.minhash_verified_pairs(docs, "doc_id", "text",
+                                     threshold=MINHASH_THRESHOLD)
+            .select("id_a", "id_b", "jaccard"))
 
 
 def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup with guaranteed-recall block LSH; the md5-based
+    60-bit signature recomputes in pure SQL, so the oracle brute-forces
+    all pairs and must agree exactly (pigeonhole recall is not
+    probabilistic)."""
     docs = _t(spark, sf_dir, "documents")
-    return D.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=8)
+    return (D.simhash_neardup_pairs(docs, "doc_id", "text",
+                                    max_hamming=SIMHASH_MAX_HAMMING)
+            .select("id_a", "id_b", F.col("hamming").cast("int")
+                    .alias("hamming")))
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -514,11 +541,14 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 def q_embedding_neardup(spark, sf_dir):
     """Near-dup vectors: the fixture has no true high-cosine pairs (max
-    observed 0.51), so deterministic perturbed copies (~0.98 cosine) are
-    planted; multi-table LSH banding must recover them."""
+    observed 0.51), so deterministic perturbed copies are planted;
+    multi-table LSH banding must recover them. noise=0.1 puts planted
+    cosines >= 0.995 (LSH miss probability ~5e-8/pair), so the recovered
+    pair-id set is deterministic and the oracle is the planted mapping."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    both = emb.unionByName(V.perturbed_copies(emb))
-    return V.embedding_neardup_pairs(both, threshold=0.9)
+    both = emb.unionByName(V.perturbed_copies(emb, noise=0.1))
+    return (V.embedding_neardup_pairs(both, threshold=0.9)
+            .select("id_a", "id_b"))
 
 
 def q_recursive_chunks(spark, sf_dir):
@@ -527,9 +557,18 @@ def q_recursive_chunks(spark, sf_dir):
 
 
 def q_hash_embed(spark, sf_dir):
+    """SURVEY V9: deterministic hash embedder (md5 scheme). Emitted as
+    scalar (doc_id, dim, value) rows — array columns break the driver's
+    canonicalizer, and the exploded form is SQL-checkable (the md5 hex
+    parsing and the exact-integer accumulate/normalize reproduce in DuckDB
+    bit-for-bit)."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", V.hash_embed_udf()(F.col("text"))
-                       .alias("embedding"))
+    vec = docs.select("doc_id", V.hash_embed_udf()(F.col("text"))
+                      .alias("embedding"))
+    return (vec.select("doc_id",
+                       F.posexplode("embedding").alias("dim", "value"))
+            .select("doc_id", "dim",
+                    F.round(F.col("value").cast("double"), 6).alias("value")))
 
 
 def _crawl_fixture_paths() -> dict:
@@ -645,7 +684,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "process_pipeline": q_process_pipeline,
         "sql_top_events": q_sql_top_events,
         "length_quantiles": q_length_quantiles,
-        # rows-only (non-SQL-expressible: UDF-bound / stateful)
         "minhash_pairs": q_minhash_pairs,
         "minhash_verified": q_minhash_verified,
         "simhash_pairs": q_simhash_pairs,
@@ -653,6 +691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "recursive_chunks": q_recursive_chunks,
         "hash_embed": q_hash_embed,
+        # rows-only (genuinely non-SQL-expressible: multi-round stateful
+        # crawl; image-codec UDFs; per-group running-reset bin packing)
         "crawl_frontier": q_crawl_frontier,
         "image_features": q_image_features,
         "phash_neardup": q_phash_neardup,
@@ -692,6 +732,87 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY score DESC, topic) AS rn
               FROM ({topic_scores_sql}) WHERE score >= {X.TOPIC_MIN_SCORE})
             WHERE rn <= {X.TOPIC_TOP_N}"""
+    # exact n-gram jaccard over ALL pairs sharing a shingle (the complete
+    # exact answer — the oracle side of the MinHash-LSH queries)
+    jaccard_all = f"""
+            WITH sh AS (
+              SELECT doc_id AS id, unnest(list_distinct(sh_list)) AS shingle
+              FROM (
+                SELECT doc_id,
+                       [array_to_string(list_slice(w, i, i + 2), ' ')
+                        for i in generate_series(1, greatest(len(w) - 2, 1))]
+                           AS sh_list
+                FROM (SELECT doc_id, {_sql_words("lower(text)")} AS w
+                      FROM documents))),
+            sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_int
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.id < b.id
+              GROUP BY a.id, b.id),
+            jac AS (
+              SELECT id_a, id_b,
+                     round(n_int / (sa.n_sh + sb.n_sh - n_int), 6) AS jaccard
+              FROM inter
+              JOIN sizes sa ON sa.id = id_a
+              JOIN sizes sb ON sb.id = id_b)"""
+    # 60-bit simhash signature recomputed in SQL: per bit, sign of the
+    # +/-1 vote sum over md5-hashed tokens (matches dedup.simhash_udf)
+    sim_bits = " + ".join(
+        f"(CASE WHEN sum(((h >> {b}) & 1) * 2 - 1) > 0 "
+        f"THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(D.SIMHASH_BITS))
+    simhash_sql = f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                         AS tok
+              FROM documents),
+            hv AS (SELECT doc_id,
+                          ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+                   FROM toks),
+            sig AS (SELECT doc_id, {sim_bits} AS sim
+                    FROM hv GROUP BY doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.sim, b.sim))::INT AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sim, b.sim)) <= {SIMHASH_MAX_HAMMING}"""
+    # ANN LSH bucket expression with the (seeded) hyperplanes inlined
+    from ai_intel_web_scraper_spark.operators.vectors import (_hyperplanes,
+                                                              N_HYPERPLANES)
+    H = _hyperplanes(EMB_DIM)
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"{_sql_vec_lit([float(x) for x in H[j]])}) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(N_HYPERPLANES))
+    probes = ", ".join(str(p) for p in V.query_probes(QUERY_VEC_A, 2))
+    # recursive chunker closed form for separator-free word-soup text:
+    # chunk k covers words [k*stride, k*stride+max); chunk k>0 exists iff
+    # it contains a word beyond the previous chunk's coverage, i.e.
+    # stride*k <= n - overlap - 1 (derivation in operators/chunking.py)
+    stride = C.CHUNK_TOKENS - C.CHUNK_OVERLAP
+    rec_chunks_sql = f"""
+            WITH base AS (
+              SELECT doc_id, source, w, len(w) AS n FROM (
+                SELECT doc_id, source, {_sql_words()} AS w FROM documents)),
+            ch AS (
+              SELECT doc_id, k::INT AS chunk_index,
+                     '[' || source || '] ' || array_to_string(
+                       list_slice(w, {stride} * k + 1,
+                                  least({stride} * k + {C.CHUNK_TOKENS}, n)),
+                       ' ') AS chunk_text,
+                     (least({stride} * k + {C.CHUNK_TOKENS}, n)
+                      - {stride} * k)::INT AS token_count
+              FROM base, LATERAL unnest(generate_series(
+                0, greatest((n - {C.CHUNK_OVERLAP} - 1) // {stride}, 0)))
+                  t(k))
+            SELECT doc_id, chunk_index, chunk_text, token_count,
+                   substring(sha256(doc_id::VARCHAR || ':' ||
+                             chunk_index::VARCHAR || ':' ||
+                             substring(chunk_text, 1, 100)), 1, 12)
+                       AS chunk_id
+            FROM ch"""
     dirty = ("'Accept all cookies to continue. ' || text || "
              "' Subscribe to our newsletter for updates! "
              "Follow us on twitter © 2024 Example Corp'")
@@ -938,7 +1059,8 @@ def oracle_sql() -> dict[str, str]:
               WHERE s_acctbal > 9000)
             JOIN nation ON nationkey = n_nationkey""",
         "shipping_priority": """
-            SELECT o_orderkey, o_orderdate,
+            SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+                       AS o_orderdate,
                    sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
                             AS BIGINT)) AS revenue_cents
             FROM orders
@@ -949,6 +1071,34 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > TIMESTAMP '1996-01-01'
             GROUP BY o_orderkey, o_orderdate
             ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""",
+        "hash_embed": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                         AS tok
+              FROM documents),
+            hv AS (
+              SELECT doc_id,
+                     ('0x' || substring(md5(tok), 1, 8))::BIGINT
+                         % {V.EMBED_DIM} AS idx,
+                     CASE WHEN ('0x' || substring(md5(tok), 9, 2))::BIGINT % 2
+                               = 1 THEN 1.0 ELSE -1.0 END AS sgn
+              FROM toks),
+            acc AS (SELECT doc_id, idx, sum(sgn)::DOUBLE AS a
+                    FROM hv GROUP BY doc_id, idx),
+            dims AS (SELECT doc_id, d.dim FROM documents,
+                     (SELECT unnest(generate_series(0, {V.EMBED_DIM - 1}))
+                          AS dim) d),
+            vec AS (SELECT dims.doc_id, dims.dim,
+                           coalesce(acc.a, 0.0) AS a
+                    FROM dims LEFT JOIN acc
+                      ON acc.doc_id = dims.doc_id AND acc.idx = dims.dim),
+            nrm AS (SELECT doc_id, sqrt(sum(a * a)) AS n
+                    FROM vec GROUP BY doc_id)
+            SELECT vec.doc_id, dim,
+                   round(CAST(CAST(CASE WHEN n > 0 THEN a / n ELSE a END
+                              AS REAL) AS DOUBLE), 6) AS value
+            FROM vec JOIN nrm ON vec.doc_id = nrm.doc_id""",
         "global_budget": """
             SELECT doc_id, n_chars FROM (
               SELECT doc_id, n_chars,
@@ -1003,6 +1153,25 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(value * 100) AS BIGINT)) > 80000
                        AS over_budget
             FROM events GROUP BY user_id""",
+        "minhash_pairs": f"""
+            {jaccard_all}
+            SELECT id_a, id_b FROM jac
+            WHERE jaccard >= {MINHASH_THRESHOLD}""",
+        "minhash_verified": f"""
+            {jaccard_all}
+            SELECT id_a, id_b, jaccard FROM jac
+            WHERE jaccard >= {MINHASH_THRESHOLD}""",
+        "simhash_pairs": simhash_sql,
+        "ann_lsh_topk": f"""
+            SELECT vec_id, round({cos_a}, 6) AS score FROM (
+              SELECT vec_id, embedding, {bucket_expr} AS bkt
+              FROM embeddings)
+            WHERE bkt IN ({probes})
+            ORDER BY score DESC, vec_id LIMIT {TOPK}""",
+        "embedding_neardup": """
+            SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
+            FROM embeddings""",
+        "recursive_chunks": rec_chunks_sql,
         "stream_sessions": """
             WITH o AS (
               SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,

@@ -203,24 +203,30 @@ def greedy_keep_first_dedup(pairs: DataFrame, all_ids: DataFrame,
 
 # ------------------------------------------------------------------ simhash
 
+SIMHASH_BITS = 60  # 15 md5 hex chars -> non-negative int64, SQL-replayable
+
+
 @F.pandas_udf(T.LongType())
 def simhash_udf(text: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens (training-data near-dup)."""
+    """60-bit SimHash over whitespace tokens (training-data near-dup).
+
+    Token hash = first 15 hex chars of md5 so a SQL oracle (DuckDB) can
+    recompute the identical signature: per bit b, the signature bit is
+    set iff sum over tokens of ((h>>b)&1 ? +1 : -1) is positive."""
     import hashlib
     out = np.zeros(len(text), dtype=np.int64)
+    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
     for i, t in enumerate(text):
-        if not t:
+        toks = (t or "").lower().split()
+        if not toks:
             continue
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in t.lower().split():
-            h = np.uint64(int.from_bytes(
-                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"))
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
-        v = 0
-        for bit in (acc > 0).astype(int):
-            v = (v << 1) | int(bit)
-        out[i] = np.int64(v - (1 << 64) if v >= (1 << 63) else v)
+        hv = np.fromiter(
+            (int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+             for tok in toks), dtype=np.uint64, count=len(toks))
+        bits = (hv[:, None] >> shifts[None, :]) & np.uint64(1)
+        acc = np.where(bits == 1, 1, -1).sum(axis=0)
+        out[i] = int(((acc > 0).astype(np.uint64)
+                      << shifts).sum(dtype=np.uint64))
     return pd.Series(out)
 
 
@@ -233,7 +239,11 @@ def hamming_block_pairs(df: DataFrame, id_col: str, hash_col: str,
     self-equi-join on (block, value), then exact bit_count verify.
     Narrower blocks (bigger max_hamming) mean more candidates: the
     guaranteed-recall tradeoff is inherent."""
-    n_blocks = min(max_hamming + 1, 16)
+    if not 0 <= max_hamming <= 63:
+        # a silent cap would void the pigeonhole guarantee (need
+        # max_hamming+1 non-empty blocks out of 64 bits)
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    n_blocks = max_hamming + 1
     bounds = [i * 64 // n_blocks for i in range(n_blocks)] + [64]
 
     def block(i: int):

@@ -49,17 +49,13 @@ def lsh_bucket_udf(dim: int):
     return bucket
 
 
-def lsh_topk(embeddings: DataFrame, query: list[float], k: int,
-             id_col: str = "vec_id", vec_col: str = "embedding",
-             n_probe_bits: int = 2) -> DataFrame:
-    """Approximate cosine top-k: random-hyperplane LSH bucket pruning.
-    Probes the query's bucket plus all buckets within `n_probe_bits`
-    hamming bits (multi-probe), then exact-scores only those rows.
-    At scale the bucket column is a partition/cluster key, so the probe is
-    partition pruning, not a full scan."""
+def query_probes(query: list[float], n_probe_bits: int = 2) -> list[int]:
+    """Multi-probe bucket set for a query vector: its own hyperplane
+    signature plus every signature within n_probe_bits hamming bits.
+    Deterministic (seeded hyperplanes) — shared by lsh_topk and the DuckDB
+    oracle SQL generator."""
     import itertools
-    dim = len(query)
-    H = _hyperplanes(dim)
+    H = _hyperplanes(len(query))
     qsig = int((((H @ np.asarray(query)) > 0)
                 * (1 << np.arange(N_HYPERPLANES))).sum())
     probes = {qsig}
@@ -69,6 +65,19 @@ def lsh_topk(embeddings: DataFrame, query: list[float], k: int,
             for b in bits:
                 flip ^= 1 << b
             probes.add(qsig ^ flip)
+    return sorted(probes)
+
+
+def lsh_topk(embeddings: DataFrame, query: list[float], k: int,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_probe_bits: int = 2) -> DataFrame:
+    """Approximate cosine top-k: random-hyperplane LSH bucket pruning.
+    Probes the query's bucket plus all buckets within `n_probe_bits`
+    hamming bits (multi-probe), then exact-scores only those rows.
+    At scale the bucket column is a partition/cluster key, so the probe is
+    partition pruning, not a full scan."""
+    dim = len(query)
+    probes = query_probes(query, n_probe_bits)
     bucketed = embeddings.withColumn("_bkt", lsh_bucket_udf(dim)(F.col(vec_col)))
     cand = bucketed.where(F.col("_bkt").isin([int(p) for p in probes]))
     return topk_by_score(cand, cosine_col(vec_col, query), k, id_col)
@@ -150,7 +159,13 @@ def perturbed_copies(embeddings: DataFrame, id_offset: int = 1_000_000,
 def hash_embed_udf(dim: int = EMBED_DIM):
     """Deterministic text embedder STAND-IN (reference embedder.py calls
     OpenAI text-embedding-3-small; no network here). Same plumbing:
-    Arrow-batched, fixed dim, L2-normalized float array."""
+    Arrow-batched, fixed dim, L2-normalized float array.
+
+    Hash scheme is md5-hex based (idx = first 8 hex chars mod dim, sign =
+    parity of hex chars 9-10) so the DuckDB oracle can reproduce it in pure
+    SQL — the accumulator holds small integers (exact in float64) and the
+    final divide/sqrt are correctly-rounded IEEE ops, so both engines emit
+    bit-identical values."""
     @F.pandas_udf(T.ArrayType(T.FloatType()))
     def embed(text: pd.Series) -> pd.Series:
         import hashlib
@@ -158,10 +173,9 @@ def hash_embed_udf(dim: int = EMBED_DIM):
         for t in text:
             acc = np.zeros(dim, dtype=np.float64)
             for tok in (t or "").lower().split():
-                h = hashlib.blake2b(tok.encode(), digest_size=16).digest()
-                idx = int.from_bytes(h[:4], "little") % dim
-                sign = 1.0 if h[4] & 1 else -1.0
-                acc[idx] += sign
+                h = hashlib.md5(tok.encode()).hexdigest()
+                idx = int(h[:8], 16) % dim
+                acc[idx] += 1.0 if int(h[8:10], 16) & 1 else -1.0
             n = np.linalg.norm(acc)
             out.append((acc / n if n > 0 else acc).astype(np.float32).tolist())
         return pd.Series(out)
