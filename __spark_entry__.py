@@ -52,6 +52,15 @@ def _sql_contains_count(expr: str, words: list[str]) -> str:
         for w in words) + ")"
 
 
+def _sql_topic_score(expr: str, kws: list[str]) -> str:
+    """Reference-fidelity topic score: weighted \\b-bounded match counts
+    normalized by keyword count (mirrors X.topic_score_col)."""
+    return ("(" + " + ".join(
+        f"len(regexp_extract_all({expr}, '\\b{kw}\\b')) "
+        f"* {X.topic_weight(kw)!r}" for kw in kws)
+        + f") / {float(len(kws))!r}")
+
+
 def _sql_vec_lit(vec: list[float]) -> str:
     return "[" + ", ".join(f"{x}::DOUBLE" for x in vec) + "]"
 
@@ -89,13 +98,40 @@ def q_events_keep_first(spark, sf_dir):
 
 
 def q_topic_tags(spark, sf_dir):
+    """SURVEY P5 at reference fidelity: weighted \\b-bounded match counts,
+    top-3 >= 0.01 with insertion-order tie-break, unclassified fallback."""
     return X.topic_scores(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 def q_quality_filter(spark, sf_dir):
+    """SURVEY P6 at reference fidelity (quality_filter.py:67-138): the
+    corpus is branch-synthesized so EVERY removal reason fires — word
+    floor, no-topics (with the benchmark exemption kept), code-ratio on
+    docs, boilerplate via both the phrase and the link-density rule."""
     docs = _t(spark, sf_dir, "documents")
-    return (X.quality_filter(docs, "text")
-            .groupBy("reason").agg(F.count("*").alias("n")))
+    words = F.split(F.trim("text"), r"\s+")
+    branch = F.pmod(F.col("doc_id"), F.lit(7))
+    lorem = F.repeat(F.lit("lorem ipsum "), 45)
+    text2 = (F.when(branch == 1, F.concat_ws(" ", F.slice(words, 1, 10)))
+             .when(branch == 2,
+                   F.concat(F.lit("``` "), F.col("text"), F.lit(" ```")))
+             .when(branch == 3,
+                   F.concat(F.col("text"),
+                            F.lit(" skip to content. table of contents. "
+                                  "cookie policy.")))
+             .when((branch == 4) | (branch == 5), lorem)
+             .when(branch == 6,
+                   F.concat(F.repeat(F.lit("/nav "), 20),
+                            F.concat_ws(" ", F.slice(words, 1, 25))))
+             .otherwise(F.col("text")))
+    src = (F.when(branch == 4, "benchmark")
+           .when((branch == 0) | (branch == 2), "docs")
+           .otherwise("blog"))
+    synth = docs.select("doc_id", text2.alias("t"), src.alias("src"))
+    return synth.select(
+        "doc_id", "src",
+        X.quality_reason_col(F.col("t"), F.col("src"),
+                             X.has_topics_col(F.col("t"))).alias("reason"))
 
 
 def q_word_count(spark, sf_dir):
@@ -703,10 +739,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     lower = "lower(text)"
     topic_scores_sql = " UNION ALL ".join(
-        f"SELECT doc_id, '{name}' AS topic, "
-        f"{_sql_contains_count(lower, kws)} / {float(len(kws))} AS score "
+        f"SELECT doc_id, '{name}' AS topic, {i} AS tidx, "
+        f"{_sql_topic_score(lower, kws)} AS score "
         f"FROM documents"
-        for name, kws in X.TOPICS.items())
+        for i, (name, kws) in enumerate(X.TOPICS.items()))
     pos = _sql_contains_count(lower, X.POS_WORDS)
     neg = _sql_contains_count(lower, X.NEG_WORDS)
     lang_scores = ", ".join(
@@ -726,12 +762,19 @@ def oracle_sql() -> dict[str, str]:
              f"{np.sqrt(sum(x * x for x in QUERY_VEC_A))!r}))")
     qs_stop = _sql_contains_count(lower, X.LANG_STOPWORDS["en"])
     topic_tags_sql = f"""
-            SELECT doc_id, topic, round(score, 6) AS score FROM (
-              SELECT doc_id, topic, score,
-                     row_number() OVER (PARTITION BY doc_id
-                                        ORDER BY score DESC, topic) AS rn
-              FROM ({topic_scores_sql}) WHERE score >= {X.TOPIC_MIN_SCORE})
-            WHERE rn <= {X.TOPIC_TOP_N}"""
+            WITH tagged AS (
+              SELECT doc_id, topic, round(score, 6) AS score FROM (
+                SELECT doc_id, topic, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, tidx) AS rn
+                FROM ({topic_scores_sql})
+                WHERE score >= {X.TOPIC_MIN_SCORE})
+              WHERE rn <= {X.TOPIC_TOP_N})
+            SELECT doc_id, topic, score FROM tagged
+            UNION ALL
+            SELECT doc_id, 'unclassified' AS topic, 0.0 AS score
+            FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM tagged)"""
     # exact n-gram jaccard over ALL pairs sharing a shingle (the complete
     # exact answer — the oracle side of the MinHash-LSH queries)
     jaccard_all = f"""
@@ -850,13 +893,50 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_clean": f"""
             SELECT doc_id, {cleaned_sql} AS cleaned FROM documents""",
         "quality_filter": f"""
-            SELECT reason, count(*)::BIGINT AS n FROM (
-              SELECT CASE WHEN {wc} < {X.MIN_WORDS_QUALITY}
-                          THEN 'too_few_words'
-                          WHEN length(text) < {X.MIN_CHARS_QUALITY}
-                          THEN 'too_short'
-                          ELSE 'kept' END AS reason
-              FROM documents) GROUP BY reason""",
+            WITH synth AS (
+              SELECT doc_id,
+                CASE doc_id % 7
+                  WHEN 1 THEN array_to_string(list_slice(w, 1, 10), ' ')
+                  WHEN 2 THEN '``` ' || text || ' ```'
+                  WHEN 3 THEN text || ' skip to content. table of contents.'
+                              || ' cookie policy.'
+                  WHEN 4 THEN repeat('lorem ipsum ', 45)
+                  WHEN 5 THEN repeat('lorem ipsum ', 45)
+                  WHEN 6 THEN repeat('/nav ', 20)
+                              || array_to_string(list_slice(w, 1, 25), ' ')
+                  ELSE text END AS t,
+                CASE WHEN doc_id % 7 = 4 THEN 'benchmark'
+                     WHEN doc_id % 7 IN (0, 2) THEN 'docs'
+                     ELSE 'blog' END AS src
+              FROM (SELECT doc_id, text,
+                           {_sql_words()} AS w FROM documents)),
+            feat AS (
+              SELECT doc_id, src,
+                len(w2) AS wc,
+                greatest({", ".join(_sql_topic_score("lower(t)", kws)
+                                    for kws in X.TOPICS.values())})
+                    >= {X.TOPIC_MIN_SCORE} AS has_topics,
+                coalesce(list_sum([length(x) for x in
+                    regexp_extract_all(t, '{X.CODE_FENCE_RX}')]), 0)
+                  / greatest(length(t), 1) AS code_ratio,
+                ({_sql_contains_count("lower(t)", X.BOILERPLATE_PHRASES)})
+                    >= {X.BOILER_MIN_PHRASES}
+                OR (len(w2) < {X.BOILER_SHORT_WORDS}
+                    AND len(list_filter(w2, x -> starts_with(x, 'http')
+                                               OR starts_with(x, '/')))
+                        > len(w2) * {X.BOILER_LINK_RATIO}) AS boiler
+              FROM (SELECT *, {_sql_words("t")} AS w2 FROM synth))
+            SELECT doc_id, src,
+              CASE WHEN wc < {X.MIN_WORDS_QUALITY} THEN 'too_short'
+                   WHEN src NOT IN ({", ".join(
+                       f"'{s}'" for s in X.TOPIC_EXEMPT_TYPES)})
+                        AND NOT has_topics THEN 'no_topics'
+                   WHEN src = '{X.DOCS_TYPE}'
+                        AND code_ratio > {X.MAX_CODE_RATIO}
+                        THEN 'mostly_code'
+                   WHEN boiler THEN 'boilerplate'
+                   ELSE 'kept' END AS reason
+            FROM feat""",
         "word_count": f"SELECT doc_id, {wc}::BIGINT AS wc FROM documents",
         "relevance": f"""
             SELECT doc_id,

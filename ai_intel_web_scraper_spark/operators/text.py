@@ -24,13 +24,20 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOPICS: dict[str, list[str]] = {
-    "distributed": ["spark", "merge", "window", "hash"],
-    "performance": ["fast", "slow", "small", "sort"],
-    "query_engine": ["query", "scan", "filter", "join"],
+    "distributed": ["spark", "merge", "window", "hash", "shuffle join"],
+    "performance": ["fast", "slow", "small", "sort", "fast table"],
+    "query_engine": ["query", "scan", "filter", "join", "query scan"],
     "storage": ["table", "row", "key", "batch"],
 }
-TOPIC_MIN_SCORE = 0.5
+# reference processors/topic_tagger.py:28,67: min score 0.01, top 3,
+# multi-word keywords weighted 1 + 0.5/space
+TOPIC_MIN_SCORE = 0.01
 TOPIC_TOP_N = 3
+
+
+def topic_weight(kw: str) -> float:
+    """reference topic_tagger.py:67 — multi-word keywords score higher."""
+    return 1.0 + 0.5 * kw.count(" ")
 
 POS_WORDS = ["fast", "group", "value", "merge"]
 NEG_WORDS = ["slow", "small", "scan", "batch"]
@@ -76,42 +83,128 @@ def sentiment_label_col(text: Column) -> Column:
             .otherwise("neutral"))
 
 
+def topic_score_col(text_lower: Column, keywords: list[str]) -> Column:
+    """Reference scoring (topic_tagger.py:121-142): per keyword, COUNT of
+    \\b-bounded matches times the keyword weight; normalized by the number
+    of keywords. Native regexp_count — stays in codegen."""
+    s = F.lit(0.0)
+    for kw in keywords:
+        s = s + (F.regexp_count(text_lower, F.lit(rf"\b{kw}\b"))
+                 * F.lit(topic_weight(kw)))
+    return s / F.lit(float(len(keywords)))
+
+
 def topic_scores(df: DataFrame, id_col: str, text_col: str,
                  topics: dict[str, list[str]] | None = None,
                  min_score: float = TOPIC_MIN_SCORE,
                  top_n: int = TOPIC_TOP_N) -> DataFrame:
-    """SURVEY P5: per-document topic scores, top-N above threshold.
-    Returns (id, topic, score) rows; deterministic tie-break on topic name.
-    Native plan: one projection per topic, stack to long form, window top-N —
-    no UDF, no shuffle beyond the required per-id window."""
+    """SURVEY P5 at reference fidelity (topic_tagger.py:62-96,121-142):
+    weighted \\b-bounded match counts per topic, top-N >= min_score with
+    ties broken by topic DICT-INSERTION order (Python's stable sort), and
+    an 'unclassified' row (score 0.0) for documents matching nothing.
+    Returns (id, topic, score) rows. Native plan: one regexp_count
+    projection per keyword, stack to long form, window top-N, anti-join
+    fallback — no UDF."""
     topics = topics or TOPICS
     lo = F.lower(F.col(text_col))
     scored = df.select(
         F.col(id_col),
-        *[(contains_count_col(lo, kws) / F.lit(float(len(kws))))
-          .alias(f"_t_{i}") for i, kws in enumerate(topics.values())])
+        *[topic_score_col(lo, kws).alias(f"_t_{i}")
+          for i, kws in enumerate(topics.values())])
     stack_expr = ", ".join(
-        f"'{name}', _t_{i}" for i, name in enumerate(topics))
+        f"'{name}', {i}, _t_{i}" for i, name in enumerate(topics))
     long = scored.selectExpr(
-        id_col, f"stack({len(topics)}, {stack_expr}) as (topic, score)")
-    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("topic"))
-    return (long.where(F.col("score") >= min_score)
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= top_n)
-            .select(id_col, "topic", F.round("score", 6).alias("score")))
+        id_col, f"stack({len(topics)}, {stack_expr}) as (topic, tidx, score)")
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("tidx"))
+    tagged = (long.where(F.col("score") >= min_score)
+              .withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") <= top_n)
+              .select(id_col, "topic", F.round("score", 6).alias("score")))
+    unclassified = (df.select(F.col(id_col))
+                    .join(tagged.select(id_col), id_col, "left_anti")
+                    .select(F.col(id_col), F.lit("unclassified").alias("topic"),
+                            F.lit(0.0).alias("score")))
+    return tagged.unionByName(unclassified)
 
 
 def quality_filter(df: DataFrame, text_col: str,
                    min_words: int = MIN_WORDS_QUALITY,
                    min_chars: int = MIN_CHARS_QUALITY) -> DataFrame:
-    """SURVEY P6: tag each row keep/removal-reason (first failing reason
-    wins, reference order). Callers split on `reason`."""
+    """Simple two-reason quality gate (word/char floors) used by the
+    lifecycle composite; the full reference-fidelity filter is
+    `quality_reason_col` below."""
     wc = word_count_col(F.col(text_col))
     return df.withColumn(
         "reason",
         F.when(wc < min_words, "too_few_words")
          .when(F.length(F.col(text_col)) < min_chars, "too_short")
          .otherwise("kept"))
+
+
+# --- full reference-fidelity quality filter (SURVEY P6) ------------------
+# reference processors/quality_filter.py:17-20,67-138
+
+MAX_CODE_RATIO = 0.85
+TOPIC_EXEMPT_TYPES = ["benchmark", "release"]  # BENCHMARK, GITHUB_RELEASE
+DOCS_TYPE = "docs"  # OFFICIAL_DOCS analog: the only type code-ratio-checked
+BOILERPLATE_PHRASES = [
+    "skip to content", "table of contents", "cookie policy",
+    "privacy policy", "terms of service", "subscribe to newsletter",
+]
+BOILER_MIN_PHRASES = 3
+BOILER_SHORT_WORDS = 50
+BOILER_LINK_RATIO = 0.3
+CODE_FENCE_RX = r"```[\s\S]*?```"
+
+
+def code_ratio_col(text: Column) -> Column:
+    """reference quality_filter.py:97-108: fenced-code chars / total chars."""
+    code_chars = F.aggregate(
+        F.regexp_extract_all(text, F.lit(CODE_FENCE_RX), 0),
+        F.lit(0), lambda acc, x: acc + F.length(x))
+    return (code_chars.cast("double")
+            / F.greatest(F.length(text).cast("double"), F.lit(1.0)))
+
+
+def is_boilerplate_col(text: Column) -> Column:
+    """reference quality_filter.py:110-138: >=3 known chrome phrases, OR a
+    short text whose words are >30% links (http/ or /path)."""
+    phrase_hits = contains_count_col(F.lower(text), BOILERPLATE_PHRASES)
+    words = F.split(F.trim(text), r"\s+")
+    wc = F.size(words).cast("double")
+    link_words = F.size(F.filter(
+        words, lambda w: w.startswith("http") | w.startswith("/")))
+    return ((phrase_hits >= F.lit(BOILER_MIN_PHRASES))
+            | ((wc < F.lit(float(BOILER_SHORT_WORDS)))
+               & (link_words.cast("double") > wc * F.lit(BOILER_LINK_RATIO))))
+
+
+def quality_reason_col(text: Column, source_type: Column,
+                       has_topics: Column,
+                       min_words: int = MIN_WORDS_QUALITY) -> Column:
+    """SURVEY P6 at reference fidelity (quality_filter.py:67-95): first
+    failing reason wins in reference order — word floor, topic requirement
+    (benchmark/release exempt), code-ratio (docs only), boilerplate.
+    `has_topics` is the tagger verdict (any topic score >= threshold)."""
+    wc = word_count_col(text)
+    exempt = source_type.isin(TOPIC_EXEMPT_TYPES)
+    return (F.when(wc < min_words, "too_short")
+            .when(~exempt & ~has_topics, "no_topics")
+            .when((source_type == DOCS_TYPE)
+                  & (code_ratio_col(text) > MAX_CODE_RATIO), "mostly_code")
+            .when(is_boilerplate_col(text), "boilerplate")
+            .otherwise("kept"))
+
+
+def has_topics_col(text: Column,
+                   topics: dict[str, list[str]] | None = None,
+                   min_score: float = TOPIC_MIN_SCORE) -> Column:
+    """Whether the tagger would classify this text (any topic score >=
+    min_score) — i.e. topics != ['unclassified'] without the top-N window."""
+    topics = topics or TOPICS
+    lo = F.lower(text)
+    best = F.greatest(*[topic_score_col(lo, kws) for kws in topics.values()])
+    return best >= F.lit(min_score)
 
 
 def lang_id_col(text: Column) -> Column:

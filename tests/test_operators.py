@@ -335,3 +335,74 @@ def test_minhash_verified_pairs_match_exact_jaccard(spark, sf_dir):
                              threshold=0.05).collect()}
     for k, v in got.items():
         assert abs(exact[k] - v) < 1e-6  # identical exact values
+
+
+def _reference_tagger(text: str, topics: dict[str, list[str]],
+                      max_topics: int = 3,
+                      min_score: float = 0.01) -> list[str]:
+    """Pure-Python port of reference processors/topic_tagger.py:75-142."""
+    import re
+    scores = {}
+    for topic_id, kws in topics.items():
+        total = 0.0
+        for kw in kws:
+            weight = 1.0 + kw.count(" ") * 0.5
+            total += len(re.findall(r"\b" + re.escape(kw) + r"\b",
+                                    text, re.IGNORECASE)) * weight
+        if total > 0:
+            scores[topic_id] = total / len(kws)
+    ordered = sorted(scores.items(), key=lambda x: x[1], reverse=True)
+    top = [t for t, s in ordered[:max_topics] if s >= min_score]
+    return top or ["unclassified"]
+
+
+def test_topic_scores_match_reference_greedy(spark, sf_dir):
+    """The Spark tagger reproduces the reference tagger's topic SETS per
+    document, including weighting, tie order, and the unclassified
+    fallback (reference topic_tagger.py:62-142)."""
+    docs = _docs(spark, sf_dir).limit(120)
+    got: dict = {}
+    for r in X.topic_scores(docs, "doc_id", "text").collect():
+        got.setdefault(r["doc_id"], []).append((r["topic"], r["score"]))
+    rows = docs.select("doc_id", "text").collect()
+    assert len(got) == len(rows)
+    for r in rows:
+        want = _reference_tagger(r["text"], X.TOPICS)
+        have = [t for t, _ in sorted(
+            got[r["doc_id"]], key=lambda x: -x[1])]
+        assert sorted(have) == sorted(want), r["doc_id"]
+
+
+def test_topic_scores_unclassified_fallback(spark):
+    df = spark.createDataFrame(
+        [(1, "spark spark merge"), (2, "zzz yyy xxx nothing")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: (r["topic"], r["score"])
+            for r in X.topic_scores(df, "doc_id", "text").collect()
+            if r["doc_id"] == 2}
+    assert rows[2] == ("unclassified", 0.0)
+
+
+def test_quality_reason_reference_order(spark):
+    """Reason precedence and exemptions per quality_filter.py:67-95."""
+    long_words = " ".join(["table"] * 60)
+    lorem = "lorem ipsum " * 60
+    cases = [
+        (1, "short text", "blog", "too_short"),
+        (2, lorem, "blog", "no_topics"),
+        (3, lorem, "benchmark", "kept"),      # exemption
+        (4, "``` " + long_words + " ```", "docs", "mostly_code"),
+        (5, "``` " + long_words + " ```", "blog", "kept"),  # docs-only rule
+        (6, long_words + " skip to content. table of contents."
+            " cookie policy.", "blog", "boilerplate"),
+        (7, " ".join(["/a"] * 20 + ["table"] * 25), "blog", "boilerplate"),
+        (8, long_words, "docs", "kept"),
+    ]
+    df = spark.createDataFrame([(i, t, s) for i, t, s, _ in cases],
+                               "id long, t string, src string")
+    got = {r["id"]: r["reason"] for r in df.select(
+        "id", X.quality_reason_col(
+            F.col("t"), F.col("src"),
+            X.has_topics_col(F.col("t"))).alias("reason")).collect()}
+    for i, _, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
