@@ -322,6 +322,47 @@ def q_url_classify(spark, sf_dir):
                        UR.classify_url_col(url).alias("kind"))
 
 
+def q_html_extract(spark, sf_dir):
+    """SURVEY P1 (the reference's most-executed operator,
+    scrapers/utils.py:120-246): HTML pages are synthesized from document
+    texts across four structural branches — article+chrome strip,
+    main-fallback with heading+list, code-fence+table preservation, and
+    body-fallback with script strip — then run through the real stdlib-DOM
+    extractor; the oracle predicts (title, text) exactly."""
+    from ai_intel_web_scraper_spark.operators.html import html_extract
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), r"\s+")
+    w1, w2, w3 = (F.element_at(words, i) for i in (1, 2, 3))
+    b = F.pmod(F.col("doc_id"), F.lit(4))
+    did = F.col("doc_id").cast("string")
+    page = (F.when(b == 0, F.concat(
+                F.lit('<html><head><title>Doc '), did,
+                F.lit('</title></head><body><nav>HOME | ABOUT</nav>'
+                      '<article><h2>Section '), w1,
+                F.lit('</h2><p>'), F.col("text"),
+                F.lit('</p><div class="cookie-banner">Accept cookies</div>'
+                      '</article><footer>foot</footer></body></html>')))
+            .when(b == 1, F.concat(
+                F.lit('<html><head><title></title></head><body><main>'
+                      '<h1>'), w1,
+                F.lit('</h1><ul><li>'), w2, F.lit('</li><li>'), w3,
+                F.lit('</li></ul><p>'), F.col("text"),
+                F.lit('</p></main></body></html>')))
+            .when(b == 2, F.concat(
+                F.lit('<body><article><pre class="language-sql">SELECT '),
+                w1,
+                F.lit('</pre><table><tr><th>k</th><th>v</th></tr><tr><td>'),
+                w1, F.lit('</td><td>'), w2,
+                F.lit('</td></tr></table></article></body>')))
+            .otherwise(F.concat(
+                F.lit('<html><body><script>var x=1;</script><div><p>'),
+                F.col("text"),
+                F.lit('</p></div><aside>side</aside></body></html>'))))
+    pages = docs.select("doc_id", page.alias("page_html"))
+    out = html_extract(pages, "page_html")
+    return out.select("doc_id", "title", F.col("text").alias("extracted"))
+
+
 def q_bench_numbers(spark, sf_dir):
     """SURVEY P14: regex-mine (value, unit) perf figures from prose built
     over events rows."""
@@ -708,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_extraction": q_date_extraction,
         "url_classify": q_url_classify,
         "bench_numbers": q_bench_numbers,
+        "html_extract": q_html_extract,
         "nation_coverage": q_nation_coverage,
         "shipping_priority": q_shipping_priority,
         "global_budget": q_global_budget,
@@ -1131,6 +1173,22 @@ def oracle_sql() -> dict[str, str]:
                        ' ms sustained ' || user_id::VARCHAR || ' QPS' AS t
                 FROM events)),
               LATERAL unnest(generate_series(1, len(vs))) AS g(i)""",
+        "html_extract": f"""
+            SELECT doc_id,
+              CASE doc_id % 4
+                WHEN 0 THEN 'Doc ' || doc_id::VARCHAR
+                WHEN 1 THEN w[1] ELSE '' END AS title,
+              CASE doc_id % 4
+                WHEN 0 THEN nl || '## Section ' || w[1] || nl || nl || text
+                WHEN 1 THEN nl || '# ' || w[1] || nl || nl || '- ' || w[2]
+                            || nl || '- ' || w[3] || nl || text
+                WHEN 2 THEN nl || '```sql' || nl || 'SELECT ' || w[1] || nl
+                            || '```' || nl || nl || nl || '| k | v |' || nl
+                            || '| --- | --- |' || nl || '| ' || w[1]
+                            || ' | ' || w[2] || ' |' || nl
+                ELSE text END AS extracted
+            FROM (SELECT doc_id, text, {_sql_words()} AS w,
+                         chr(10) AS nl FROM documents)""",
         "nation_coverage": """
             SELECT nationkey, n_name FROM (
               SELECT DISTINCT c_nationkey AS nationkey FROM customer
