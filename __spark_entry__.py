@@ -458,6 +458,41 @@ def q_topic_fanout(spark, sf_dir):
                  .alias("doc_ids")))
 
 
+def q_chunk_dispatch(spark, sf_dir):
+    """SURVEY V2/V3 (reference chunker.py:171-216,296-328): source-type
+    routing over a branch-synthesized corpus — docs (hierarchy path), blog
+    (header re-carry), release (single), issue (comment packing), unknown
+    (generic fallback). All synthesized sections stay under the chunk
+    budget so the oracle predicts each chunk string exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.trim("text"), r"\s+")
+
+    def j(c):
+        return F.concat_ws(" ", c)
+
+    f8, f12 = j(F.slice(w, 1, 8)), j(F.slice(w, 1, 12))
+    f12b, f10 = j(F.slice(w, 5, 12)), j(F.slice(w, 1, 10))
+    f20, f30 = j(F.slice(w, 1, 20)), j(F.slice(w, 1, 30))
+    b = F.pmod(F.col("doc_id"), F.lit(5))
+    title = F.concat(F.lit("T"), F.col("doc_id").cast("string"))
+    sec_text = F.concat(f8, F.lit("\n## Alpha\n"), f12,
+                        F.lit("\n### Beta\n"), f12b)
+    text2 = (F.when((b == 0) | (b == 1), sec_text)
+             .when(b == 2, f30).when(b == 3, f10).otherwise(f20))
+    stype = (F.when(b == 0, "docs").when(b == 1, "blog")
+             .when(b == 2, "release").when(b == 3, "issue")
+             .otherwise("note"))
+    comments = (F.when(b == 3, F.array(j(F.slice(w, 1, 6)),
+                                       j(F.slice(w, 4, 6)),
+                                       j(F.slice(w, 7, 6))))
+                .otherwise(F.array().cast("array<string>")))
+    synth = docs.select("doc_id", text2.alias("text"), title.alias("title"),
+                        stype.alias("stype"), comments.alias("comments"),
+                        F.lit("open").alias("state"))
+    return C.dispatch_chunks(synth, "doc_id", "text", "title", "stype",
+                             comments_col="comments", state_col="state")
+
+
 def q_bin_pack(spark, sf_dir):
     """SURVEY V6: greedy token-budget bin packing of each user's events in
     time order (applyInPandas per group; running-reset not SQL-expressible)."""
@@ -768,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_neardup": q_embedding_neardup,
         "recursive_chunks": q_recursive_chunks,
+        "chunk_dispatch": q_chunk_dispatch,
         "hash_embed": q_hash_embed,
         # rows-only (genuinely non-SQL-expressible: multi-round stateful
         # crawl; image-codec UDFs; per-group running-reset bin packing)
@@ -893,6 +929,61 @@ def oracle_sql() -> dict[str, str]:
                 0, greatest((n - {C.CHUNK_OVERLAP} - 1) // {stride}, 0)))
                   t(k))
             SELECT doc_id, chunk_index, chunk_text, token_count,
+                   substring(sha256(doc_id::VARCHAR || ':' ||
+                             chunk_index::VARCHAR || ':' ||
+                             substring(chunk_text, 1, 100)), 1, 12)
+                       AS chunk_id
+            FROM ch"""
+    # chunk-dispatch oracle: every synthesized section fits the budget, so
+    # each strategy's chunks are closed-form strings (see q_chunk_dispatch)
+    _c = ("'Comment on ''' || 'T' || doc_id::VARCHAR || ''': ' || "
+          "array_to_string(list_slice(w, {0}, {1}), ' ')")
+    chunk_dispatch_sql = f"""
+            WITH parts AS (
+              SELECT doc_id, doc_id % 5 AS b,
+                     'T' || doc_id::VARCHAR AS title,
+                     array_to_string(list_slice(w, 1, 8), ' ') AS f8,
+                     array_to_string(list_slice(w, 1, 12), ' ') AS f12,
+                     array_to_string(list_slice(w, 5, 16), ' ') AS f12b,
+                     array_to_string(list_slice(w, 1, 10), ' ') AS f10,
+                     array_to_string(list_slice(w, 1, 20), ' ') AS f20,
+                     array_to_string(list_slice(w, 1, 30), ' ') AS f30,
+                     {_c.format(1, 6)} AS c1,
+                     {_c.format(4, 9)} AS c2,
+                     {_c.format(7, 12)} AS c3,
+                     chr(10) AS nl
+              FROM (SELECT doc_id, {_sql_words()} AS w FROM documents)),
+            ch AS (
+              SELECT doc_id, 'docs' AS strategy, 0 AS chunk_index,
+                     title || nl || f8 AS chunk_text
+              FROM parts WHERE b = 0
+              UNION ALL SELECT doc_id, 'docs', 1,
+                     title || ' > Alpha' || nl || f12 FROM parts WHERE b = 0
+              UNION ALL SELECT doc_id, 'docs', 2,
+                     title || ' > Alpha > Beta' || nl || f12b
+              FROM parts WHERE b = 0
+              UNION ALL SELECT doc_id, 'blog', 0, title || nl || f8
+              FROM parts WHERE b = 1
+              UNION ALL SELECT doc_id, 'blog', 1,
+                     title || nl || '## Alpha' || nl || f12
+              FROM parts WHERE b = 1
+              UNION ALL SELECT doc_id, 'blog', 2,
+                     title || nl || '### Beta' || nl || f12b
+              FROM parts WHERE b = 1
+              UNION ALL SELECT doc_id, 'single', 0, title || nl || f30
+              FROM parts WHERE b = 2
+              UNION ALL SELECT doc_id, 'issue', 0,
+                     title || ' (state: open)' || nl || f10
+              FROM parts WHERE b = 3
+              UNION ALL SELECT doc_id, 'issue', 1,
+                     c1 || nl || nl || c2 || nl || nl || c3
+              FROM parts WHERE b = 3
+              UNION ALL SELECT doc_id, 'generic', 0, title || ' ' || f20
+              FROM parts WHERE b = 4)
+            SELECT doc_id, strategy, chunk_index::INT AS chunk_index,
+                   chunk_text,
+                   len(regexp_split_to_array(chunk_text, '\\s+'))::INT
+                       AS token_count,
                    substring(sha256(doc_id::VARCHAR || ':' ||
                              chunk_index::VARCHAR || ':' ||
                              substring(chunk_text, 1, 100)), 1, 12)
@@ -1310,6 +1401,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
             FROM embeddings""",
         "recursive_chunks": rec_chunks_sql,
+        "chunk_dispatch": chunk_dispatch_sql,
         "stream_sessions": """
             WITH o AS (
               SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,

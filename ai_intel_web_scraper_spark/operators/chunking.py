@@ -14,6 +14,7 @@ Two tiers:
 from __future__ import annotations
 
 import hashlib
+import re
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -23,6 +24,10 @@ CHUNK_TOKENS = 40     # scaled-down analogs of the reference's 400/60/340
 CHUNK_OVERLAP = 6
 CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
 MIN_TOKENS = 5
+MAX_SINGLE_TOKENS = 2 * CHUNK_TOKENS  # reference MAX_CHUNK_TOKENS=800 (2x)
+
+# reference vectorstore/chunker.py:104
+SECTION_HEADER_RX = re.compile(r"^(#{1,4})\s+(.+)$", re.MULTILINE)
 
 
 def token_window_chunks(df: DataFrame, id_col: str, text_col: str,
@@ -126,6 +131,260 @@ def recursive_chunks(df: DataFrame, id_col: str, text_col: str,
     return df.select(*cols).mapInPandas(
         fn, schema=f"{id_col} {id_type}, chunk_index int, chunk_text string, "
                    "token_count int, chunk_id string")
+
+
+# --- source-type chunk dispatch (SURVEY V2) + strategies (V3) -------------
+# reference vectorstore/chunker.py:171-216 routes 7 strategies on
+# source_type; each strategy below reimplements its reference counterpart's
+# semantics over the whitespace-token proxy counter.
+
+def _tok(s: str) -> int:
+    return len(s.split())
+
+
+def _split_by_headers(text: str) -> list[tuple[str, str]]:
+    """Markdown-header sectioning (reference chunker.py:484-509): returns
+    (header-with-hashes, stripped content) pairs; leading content gets an
+    empty header."""
+    parts = SECTION_HEADER_RX.split(text)
+    sections: list[tuple[str, str]] = []
+    if not parts:
+        return [("", text)]
+    if parts[0].strip():
+        sections.append(("", parts[0].strip()))
+    i = 1
+    while i < len(parts) - 2:
+        header = f"{parts[i]} {parts[i + 1]}"
+        sections.append((header, parts[i + 2].strip()))
+        i += 3
+    return sections or [("", text)]
+
+
+def _chunk_blog(text: str, title: str, max_tokens: int, overlap: int,
+                min_tokens: int) -> list[str]:
+    """reference chunker.py:268-290: header sections, recursive within;
+    later sub-chunks re-carry the section header for context."""
+    chunks: list[str] = []
+    for header, body in _split_by_headers(text):
+        full = f"{title}\n{header}\n{body}" if header else f"{title}\n{body}"
+        if _tok(full) <= max_tokens:
+            if _tok(full) >= min_tokens:
+                chunks.append(full.strip())
+        else:
+            for j, sc in enumerate(_recursive_split(full, max_tokens,
+                                                    overlap)):
+                if j > 0 and header and not sc.startswith(header):
+                    sc = f"{header}\n{sc}"
+                chunks.append(sc.strip())
+    return chunks or [sc.strip() for sc in
+                      _recursive_split(f"{title}\n{text}", max_tokens,
+                                       overlap)]
+
+
+def _chunk_docs(text: str, title: str, max_tokens: int, overlap: int,
+                min_tokens: int) -> list[str]:
+    """reference chunker.py:296-328: sections carry the 'A > B > C' header
+    hierarchy path."""
+    chunks: list[str] = []
+    hierarchy: list[str] = [title]
+    for header, body in _split_by_headers(text):
+        if header:
+            level = header.count("#")
+            hierarchy = hierarchy[:level]
+            hierarchy.append(header.lstrip("#").strip())
+        path = " > ".join(hierarchy)
+        full = f"{path}\n{body}"
+        if _tok(full) <= max_tokens:
+            if _tok(full) >= min_tokens:
+                chunks.append(full.strip())
+        else:
+            for j, sc in enumerate(_recursive_split(full, max_tokens,
+                                                    overlap)):
+                if j > 0:
+                    sc = f"{path}\n{sc}"
+                chunks.append(sc.strip())
+    return chunks or [sc.strip() for sc in
+                      _recursive_split(f"{title}\n{text}", max_tokens,
+                                       overlap)]
+
+
+def _chunk_single(text: str, title: str, max_tokens: int, overlap: int,
+                  min_tokens: int, max_single: int) -> list[str]:
+    """reference chunker.py:459-469 (releases/benchmarks/comparisons)."""
+    full = f"{title}\n{text}"
+    t = _tok(full)
+    if t <= max_single:
+        return [full.strip()] if t >= min_tokens else []
+    return [sc.strip() for sc in _recursive_split(full, max_tokens, overlap)]
+
+
+def _chunk_generic(text: str, title: str, max_tokens: int,
+                   overlap: int) -> list[str]:
+    """reference chunker.py:475-478."""
+    return [sc.strip() for sc in
+            _recursive_split(f"{title}\n{text}", max_tokens, overlap)]
+
+
+def _chunk_issue(text: str, title: str, comments: list[str], state: str,
+                 max_tokens: int, overlap: int,
+                 min_tokens: int) -> list[str]:
+    """reference chunker.py:334-386: issue body first, then comments packed
+    to the token budget with long-comment overflow splitting."""
+    chunks: list[str] = []
+    body = f"{title} (state: {state})\n{text}"
+    if _tok(body) <= max_tokens:
+        chunks.append(body.strip())
+    else:
+        chunks.extend(sc.strip() for sc in
+                      _recursive_split(body, max_tokens, overlap))
+    buf: list[str] = []
+    bt = 0
+    for c in comments or []:
+        ct = f"Comment on '{title}': {c}"
+        n = _tok(ct)
+        if n >= max_tokens:
+            if buf:
+                chunks.append("\n\n".join(buf).strip())
+                buf, bt = [], 0
+            chunks.extend(sc.strip() for sc in
+                          _recursive_split(ct, max_tokens, overlap))
+        elif bt + n > max_tokens:
+            if buf:
+                chunks.append("\n\n".join(buf).strip())
+            buf, bt = [ct], n
+        else:
+            buf.append(ct)
+            bt += n
+    if buf:
+        merged = "\n\n".join(buf).strip()
+        if _tok(merged) >= min_tokens:
+            chunks.append(merged)
+    return chunks
+
+
+def _chunk_discussion(text: str, title: str, category: str,
+                      answer: str | None, answered: bool, max_tokens: int,
+                      overlap: int) -> list[str]:
+    """reference chunker.py:392-418: body plus the accepted answer as a
+    high-priority chunk."""
+    body = f"{title} (discussion, category: {category})\n{text}"
+    if _tok(body) <= max_tokens:
+        chunks = [body.strip()]
+    else:
+        chunks = [sc.strip() for sc in
+                  _recursive_split(body, max_tokens, overlap)]
+    if answer and answered:
+        at = f"Accepted answer for '{title}': {answer}"
+        if _tok(at) <= max_tokens:
+            chunks.append(at.strip())
+        else:
+            chunks.extend(sc.strip() for sc in
+                          _recursive_split(at, max_tokens, overlap))
+    return chunks
+
+
+def _chunk_community(text: str, title: str, comments: list[str],
+                     max_tokens: int, overlap: int,
+                     min_tokens: int) -> list[str]:
+    """reference chunker.py:424-453: post then one chunk per comment,
+    skipping sub-minimum comments."""
+    chunks: list[str] = []
+    post = f"{title}\n{text}"
+    if _tok(post) <= max_tokens:
+        if _tok(post) >= min_tokens:
+            chunks.append(post.strip())
+    else:
+        chunks.extend(sc.strip() for sc in
+                      _recursive_split(post, max_tokens, overlap))
+    for c in comments or []:
+        ct = f"Community comment on '{title}': {c}"
+        n = _tok(ct)
+        if n < min_tokens:
+            continue
+        if n <= max_tokens:
+            chunks.append(ct.strip())
+        else:
+            chunks.extend(sc.strip() for sc in
+                          _recursive_split(ct, max_tokens, overlap))
+    return chunks
+
+
+SOURCE_STRATEGY = {
+    "blog": "blog", "docs": "docs", "issue": "issue",
+    "discussion": "discussion", "release": "single", "benchmark": "single",
+    "comparison": "single", "hn": "community", "reddit": "community",
+}
+
+
+def dispatch_chunks(df: DataFrame, id_col: str, text_col: str,
+                    title_col: str, type_col: str,
+                    comments_col: str | None = None,
+                    state_col: str | None = None,
+                    category_col: str | None = None,
+                    answer_col: str | None = None,
+                    max_tokens: int = CHUNK_TOKENS,
+                    overlap: int = CHUNK_OVERLAP,
+                    min_tokens: int = MIN_TOKENS,
+                    max_single: int = MAX_SINGLE_TOKENS) -> DataFrame:
+    """SURVEY V2: route each record to its source-type strategy (unknown
+    types fall back to generic), one Arrow mapInPandas pass. Emits
+    (id, strategy, chunk_index, chunk_text, token_count, chunk_id) rows."""
+    cols = [c for c in (id_col, text_col, title_col, type_col, comments_col,
+                        state_col, category_col, answer_col) if c]
+
+    def fn(iterator):
+        for pdf in iterator:
+            n_rows = len(pdf)
+            ids, texts = pdf[id_col], pdf[text_col]
+            titles, types = pdf[title_col], pdf[type_col]
+            comments = (pdf[comments_col] if comments_col
+                        else [None] * n_rows)
+            states = pdf[state_col] if state_col else ["unknown"] * n_rows
+            cats = pdf[category_col] if category_col else [""] * n_rows
+            answers = pdf[answer_col] if answer_col else [None] * n_rows
+            rows = []
+            for rid, t, ti, ty, cs, st, cat, ans in zip(
+                    ids, texts, titles, types, comments, states, cats,
+                    answers):
+                text, title = str(t or ""), str(ti or "")
+                if not text.strip():
+                    continue  # reference chunker.py:173-174
+                strat = SOURCE_STRATEGY.get(ty, "generic")
+                cl = list(cs) if cs is not None else []
+                if strat == "blog":
+                    chs = _chunk_blog(text, title, max_tokens, overlap,
+                                      min_tokens)
+                elif strat == "docs":
+                    chs = _chunk_docs(text, title, max_tokens, overlap,
+                                      min_tokens)
+                elif strat == "issue":
+                    chs = _chunk_issue(text, title, cl, str(st), max_tokens,
+                                       overlap, min_tokens)
+                elif strat == "discussion":
+                    chs = _chunk_discussion(text, title, str(cat),
+                                            ans, ans is not None,
+                                            max_tokens, overlap)
+                elif strat == "single":
+                    chs = _chunk_single(text, title, max_tokens, overlap,
+                                        min_tokens, max_single)
+                elif strat == "community":
+                    chs = _chunk_community(text, title, cl, max_tokens,
+                                           overlap, min_tokens)
+                else:
+                    chs = _chunk_generic(text, title, max_tokens, overlap)
+                for ci, ch in enumerate(chs):
+                    cid = hashlib.sha256(
+                        f"{rid}:{ci}:{ch[:100]}".encode()).hexdigest()[:12]
+                    rows.append((rid, strat, ci, ch, len(ch.split()), cid))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    id_col, "strategy", "chunk_index", "chunk_text",
+                    "token_count", "chunk_id"])
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(*cols).mapInPandas(
+        fn, schema=f"{id_col} {id_type}, strategy string, chunk_index int, "
+                   "chunk_text string, token_count int, chunk_id string")
 
 
 BIN_TOKEN_BUDGET = 25  # scaled-down analog of the reference's issue budget

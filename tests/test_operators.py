@@ -406,3 +406,54 @@ def test_quality_reason_reference_order(spark):
             X.has_topics_col(F.col("t"))).alias("reason")).collect()}
     for i, _, _, want in cases:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_chunk_dispatch_strategies(spark):
+    """V2 routing + V3 hierarchy semantics on hand-built records
+    (reference chunker.py:171-216,296-328,392-453)."""
+    long_body = " ".join(f"w{i}" for i in range(90))
+    rows = [
+        # docs: h2 -> h3 -> h2 again must TRIM the hierarchy back
+        (1, "intro words right here\n## A\nsec a words\n### B\n"
+            "sec b words\n## C\nsec c words", "Doc", "docs",
+         None, None, None, None),
+        (2, "post body words here", "Post", "hn",
+         ["", "a comment with enough words to keep around ok"],
+         None, None, None),
+        (3, "question body", "Q", "discussion", None, None, "ideas",
+         "the accepted answer text"),
+        (4, long_body, "Big", "release", None, None, None, None),
+        (5, "plain text body", "X", "mystery_type", None, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, text string, title string, stype string, "
+              "comments array<string>, state string, category string, "
+              "answer string")
+    out = C.dispatch_chunks(df, "id", "text", "title", "stype",
+                            comments_col="comments", state_col="state",
+                            category_col="category", answer_col="answer")
+    by_id: dict = {}
+    for r in out.collect():
+        by_id.setdefault(r["id"], []).append(r)
+    # docs hierarchy: faithful to reference chunker.py:303-312 —
+    # hierarchy[:level] for a level-2 header keeps [title, prev-h2], so
+    # the second h2 lands UNDER the first ('Doc > A > C'), quirk included
+    texts1 = [r["chunk_text"] for r in sorted(by_id[1],
+                                              key=lambda r: r["chunk_index"])]
+    assert texts1[0].startswith("Doc\nintro words")
+    assert texts1[1].startswith("Doc > A\n")
+    assert texts1[2].startswith("Doc > A > B\n")
+    assert texts1[3].startswith("Doc > A > C\n")
+    # community: post chunk + one comment chunk (the 1-token one skipped)
+    texts2 = [r["chunk_text"] for r in by_id[2]]
+    assert len(texts2) == 2
+    assert any(t.startswith("Community comment on 'Post':") for t in texts2)
+    # discussion: body + accepted answer
+    texts3 = [r["chunk_text"] for r in by_id[3]]
+    assert texts3[0].startswith("Q (discussion, category: ideas)\n")
+    assert texts3[1].startswith("Accepted answer for 'Q':")
+    # single over the max -> recursive split, every chunk within budget
+    assert len(by_id[4]) > 1
+    assert all(r["token_count"] <= C.CHUNK_TOKENS for r in by_id[4])
+    # unknown type routes to generic
+    assert by_id[5][0]["strategy"] == "generic"
