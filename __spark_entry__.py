@@ -635,6 +635,21 @@ def q_minhash_verified(spark, sf_dir):
             .select("id_a", "id_b", "jaccard"))
 
 
+def q_minhash_greedy(spark, sf_dir):
+    """SURVEY P9 end-to-end (reference deduplicator.py:105-158): MinHash-LSH
+    candidates -> EXACT insert-order greedy keep (connected components +
+    per-component sequential resolution). Oracle note: on this fixture the
+    only multi-edge component is a triangle, where greedy == drop-every-
+    id_b (verified); bridge-chain divergence is covered by
+    tests/test_operators.py parity on randomized graphs."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = (D.minhash_neardup_pairs(docs, "doc_id", "text")
+            .where(F.col("est_jaccard") >= MINHASH_THRESHOLD))
+    return (D.greedy_chain_dedup(docs.select("doc_id"), cand,
+                                 "doc_id", "doc_id")
+            .orderBy("doc_id"))
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup with guaranteed-recall block LSH; the md5-based
     60-bit signature recomputes in pure SQL, so the oracle brute-forces
@@ -799,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,
         "minhash_pairs": q_minhash_pairs,
         "minhash_verified": q_minhash_verified,
+        "minhash_greedy": q_minhash_greedy,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -1390,6 +1406,11 @@ def oracle_sql() -> dict[str, str]:
             {jaccard_all}
             SELECT id_a, id_b, jaccard FROM jac
             WHERE jaccard >= {MINHASH_THRESHOLD}""",
+        "minhash_greedy": f"""
+            {jaccard_all}
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id_b FROM jac
+                                 WHERE jaccard >= {MINHASH_THRESHOLD})""",
         "simhash_pairs": simhash_sql,
         "ann_lsh_topk": f"""
             SELECT vec_id, round({cos_a}, 6) AS score FROM (

@@ -77,8 +77,9 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 # ------------------------------------------------------------------ minhash
 
-N_PERM = 64
-LSH_BANDS = 16  # 16 bands x 4 rows: catches Jaccard >= ~0.6 w.h.p.
+N_PERM = 128    # reference processors/deduplicator.py:25 (num_perm=128)
+LSH_BANDS = 32  # 32 bands x 4 rows: >=0.999 recall at Jaccard 0.7 (the
+# reference's MinHashLSH threshold, deduplicator.py:24)
 _MERSENNE = (1 << 61) - 1
 
 
@@ -191,14 +192,95 @@ def minhash_verified_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def greedy_keep_first_dedup(pairs: DataFrame, all_ids: DataFrame,
                             id_col: str, threshold: float = 0.6) -> DataFrame:
-    """Reference-greedy approximation (deduplicator.py:105-158 keeps a record
-    unless it matches an already-KEPT earlier record): distributed single-pass
-    variant drops any id that pairs with ANY smaller id above threshold.
-    Differs from greedy chains only when a dropped record bridges two others
-    (documented divergence, SURVEY §7.4)."""
+    """Single-pass approximation: drops any id pairing with ANY smaller id
+    above threshold. Diverges from the reference on bridge chains (a-b,
+    b-c: reference keeps c because b was dropped) — use
+    `greedy_chain_dedup` for exact insert-order parity."""
     drop = (pairs.where(F.col("est_jaccard") >= threshold)
             .select(F.col("id_b").alias(id_col)).distinct())
     return all_ids.join(drop, id_col, "left_anti")
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
+    """Min-label propagation over an (id_a, id_b) edge list -> (id, comp)
+    with comp = the component's minimum id. Converges in component-diameter
+    iterations (near-dup clusters are shallow); each iteration is one
+    shuffle join + agg with lineage truncated via localCheckpoint. The
+    monotone-decreasing sum of labels doubles as the convergence test."""
+    sym = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+           .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                     F.col("id_a").alias("dst"))))
+    sym = sym.localCheckpoint(eager=True)
+    comp = (sym.select(F.col("src").alias("id")).distinct()
+            .withColumn("comp", F.col("id")).localCheckpoint(eager=True))
+    prev_sum = None
+    for _ in range(max_iter):
+        # new label = min(own label, neighbors' labels), expressed as a
+        # UNION + groupBy-min so comp never self-joins (Spark's ambiguous-
+        # self-join check trips even across localCheckpoint boundaries)
+        self_lab = comp.select(F.col("id").alias("src"),
+                               F.col("comp").alias("lab"))
+        nbr_lab = (sym.join(comp.select(F.col("id").alias("_nid"),
+                                        F.col("comp").alias("lab")),
+                            sym["dst"] == F.col("_nid"))
+                   .select("src", "lab"))
+        comp = (self_lab.unionByName(nbr_lab)
+                .groupBy("src").agg(F.min("lab").alias("comp"))
+                .withColumnRenamed("src", "id")
+                .localCheckpoint(eager=True))
+        s = comp.agg(F.sum("comp")).first()[0]
+        if s == prev_sum:  # labels only decrease: equal sum == fixpoint
+            break
+        prev_sum = s
+    return comp
+
+
+def greedy_chain_dedup(all_ids: DataFrame, pairs: DataFrame, id_col: str,
+                       seq_col: str) -> DataFrame:
+    """EXACT reference-greedy near-dup resolution (deduplicator.py:119-146):
+    iterate records in `seq_col` order; a record is dropped iff some
+    already-KEPT earlier record is one of its candidate pairs (so a record
+    whose only earlier partner was itself dropped stays — bridge chains
+    survive). Distributed shape: connected components over the pair graph,
+    then the sequential greedy runs per component inside a cogrouped
+    applyInPandas (components are tiny near-dup clusters; cross-component
+    work is fully parallel). Returns the kept ids."""
+    comp = connected_components(pairs)
+    # alias comp's columns per consumer: members and edges_c meet again in
+    # the cogroup, so shared expression ids would be flagged as ambiguous
+    members = (all_ids.select(F.col(id_col).alias("_id"),
+                              F.col(seq_col).alias("_seq"))
+               .join(comp.select(F.col("id").alias("_cid"),
+                                 F.col("comp").alias("comp")),
+                     F.col("_id") == F.col("_cid"))
+               .select(F.col("comp").alias("comp"), "_id", "_seq"))
+    edges_c = (pairs.select("id_a", "id_b")
+               .join(comp.select(F.col("id").alias("_cid"),
+                                 F.col("comp").alias("comp")),
+                     F.col("id_a") == F.col("_cid"))
+               .select(F.col("comp").alias("comp"), "id_a", "id_b"))
+
+    def greedy(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        adj: dict = {}
+        for a, b in zip(right["id_a"], right["id_b"]):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        kept: set = set()
+        out = []
+        for rid in left.sort_values("_seq")["_id"]:
+            if not (adj.get(rid, set()) & kept):
+                kept.add(rid)
+                out.append(rid)
+        return pd.DataFrame({"_id": out})
+
+    id_type = dict(all_ids.dtypes)[id_col]
+    kept_in_graph = (members.groupBy("comp")
+                     .cogroup(edges_c.groupBy("comp"))
+                     .applyInPandas(greedy, schema=f"_id {id_type}")
+                     .select(F.col("_id").alias(id_col)))
+    trivially_kept = (all_ids.select(F.col(id_col))
+                      .join(comp, F.col(id_col) == comp["id"], "left_anti"))
+    return trivially_kept.unionByName(kept_in_graph)
 
 
 # ------------------------------------------------------------------ simhash

@@ -457,3 +457,49 @@ def test_chunk_dispatch_strategies(spark):
     assert all(r["token_count"] <= C.CHUNK_TOKENS for r in by_id[4])
     # unknown type routes to generic
     assert by_id[5][0]["strategy"] == "generic"
+
+
+def _reference_greedy(ids_in_order, pairs) -> set:
+    """Pure-Python port of reference deduplicator.py:119-146: iterate in
+    order, drop a record iff an already-KEPT record is its LSH partner."""
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    kept: set = set()
+    for rid in ids_in_order:
+        if not (adj.get(rid, set()) & kept):
+            kept.add(rid)
+    return kept
+
+
+def test_greedy_chain_dedup_bridge_chain(spark):
+    """Path a-b-c: b drops (a kept), c SURVIVES because its only partner b
+    was dropped — the case the single-pass approximation gets wrong."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3)], "doc_id long")
+    kept = {r["doc_id"] for r in
+            D.greedy_chain_dedup(ids, pairs, "doc_id", "doc_id").collect()}
+    assert kept == {1, 3}
+
+
+def test_greedy_chain_dedup_matches_reference_on_random_graphs(spark):
+    import random
+    rng = random.Random(1234)
+    for trial in range(4):
+        n = 60
+        ids = list(range(n))
+        # clustered random graph: dense pockets produce chains + triangles
+        pairs = set()
+        for _ in range(50):
+            a, b = rng.sample(range(n), 2)
+            a, b = (a, b) if a < b else (b, a)
+            pairs.add((a, b))
+        pairs = sorted(pairs)
+        want = _reference_greedy(ids, pairs)
+        ids_df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        pairs_df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        got = {r["doc_id"] for r in
+               D.greedy_chain_dedup(ids_df, pairs_df,
+                                    "doc_id", "doc_id").collect()}
+        assert got == want, f"trial {trial}"
