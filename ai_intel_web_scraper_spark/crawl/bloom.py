@@ -138,6 +138,44 @@ def bloom_probe_udf(spark, blob: bytes):
     return maybe_seen
 
 
+def or_merge_shards_fn():
+    """applyInPandas per bucket: OR all bitmap versions of the bucket into
+    one row. Executor-side shard compaction — the driver never sees bits."""
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for raw in pdf["bitmap"]:
+            arr = np.frombuffer(raw, dtype=np.uint8)
+            acc = arr.copy() if acc is None else np.bitwise_or(acc, arr)
+        return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])],
+                             "bitmap": [acc.tobytes()]})
+    return fn
+
+
+def partitioned_probe_fn(m_bits: int, out_columns: list[str]):
+    """Cogrouped probe: (candidate rows of one bucket) x (that bucket's
+    shard rows) -> candidates + `maybe` flag. Each task receives ONLY its
+    bucket's bitmap (once per bucket, not per row) — the executor-resident
+    alternative to broadcasting the whole sidecar; at 10^10 URLs the
+    sidecar never exists as one object anywhere."""
+    def fn(cand: pd.DataFrame, shards: pd.DataFrame) -> pd.DataFrame:
+        out = cand[out_columns].copy()
+        if len(cand) == 0:
+            out["maybe"] = pd.Series([], dtype=bool)
+            return out
+        if len(shards) == 0:
+            out["maybe"] = False  # no shard: nothing seen in this bucket
+            return out
+        bitmap = None
+        for raw in shards["bitmap"]:
+            arr = np.frombuffer(raw, dtype=np.uint8)
+            bitmap = arr.copy() if bitmap is None else np.bitwise_or(bitmap, arr)
+        pos = _positions(cand["url_hash"].to_numpy(), m_bits)
+        bits = (bitmap[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        out["maybe"] = bits.all(axis=1)
+        return out
+    return fn
+
+
 def partial_bitmaps(m_bits: int, n_buckets: int):
     """mapInPandas function: (bucket int, url_hash long) rows ->
     (bucket int, bitmap binary) one row per bucket present in the partition."""
@@ -220,10 +258,35 @@ class CountingBloomShards(BloomShards):
             out[mask] = (cnt > 0).all(axis=1)
         return out
 
-    def merge_bitmap(self, bucket: int, packed: np.ndarray) -> None:  # pragma: no cover
-        raise NotImplementedError(
-            "counting shards merge by counter addition, not OR; "
-            "use add_many from the executor rows")
+    def merge_bitmap(self, bucket: int, packed: np.ndarray) -> None:
+        """Merge an executor-built partial COUNTING shard by saturating
+        counter addition (min(a+b, 15) — a saturated side stays saturated,
+        preserving the never-decrement-a-saturated-slot rule). This lets the
+        counting variant use the same executor-built partial path as the
+        plain bitmap (see partial_counting_bitmaps)."""
+        s = self._shard(bucket)
+        lo = np.minimum((s & 0x0F).astype(np.int64)
+                        + (packed & 0x0F).astype(np.int64), self._MAX)
+        hi = np.minimum((s >> 4).astype(np.int64)
+                        + (packed >> 4).astype(np.int64), self._MAX)
+        self.shards[bucket] = ((hi.astype(np.uint8) << 4)
+                               | lo.astype(np.uint8))
+
+
+def partial_counting_bitmaps(m_bits: int):
+    """mapInPandas builder for CountingBloomShards partials: emits one
+    packed 4-bit-counter array per bucket present in the partition —
+    mergeable driver- or executor-side via CountingBloomShards.merge_bitmap."""
+    def fn(iterator):
+        acc = CountingBloomShards(0, m_bits)
+        for pdf in iterator:
+            acc.add_many(pdf["bucket"].to_numpy(), pdf["url_hash"].to_numpy())
+        if acc.shards:
+            yield pd.DataFrame({
+                "bucket": list(acc.shards.keys()),
+                "bitmap": [v.tobytes() for v in acc.shards.values()],
+            })
+    return fn
 
 
 class CuckooShards:
@@ -266,7 +329,11 @@ class CuckooShards:
 
     def _fp_and_index(self, hashes: np.ndarray):
         u = hashes.astype(np.uint64)
-        fp = ((u >> np.uint64(48)) | np.uint64(1)).astype(np.uint16)  # never 0
+        # full 16-bit fingerprint space; only the reserved empty value 0 is
+        # remapped (OR-ing 1 would force all fingerprints odd — half the
+        # space, ~2x the FPR)
+        fp = (u >> np.uint64(48)).astype(np.uint16)
+        fp = np.where(fp == 0, np.uint16(1), fp)
         # index bits 16.. — DISJOINT from the shard key (|hash| % n_buckets,
         # low bits) and the fingerprint (top 16): sharing bits with the
         # shard key would leave every shard using only a fraction of its

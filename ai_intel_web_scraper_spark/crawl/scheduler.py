@@ -46,7 +46,8 @@ from pyspark.sql import types as T
 
 from ..functions import urls as U
 from . import semantics as S
-from .bloom import BloomShards, bloom_probe_udf, partial_bitmaps
+from .bloom import (BloomShards, bloom_probe_udf, or_merge_shards_fn,
+                    partial_bitmaps, partitioned_probe_fn)
 from .statestore import SnapshotStore
 
 FRONTIER_SCHEMA = ("url string, url_hash long, bucket int, host string, "
@@ -130,6 +131,14 @@ class CrawlConfig:
     n_buckets: int = 16
     n_salt: int = 8
     use_bloom: bool = True
+    # "broadcast": one packed sidecar blob broadcast per round (fast in
+    #   local mode / small filters).
+    # "partitioned": per-bucket shard rows in the snapshot's bloom_shards
+    #   table, probed via a bucket-cogrouped applyInPandas and updated by
+    #   executor-side OR-merge — the driver NEVER materializes the set
+    #   (the only feasible shape at the 10^10-URL sizing, where the blob
+    #   would be ~10+ GB of driver memory and per-round broadcast).
+    bloom_mode: str = "broadcast"
     expected_urls: int = 1 << 20
     rank_mode: str = "bfs"        # "bfs" (oracle-parity) | "priority"
     write_payload: bool = True    # join image bytes into the fetched sink
@@ -146,8 +155,10 @@ class CrawlEngine:
             "frontier": FRONTIER_SCHEMA, "url_seen": URL_SEEN_SCHEMA,
             "fetched": FETCHED_SCHEMA, "failures": FAILURES_SCHEMA,
             "host_state": HOST_STATE_SCHEMA, "metrics": METRICS_SCHEMA,
-            "edges": EDGES_SCHEMA,
+            "edges": EDGES_SCHEMA, "bloom_shards": "bucket int, bitmap binary",
         })
+        self._bloom_m = BloomShards.sized_for(
+            self.cfg.expected_urls, self.cfg.n_buckets).m_bits
         self.fixtures = fixtures
         self.graph = spark.read.parquet(fixtures["web_graph"])
         self.pages = spark.read.parquet(fixtures["pages"]) if self.cfg.write_payload else None
@@ -249,10 +260,27 @@ class CrawlEngine:
         self.store.stage_write("frontier", frontier, "replace")
         self.store.stage_write("url_seen", url_seen, "append")
         if self.cfg.use_bloom:
-            bloom = BloomShards.sized_for(self.cfg.expected_urls, self.cfg.n_buckets)
-            self._bloom_add(bloom, frontier)
-            self.store.stage_blob("bloom", bloom.to_bytes())
+            if self.cfg.bloom_mode == "partitioned":
+                # per-bucket shard rows built AND stored executor-side; the
+                # driver never holds a bitmap
+                self.store.stage_write("bloom_shards",
+                                       self._shard_partials(frontier),
+                                       "replace")
+            else:
+                bloom = BloomShards.sized_for(self.cfg.expected_urls,
+                                              self.cfg.n_buckets)
+                self._bloom_add(bloom, frontier)
+                self.store.stage_blob("bloom", bloom.to_bytes())
         self.store.commit(round_no=0, metrics={"round": 0, "event": "bootstrap"})
+
+    def _shard_partials(self, df: DataFrame) -> DataFrame:
+        """Executor-built per-bucket partial bitmaps, one row per bucket
+        (repartition-by-bucket puts each bucket wholly in one partition)."""
+        return (df.select("bucket", "url_hash")
+                .repartition(self.cfg.n_buckets, "bucket")
+                .mapInPandas(partial_bitmaps(self._bloom_m,
+                                             self.cfg.n_buckets),
+                             schema="bucket int, bitmap binary"))
 
     def _bloom_add(self, bloom: BloomShards, df: DataFrame) -> None:
         """OR executor-built per-partition bitmaps into the sidecar shards.
@@ -327,10 +355,20 @@ class CrawlEngine:
         ranked_keys = ranked.select("url_hash", "discovery_seq",
                                     "crawl_delay", "fetch_slot", "fetch_ts")
         # the ranked set is quota-bounded (<= sum of host quotas rows): when
-        # that bound is broadcastable, the frontier joins it without a
-        # shuffle; beyond the bound fall back to a shuffled join (at real
-        # scale: storage-partitioned join on the shared url_hash bucketing)
-        if int(alive_pdf["quota"].sum() if len(alive_pdf) else 0) <= 4_000_000:
+        # that bound fits the session's broadcast budget (~40 B/row for the
+        # five narrow columns), the frontier joins it without a shuffle;
+        # beyond it fall back to a shuffled join (at real scale: storage-
+        # partitioned join on the shared url_hash bucketing). Gating on
+        # estimated BYTES vs autoBroadcastJoinThreshold (not a fixed row
+        # count) keeps the broadcast within executor memory on any cluster.
+        try:
+            bcast_limit = int(str(sp.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"))
+                .lower().rstrip("b"))
+        except ValueError:
+            bcast_limit = 10 * 1024 * 1024
+        est_rows = int(alive_pdf["quota"].sum() if len(alive_pdf) else 0)
+        if bcast_limit > 0 and est_rows * 40 <= bcast_limit:
             ranked_keys = F.broadcast(ranked_keys)
         scheduled = (frontier.join(
             ranked_keys,
@@ -407,32 +445,69 @@ class CrawlEngine:
         # probing disabled), and rebuilt from url_seen when probing is
         # enabled but no blob was carried — otherwise a stale blob's false
         # "definitely new" verdicts would bypass the exact anti-join.
-        bloom_bytes = self.store.read_blob("bloom")
-        if cfg.use_bloom and bloom_bytes is None:
-            rebuilt = BloomShards.sized_for(cfg.expected_urls, cfg.n_buckets)
-            self._bloom_add(rebuilt,
-                            self.store.read("url_seen")
-                            .select("bucket", "url_hash"))
-            bloom_bytes = rebuilt.to_bytes()
-        if bloom_bytes is not None and cfg.use_bloom:
-            bloom = BloomShards.from_bytes(bloom_bytes)
-            maybe_seen = bloom_probe_udf(sp, bloom_bytes)
-            probed = deduped.withColumn("maybe", maybe_seen("bucket", "url_hash"))
+        use_part_bloom = cfg.use_bloom and cfg.bloom_mode == "partitioned"
+        shards_df = None
+        bloom_bytes = None
+        bloom = None
+        if use_part_bloom:
+            # executor-resident sidecar: per-bucket shard rows cogrouped
+            # against the candidate buckets — each task receives only its
+            # buckets' bitmaps, once, and the driver never holds the set
+            snap_tables = (self.store.snapshot() or {}).get("tables", {})
+            if snap_tables.get("bloom_shards"):
+                shards_df = self.store.read("bloom_shards")
+            else:  # mode switch / fresh enable: rebuild from url_seen,
+                # still executor-side (staged with this round's update)
+                shards_df = self._shard_partials(
+                    self.store.read("url_seen")).persist()
+            out_cols = deduped.columns
+            # fresh StructType: StructType.add MUTATES the frame's cached
+            # schema, which would poison the cogroup's column resolution
+            out_schema = T.StructType(
+                list(deduped.schema.fields)
+                + [T.StructField("maybe", T.BooleanType())])
+            probed = (deduped.groupBy("bucket")
+                      .cogroup(shards_df.groupBy("bucket"))
+                      .applyInPandas(
+                          partitioned_probe_fn(self._bloom_m, out_cols),
+                          schema=out_schema))
             definite_new = probed.where(~F.col("maybe")).drop("maybe")
             to_confirm = probed.where(F.col("maybe")).drop("maybe")
             confirmed = to_confirm.join(
                 self.store.read("url_seen").select("bucket", "url_hash", "url"),
                 ["bucket", "url_hash", "url"], "left_anti")
-            new_urls = definite_new.unionByName(confirmed)
+            new_urls = definite_new.unionByName(confirmed).persist()
         else:
-            # probing disabled — but keep maintaining an existing sidecar so
-            # re-enabling use_bloom later stays safe
-            bloom = (BloomShards.from_bytes(bloom_bytes)
-                     if bloom_bytes is not None else None)
-            new_urls = deduped.join(
-                self.store.read("url_seen").select("bucket", "url_hash", "url"),
-                ["bucket", "url_hash", "url"], "left_anti")
-        new_urls = new_urls.persist()
+            bloom_bytes = self.store.read_blob("bloom")
+            if cfg.use_bloom and bloom_bytes is None:
+                rebuilt = BloomShards.sized_for(cfg.expected_urls,
+                                                cfg.n_buckets)
+                self._bloom_add(rebuilt,
+                                self.store.read("url_seen")
+                                .select("bucket", "url_hash"))
+                bloom_bytes = rebuilt.to_bytes()
+            if bloom_bytes is not None and cfg.use_bloom:
+                bloom = BloomShards.from_bytes(bloom_bytes)
+                maybe_seen = bloom_probe_udf(sp, bloom_bytes)
+                probed = deduped.withColumn(
+                    "maybe", maybe_seen("bucket", "url_hash"))
+                definite_new = probed.where(~F.col("maybe")).drop("maybe")
+                to_confirm = probed.where(F.col("maybe")).drop("maybe")
+                confirmed = to_confirm.join(
+                    self.store.read("url_seen")
+                    .select("bucket", "url_hash", "url"),
+                    ["bucket", "url_hash", "url"], "left_anti")
+                new_urls = definite_new.unionByName(confirmed)
+            else:
+                # probing disabled — but keep maintaining an existing
+                # sidecar so re-enabling use_bloom later stays safe
+                bloom = (BloomShards.from_bytes(bloom_bytes)
+                         if bloom_bytes is not None else None)
+                new_urls = deduped.join(
+                    self.store.read("url_seen")
+                    .select("bucket", "url_hash", "url"),
+                    ["bucket", "url_hash", "url"], "left_anti")
+            new_urls = new_urls.persist()
 
         # -- next frontier: unscheduled + retries + new (anti-join, no skew) -
         alive_hosts = quota_cfg.select("host")
@@ -558,7 +633,16 @@ class CrawlEngine:
             new_hs["fetched_count"] = new_hs["fetched_count"] + delta
         self._host_pdf = new_hs
         self.store.stage_write_arrow("host_state", new_hs, "replace")
-        if bloom is not None:
+        if use_part_bloom:
+            # executor-side shard merge: previous shard rows + this round's
+            # partials, OR-folded per bucket; staged as a replace. No bitmap
+            # ever reaches the driver.
+            merged = (shards_df.unionByName(self._shard_partials(new_urls))
+                      .groupBy("bucket")
+                      .applyInPandas(or_merge_shards_fn(),
+                                     schema="bucket int, bitmap binary"))
+            self.store.stage_write("bloom_shards", merged, "replace")
+        elif bloom is not None:
             self._bloom_add(bloom, new_urls)
             self.store.stage_blob("bloom", bloom.to_bytes())
         frontier_size = self.store.staged_row_count("frontier")

@@ -100,10 +100,12 @@ class SnapshotStore:
         os.makedirs(path, exist_ok=True)
         pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
                        os.path.join(path, "part-0.parquet"))
-        st = self._staged.setdefault(table, {"mode": mode, "dirs": []})
-        if mode == "replace":
-            st["mode"] = "replace"
-        st["dirs"].append(dirname)
+        with self._stage_lock:  # same discipline as stage_write: callers
+            # may overlap with in-flight sink-writer threads
+            st = self._staged.setdefault(table, {"mode": mode, "dirs": []})
+            if mode == "replace":
+                st["mode"] = "replace"
+            st["dirs"].append(dirname)
 
     def staged_row_count(self, table: str) -> int:
         """Row count of this round's staged dirs from parquet footers —

@@ -82,7 +82,8 @@ def crawl_fixtures(spark, n_hosts: int, total_pages: int, with_bytes: bool,
 def run_crawl(spark, n_hosts: int, total_pages: int,
               with_payload: bool, round_seconds: float,
               budget_scale: int = 1, depth_add: int = 0,
-              max_links: int = 12, seed_frac: float = 0.6) -> dict:
+              max_links: int = 12, seed_frac: float = 0.6,
+              bloom_mode: str = "broadcast") -> dict:
     from ai_intel_web_scraper_spark.crawl.scheduler import (CrawlConfig,
                                                             CrawlEngine)
     fx = crawl_fixtures(spark, n_hosts, total_pages,
@@ -94,7 +95,7 @@ def run_crawl(spark, n_hosts: int, total_pages: int,
     eng = CrawlEngine(spark, fx, wh, CrawlConfig(
         expected_urls=max(1 << 20, total_pages * 4),
         write_payload=with_payload, round_seconds=round_seconds,
-        n_salt=8))
+        n_salt=8, bloom_mode=bloom_mode))
     t0 = time.time()
     rounds = eng.run()
     wall = time.time() - t0
@@ -106,6 +107,7 @@ def run_crawl(spark, n_hosts: int, total_pages: int,
         "rounds": len(rounds), "scheduled": scheduled,
         "deduped_candidates": discovered, "new_urls": new_urls,
         "fetched_ok": fetched, "wall_sec": round(wall, 2),
+        "bloom_mode": bloom_mode,
         "throughput_urls_per_sec": round((scheduled + discovered) / wall, 1),
     }
 
@@ -305,6 +307,11 @@ def main() -> None:
     ap.add_argument("--payload", action="store_true", default=True)
     ap.add_argument("--no-payload", dest="payload", action="store_false")
     ap.add_argument("--round-seconds", type=float, default=600.0)
+    ap.add_argument("--bloom-mode", default="broadcast",
+                    choices=["broadcast", "partitioned"],
+                    help="url_seen bloom sidecar placement: one broadcast "
+                         "blob, or executor-resident per-bucket shard rows "
+                         "(the 10^10-URL shape; driver never holds the set)")
     ap.add_argument("--budget-scale", type=int, default=1)
     ap.add_argument("--depth-add", type=int, default=0)
     ap.add_argument("--max-links", type=int, default=12)
@@ -351,7 +358,8 @@ def main() -> None:
             crawl = run_crawl(spark, args.hosts, args.pages,
                               args.payload, args.round_seconds,
                               args.budget_scale, args.depth_add,
-                              args.max_links, args.seed_frac)
+                              args.max_links, args.seed_frac,
+                              args.bloom_mode)
             queries["crawl_scheduling"] = crawl["wall_sec"]
             sched = run_sched(spark, args.sched_urls, args.sched_hosts,
                               args.sched_seen_frac, args.round_seconds,

@@ -180,3 +180,71 @@ def test_randomized_webs_match_oracle(spark, tmp_path, seed, n_hosts,
     got_seen = {r["url"] for r in
                 eng.store.read("url_seen").select("url").collect()}
     assert got_seen == want.url_seen
+
+
+def test_partitioned_bloom_mode_is_bit_identical(spark, fixtures, tmp_path):
+    """bloom_mode='partitioned' (executor-resident per-bucket shard table,
+    cogrouped probe, executor OR-merge — the driver never materializes the
+    sidecar) must produce exactly the same crawl as the broadcast-blob
+    mode, including discovery order."""
+    results = {}
+    for mode in ("broadcast", "partitioned"):
+        wh = str(tmp_path / f"wh_{mode}")
+        shutil.rmtree(wh, ignore_errors=True)
+        eng = CrawlEngine(spark, fixtures, wh,
+                          CrawlConfig(expected_urls=1 << 14,
+                                      write_payload=False, bloom_mode=mode))
+        eng.run(max_rounds=4)
+        fetched = sorted(
+            (r["url"], r["round"], r["depth"], r["discovery_seq"],
+             r["fetch_slot"])
+            for r in eng.store.read("fetched").collect())
+        seen = sorted(r["url"] for r in eng.store.read("url_seen").collect())
+        results[mode] = (fetched, seen)
+    assert results["broadcast"] == results["partitioned"]
+    # and the partitioned run never staged a blob (driver-side sidecar)
+    wh = str(tmp_path / "wh_partitioned")
+    blob_dir = os.path.join(wh, "blobs")
+    assert not os.listdir(blob_dir)
+
+
+def test_counting_bloom_executor_merge_path(spark):
+    """CountingBloomShards.merge_bitmap: executor-built partials merged by
+    saturating counter addition must answer probes exactly like single-shot
+    add_many, and deletes must still work after the merge."""
+    import numpy as np
+    from ai_intel_web_scraper_spark.crawl.bloom import (
+        CountingBloomShards, partial_counting_bitmaps)
+    rng = np.random.default_rng(7)
+    hashes = rng.integers(-(1 << 62), 1 << 62, 4000, dtype=np.int64)
+    buckets = (np.abs(hashes) % 8).astype(np.int64)
+    m_bits = 1 << 15
+
+    # single-shot reference
+    ref = CountingBloomShards(8, m_bits)
+    ref.add_many(buckets, hashes)
+
+    # executor path: partials per half, merged via merge_bitmap
+    merged = CountingBloomShards(8, m_bits)
+    for lo, hi in ((0, 2000), (2000, 4000)):
+        import pandas as pd
+        part_iter = partial_counting_bitmaps(m_bits)(
+            iter([pd.DataFrame({"bucket": buckets[lo:hi],
+                                "url_hash": hashes[lo:hi]})]))
+        for pdf in part_iter:
+            for b, raw in zip(pdf["bucket"], pdf["bitmap"]):
+                merged.merge_bitmap(int(b),
+                                    np.frombuffer(raw, dtype=np.uint8))
+    probe_h = np.concatenate([hashes[:100],
+                              rng.integers(-(1 << 62), 1 << 62, 100,
+                                           dtype=np.int64)])
+    probe_b = (np.abs(probe_h) % 8).astype(np.int64)
+    assert (merged.maybe_contains(probe_b, probe_h)
+            == ref.maybe_contains(probe_b, probe_h)).all()
+    # all inserted keys still positive; removal works post-merge
+    assert merged.maybe_contains(buckets, hashes).all()
+    merged.remove_many(buckets[:500], hashes[:500])
+    # removed keys MAY still read positive (shared slots), but the merge
+    # must not have corrupted counters: re-adding restores full positives
+    merged.add_many(buckets[:500], hashes[:500])
+    assert merged.maybe_contains(buckets, hashes).all()
