@@ -213,8 +213,13 @@ def q_prefix_dup_groups(spark, sf_dir):
 
 
 def q_jaccard_top_pairs(spark, sf_dir):
+    """Exact set-similarity top pairs at a REAL threshold via prefix
+    filtering (guaranteed recall, ~quarter the join fanout of the
+    all-shingles join at t=0.5 — the scale-safe call shape; the
+    threshold=0 exactness baseline lives in D.jaccard_pairs + pytest)."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.0)
+    pairs = D.jaccard_pairs_prefix(docs, "doc_id", "text", n=3,
+                                   threshold=MINHASH_THRESHOLD)
     return (pairs.orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
             .limit(20))
 
@@ -612,7 +617,8 @@ def q_new_docs_anti(spark, sf_dir):
 MINHASH_THRESHOLD = 0.5  # fixture near-dups sit at j>=0.98, next at 0.067:
 # LSH recall at j>=0.98 is 1-(1-0.98^4)^16 ~ 1-2e-18, so the thresholded
 # candidate set equals the exact-Jaccard pair set and is SQL-checkable.
-SIMHASH_MAX_HAMMING = 8
+SIMHASH_MAX_HAMMING = 6  # 7 blocks x ~8.6 bits over the 60-bit signature;
+# wider blocks = fewer candidates (the guaranteed-recall cost knob)
 
 
 def q_minhash_pairs(spark, sf_dir):
@@ -1154,26 +1160,9 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             GROUP BY content_key HAVING count(*) > 1""",
         "jaccard_top_pairs": f"""
-            WITH sh AS (
-              SELECT doc_id AS id, unnest(list_distinct(sh_list)) AS shingle
-              FROM (
-                SELECT doc_id,
-                       [array_to_string(list_slice(w, i, i + 2), ' ')
-                        for i in generate_series(1, greatest(len(w) - 2, 1))]
-                           AS sh_list
-                FROM (SELECT doc_id, {_sql_words("lower(text)")} AS w
-                      FROM documents))),
-            sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
-            inter AS (
-              SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_int
-              FROM sh a JOIN sh b
-                ON a.shingle = b.shingle AND a.id < b.id
-              GROUP BY a.id, b.id)
-            SELECT id_a, id_b,
-                   round(n_int / (sa.n_sh + sb.n_sh - n_int), 6) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.id = id_a
-            JOIN sizes sb ON sb.id = id_b
+            {jaccard_all}
+            SELECT id_a, id_b, jaccard FROM jac
+            WHERE jaccard >= {MINHASH_THRESHOLD}
             ORDER BY jaccard DESC, id_a, id_b LIMIT 20""",
         "lang_id": f"""
             SELECT lang, predicted, count(*)::BIGINT AS n FROM (

@@ -157,6 +157,49 @@ def minhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("id_a", "id_b", "est_jaccard"))
 
 
+def shingle_hash_udf(n: int = 3):
+    """text -> SORTED array of distinct 64-bit shingle hashes, one Arrow
+    pass (the interpreted JVM higher-order chain — split/transform/slice/
+    concat_ws/array_distinct — costs ~2 ms/doc and gets re-evaluated per
+    join side; this UDF is ~10x cheaper and only longs cross back). The
+    hash order doubles as the prefix-filter's global total order; a 64-bit
+    collision can only ADD a candidate, which exact verification rejects."""
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def fn(text: pd.Series) -> pd.Series:
+        import hashlib
+        out = []
+        for t in text:
+            w = (t or "").lower().split()
+            sh = ({" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+                  if len(w) >= n else {" ".join(w)})
+            hv = np.unique(np.fromiter(
+                (int.from_bytes(hashlib.blake2b(
+                    s.encode(), digest_size=8).digest(), "little")
+                 for s in sh), dtype=np.uint64, count=len(sh)))
+            out.append([int(x) for x in hv.astype(np.int64)])
+        return pd.Series(out)
+    return fn
+
+
+def _verify_pairs_exact(cand: DataFrame, base: DataFrame,
+                        threshold: float) -> DataFrame:
+    """Exact-verify candidate pairs: join each side's distinct-shingle-hash
+    array back (base = (id, _hs) from shingle_hash_udf) and compute Jaccard
+    with native array set-ops — all JVM-side, arrays of longs only."""
+    with_arrays = (cand
+                   .join(base.select(F.col("id").alias("id_a"),
+                                     F.col("_hs").alias("_sa")), "id_a")
+                   .join(base.select(F.col("id").alias("id_b"),
+                                     F.col("_hs").alias("_sb")), "id_b"))
+    n_int = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - n_int
+    return (with_arrays
+            .withColumn("jaccard",
+                        F.round(n_int / F.greatest(union, F.lit(1)), 6))
+            .where(F.col("jaccard") >= threshold)
+            .drop("_sa", "_sb"))
+
+
 def minhash_verified_pairs(df: DataFrame, id_col: str, text_col: str,
                            n: int = 3, threshold: float = 0.6) -> DataFrame:
     """The full near-dup pipeline (SURVEY P9 at scale): MinHash-LSH surfaces
@@ -165,29 +208,40 @@ def minhash_verified_pairs(df: DataFrame, id_col: str, text_col: str,
     estimate never decides, it only prunes. Returns pairs with
     (est_jaccard, jaccard) at jaccard >= threshold."""
     cand = minhash_neardup_pairs(df, id_col, text_col, n)
-    texts = df.select(F.col(id_col), F.col(text_col))
-    with_texts = (cand
-                  .join(texts.select(F.col(id_col).alias("id_a"),
-                                     F.col(text_col).alias("_ta")), "id_a")
-                  .join(texts.select(F.col(id_col).alias("id_b"),
-                                     F.col(text_col).alias("_tb")), "id_b"))
+    base = df.select(F.col(id_col).alias("id"),
+                     shingle_hash_udf(n)(F.col(text_col)).alias("_hs"))
+    return _verify_pairs_exact(cand, base, threshold) \
+        .select("id_a", "id_b", "est_jaccard", "jaccard")
 
-    @F.pandas_udf(T.DoubleType())
-    def exact_jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        out = np.empty(len(ta), dtype=np.float64)
-        for i, (x, y) in enumerate(zip(ta, tb)):
-            def sh(t):
-                w = (t or "").lower().split()
-                return (set(" ".join(w[j:j + n]) for j in range(len(w) - n + 1))
-                        if len(w) >= n else {" ".join(w)})
-            a, b = sh(x), sh(y)
-            out[i] = len(a & b) / max(len(a | b), 1)
-        return pd.Series(out)
 
-    return (with_texts
-            .withColumn("jaccard", F.round(exact_jaccard("_ta", "_tb"), 6))
-            .where(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "est_jaccard", "jaccard"))
+def jaccard_pairs_prefix(df: DataFrame, id_col: str, text_col: str,
+                         n: int = 3, threshold: float = 0.6) -> DataFrame:
+    """EXACT set-similarity self-join with PREFIX FILTERING (the
+    AllPairs/PPJoin family): under any global total order over shingles, a
+    pair with Jaccard >= t shares at least one shingle among each side's
+    first |S| - ceil(t*|S|) + 1 shingles (pigeonhole: the intersection has
+    >= ceil(t*|S|) elements, more than fit in the suffix). So the
+    self-equi-join explodes ONLY prefixes — at t=0.5 that's ~quarter the
+    join fanout of the all-shingles join — then the candidate set is
+    exact-verified from the texts. Recall is guaranteed, not probabilistic.
+    Returns (id_a, id_b, jaccard) at jaccard >= threshold."""
+    # shingle-hash arrays (sorted = the global prefix order) built ONCE in
+    # an Arrow UDF and persisted: the self-join's two sides and the verify
+    # stage all reuse it (tiny: one ~8*|S|-byte row per doc)
+    base = df.select(F.col(id_col).alias("id"),
+                     shingle_hash_udf(n)(F.col(text_col)).alias("_hs"))
+    base = base.persist()
+    plen = (F.size("_hs") - F.ceil(F.size("_hs") * F.lit(float(threshold)))
+            + F.lit(1)).cast("int")
+    pre = base.select("id", F.explode(F.slice("_hs", F.lit(1), plen))
+                      .alias("sh"))
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    return _verify_pairs_exact(cand, base, threshold) \
+        .select("id_a", "id_b", "jaccard")
 
 
 def greedy_keep_first_dedup(pairs: DataFrame, all_ids: DataFrame,
@@ -313,20 +367,26 @@ def simhash_udf(text: pd.Series) -> pd.Series:
 
 
 def hamming_block_pairs(df: DataFrame, id_col: str, hash_col: str,
-                        max_hamming: int) -> DataFrame:
-    """Shared block-LSH for 64-bit hamming near-dup (SimHash, image phash):
+                        max_hamming: int, bits: int = 64) -> DataFrame:
+    """Shared block-LSH for hamming near-dup (SimHash, image phash):
     split the hash into max_hamming+1 bit blocks — by pigeonhole ANY pair
     within max_hamming differs in at most max_hamming blocks, so at least
     one block matches EXACTLY (guaranteed recall, not probabilistic) —
     self-equi-join on (block, value), then exact bit_count verify.
     Narrower blocks (bigger max_hamming) mean more candidates: the
-    guaranteed-recall tradeoff is inherent."""
-    if not 0 <= max_hamming <= 63:
+    guaranteed-recall tradeoff is inherent.
+
+    `bits` = the hash's EFFECTIVE width. Blocks must tile only real bits:
+    tiling 64 for a 60-bit signature would leave one block almost
+    constant (its top 4 bits always 0), whose join degenerates toward the
+    full cross product."""
+    if not 0 <= max_hamming < bits:
         # a silent cap would void the pigeonhole guarantee (need
-        # max_hamming+1 non-empty blocks out of 64 bits)
-        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+        # max_hamming+1 non-empty blocks out of `bits` bits)
+        raise ValueError(
+            f"max_hamming must be in [0, {bits - 1}], got {max_hamming}")
     n_blocks = max_hamming + 1
-    bounds = [i * 64 // n_blocks for i in range(n_blocks)] + [64]
+    bounds = [i * bits // n_blocks for i in range(n_blocks)] + [bits]
 
     def block(i: int):
         width = bounds[i + 1] - bounds[i]
@@ -353,9 +413,13 @@ def hamming_block_pairs(df: DataFrame, id_col: str, hash_col: str,
 
 
 def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
-                          max_hamming: int = 8) -> DataFrame:
-    """SimHash near-dup with guaranteed-recall block LSH (the previous
-    fixed 4x16-bit split only guaranteed recall for hamming <= 3)."""
+                          max_hamming: int = 6) -> DataFrame:
+    """SimHash near-dup with guaranteed-recall block LSH over the
+    signature's effective 60 bits. Default max_hamming=6 keeps blocks
+    ~8.6 bits wide; every extra allowed bit of distance narrows blocks
+    and grows the candidate set (the guaranteed-recall cost curve —
+    production callers pick max_hamming by that budget)."""
     sh = df.select(F.col(id_col).alias("id"),
                    simhash_udf(F.col(text_col)).alias("sim"))
-    return hamming_block_pairs(sh, "id", "sim", max_hamming)
+    return hamming_block_pairs(sh, "id", "sim", max_hamming,
+                               bits=SIMHASH_BITS)
