@@ -48,7 +48,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _sql_contains_count(expr: str, words: list[str]) -> str:
     return "(" + " + ".join(
-        f"(CASE WHEN contains({expr}, '{w.lower()}') THEN 1 ELSE 0 END)"
+        "(CASE WHEN contains({}, '{}') THEN 1 ELSE 0 END)"
+        .format(expr, w.lower().replace("'", "''"))
         for w in words) + ")"
 
 
@@ -366,6 +367,86 @@ def q_html_extract(spark, sf_dir):
     pages = docs.select("doc_id", page.alias("page_html"))
     out = html_extract(pages, "page_html")
     return out.select("doc_id", "title", F.col("text").alias("extracted"))
+
+
+def q_reddit_source(spark, sf_dir):
+    """SURVEY S5 (community_scraper.py:64-176): Reddit search-wave
+    ingestion — two waves over the same posts (global then subreddit
+    re-search, the second carrying a visible score delta) so the
+    order-sensitive keep-first URL dedup is value-checked, then the full
+    record build: '# title\\n\\nselftext', the 10-word floor, the
+    margin-rule sentiment, utc->date."""
+    from ai_intel_web_scraper_spark.sources.community import reddit_records
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.trim("text"), r"\s+")
+
+    def wave(seq_off, score_off):
+        return docs.select(
+            F.concat(F.lit("/r/sub"),
+                     F.pmod("doc_id", F.lit(5)).cast("string"),
+                     F.lit("/comments/"),
+                     F.col("doc_id").cast("string")).alias("permalink"),
+            F.concat_ws(" ", F.slice(w, 1, 4)).alias("title"),
+            F.when(F.pmod("doc_id", F.lit(3)) != 0, F.col("text"))
+            .otherwise(F.lit("")).alias("selftext"),
+            F.concat(F.lit("sub"),
+                     F.pmod("doc_id", F.lit(5)).cast("string"))
+            .alias("subreddit"),
+            (F.pmod("n_chars", F.lit(500)) + score_off).cast("int")
+            .alias("score"),
+            F.pmod("doc_id", F.lit(50)).cast("int").alias("num_comments"),
+            F.concat(F.lit("u"), F.pmod("doc_id", F.lit(97)).cast("string"))
+            .alias("author"),
+            (F.lit(1600000000.0) + F.col("doc_id") * 1000).alias("created_utc"),
+            (F.col("doc_id") + seq_off).alias("query_seq"))
+
+    posts = wave(0, 0).unionByName(wave(1_000_000, 1000))
+    return (reddit_records(posts, "acme")
+            .select("id", "url", "title", "content_date", "sentiment",
+                    "word_count", "subreddit", "score"))
+
+
+def q_hn_source(spark, sf_dir):
+    """SURVEY S6 (community_scraper.py:178-292): HN hits + items ->
+    records. The comment child-fetch is a points>5 CONDITIONAL join; two
+    hit waves exercise the seen-id keep-first; HTML-strip, '**author**:'
+    formatting, top-5 '---' assembly, and the sentiment-over-comments all
+    value-checked."""
+    from ai_intel_web_scraper_spark.sources.community import hn_records
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.trim("text"), r"\s+")
+
+    def mkcom(k):
+        return F.struct(
+            F.lit(k).alias("comment_seq"), F.lit(f"c{k}").alias("author"),
+            F.concat(F.lit("<p>"),
+                     F.concat_ws(" ", F.slice(w, 7 + 3 * k, 3)),
+                     F.lit("</p>")).alias("text"))
+
+    comments = (docs.where(F.pmod("doc_id", F.lit(2)) == 0)
+                .select(F.col("doc_id").cast("string").alias("story_id"),
+                        F.explode(F.array(mkcom(0), mkcom(1), mkcom(2)))
+                        .alias("c"))
+                .select("story_id", "c.comment_seq", "c.author", "c.text"))
+
+    def wave(seq_off, pts_off):
+        return docs.select(
+            F.col("doc_id").cast("string").alias("objectID"),
+            F.concat_ws(" ", F.slice(w, 1, 5)).alias("title"),
+            F.when(F.pmod("doc_id", F.lit(4)) == 0, F.lit(""))
+            .otherwise(F.concat(F.lit("https://orig.example/p/"),
+                                F.col("doc_id").cast("string"))).alias("url"),
+            (F.pmod("doc_id", F.lit(20)) + pts_off).cast("int")
+            .alias("points"),
+            F.pmod("doc_id", F.lit(30)).cast("int").alias("num_comments"),
+            F.concat(F.lit("a"), F.pmod("doc_id", F.lit(7)).cast("string"))
+            .alias("author"),
+            (F.col("doc_id") + seq_off).alias("query_seq"))
+
+    hits = wave(0, 0).unionByName(wave(1_000_000, 1000))
+    return (hn_records(hits, comments, "acme")
+            .select("id", "url", "title", "text", "sentiment", "word_count",
+                    "points", "n_top_comments"))
 
 
 def q_bench_numbers(spark, sf_dir):
@@ -754,6 +835,103 @@ def q_phash_neardup(spark, sf_dir):
     return phash_hamming_neardup(pages, max_hamming=6)
 
 
+# --------------------------------------------- community-source oracle SQL
+
+def _sql_margin_sentiment(expr: str) -> str:
+    """community_scraper.py:294-319 margin rule, generated from the same
+    signal lists the Spark column uses."""
+    from ai_intel_web_scraper_spark.sources import community as CM
+    neg = _sql_contains_count(expr, CM.NEGATIVE_SIGNALS)
+    pos = _sql_contains_count(expr, CM.POSITIVE_SIGNALS)
+    return (f"CASE WHEN {neg} > {pos} + 1 THEN 'negative' "
+            f"WHEN {pos} > {neg} + 1 THEN 'positive' "
+            f"WHEN {neg} > 0 AND {pos} > 0 THEN 'mixed' "
+            f"ELSE 'neutral' END")
+
+
+def _reddit_source_sql() -> str:
+    return f"""
+        WITH base AS (
+          SELECT doc_id, text, n_chars, {_sql_words()} AS w FROM documents),
+        p AS (
+          SELECT doc_id,
+                 'https://www.reddit.com/r/sub' || (doc_id % 5)::VARCHAR
+                   || '/comments/' || doc_id::VARCHAR AS url,
+                 array_to_string(list_slice(w, 1, 4), ' ') AS title,
+                 CASE WHEN doc_id % 3 <> 0 THEN text ELSE '' END AS selftext,
+                 'sub' || (doc_id % 5)::VARCHAR AS subreddit,
+                 (n_chars % 500)::INT AS score,
+                 1600000000.0 + doc_id * 1000 AS created_utc
+          FROM base),
+        r AS (
+          SELECT *, CASE WHEN length(selftext) > 0
+                         THEN '# ' || title || chr(10) || chr(10) || selftext
+                         ELSE '# ' || title END AS text2
+          FROM p)
+        SELECT 'acme-community_reddit-' || substring(sha256(url), 1, 12)
+                   AS id,
+               url, title,
+               strftime(DATE '1970-01-01'
+                        + floor(created_utc / 86400)::INT,
+                        '%Y-%m-%d') AS content_date,
+               {_sql_margin_sentiment("lower(title || ' ' || selftext)")}
+                   AS sentiment,
+               len(regexp_split_to_array(trim(text2), '\\s+'))::INT
+                   AS word_count,
+               subreddit, score
+        FROM r
+        WHERE len(regexp_split_to_array(trim(text2), '\\s+')) >= 10"""
+
+
+def _hn_source_sql() -> str:
+    from ai_intel_web_scraper_spark.sources import community as CM
+    # coalesce: DuckDB array_to_string(empty_list) is NULL, which would
+    # NULL-poison the concatenation (Spark's concat_ws yields '')
+    com = ("'**c{k}**: ' || trim(regexp_replace('<p>' || "
+           "coalesce(array_to_string(list_slice(w, {a}, {b}), ' '), '') "
+           "|| '</p>', '<[^>]+>', ' ', 'g'))")
+    return f"""
+        WITH base AS (SELECT doc_id, {_sql_words()} AS w FROM documents),
+        p AS (
+          SELECT doc_id, doc_id::VARCHAR AS oid,
+                 array_to_string(list_slice(w, 1, 5), ' ') AS title,
+                 CASE WHEN doc_id % 4 = 0 THEN ''
+                      ELSE 'https://orig.example/p/' || doc_id::VARCHAR
+                      END AS story_url,
+                 (doc_id % 20)::INT AS points,
+                 CASE WHEN doc_id % 2 = 0 AND doc_id % 20 > {CM.HN_POINTS_FLOOR}
+                      THEN [{com.format(k=0, a=7, b=9)},
+                            {com.format(k=1, a=10, b=12)},
+                            {com.format(k=2, a=13, b=15)}]
+                      ELSE []::VARCHAR[] END AS top
+          FROM base),
+        r AS (
+          SELECT *,
+                 'https://news.ycombinator.com/item?id=' || oid AS hn_url,
+                 '# ' || title || chr(10) || chr(10) || 'HN Discussion: '
+                   || 'https://news.ycombinator.com/item?id=' || oid
+                   || CASE WHEN length(story_url) > 0
+                           THEN chr(10) || 'Original URL: ' || story_url
+                           ELSE '' END
+                   || CASE WHEN len(top) > 0
+                           THEN chr(10) || chr(10) || '## Top Comments'
+                             || chr(10) || chr(10)
+                             || array_to_string(top, chr(10) || chr(10)
+                                                || '---' || chr(10) || chr(10))
+                           ELSE '' END AS text2
+          FROM p)
+        SELECT 'acme-community_hn-' || substring(sha256(hn_url), 1, 12) AS id,
+               hn_url AS url, title, text2 AS text,
+               {_sql_margin_sentiment(
+                   "lower(title || ' ' || "
+                   "coalesce(array_to_string(top, ' '), ''))")}
+                   AS sentiment,
+               len(regexp_split_to_array(trim(text2), '\\s+'))::INT
+                   AS word_count,
+               points, len(top)::INT AS n_top_comments
+        FROM r"""
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -806,6 +984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_classify": q_url_classify,
         "bench_numbers": q_bench_numbers,
         "html_extract": q_html_extract,
+        "reddit_source": q_reddit_source,
+        "hn_source": q_hn_source,
         "nation_coverage": q_nation_coverage,
         "shipping_priority": q_shipping_priority,
         "global_budget": q_global_budget,
@@ -1285,6 +1465,8 @@ def oracle_sql() -> dict[str, str]:
                 ELSE text END AS extracted
             FROM (SELECT doc_id, text, {_sql_words()} AS w,
                          chr(10) AS nl FROM documents)""",
+        "reddit_source": _reddit_source_sql(),
+        "hn_source": _hn_source_sql(),
         "nation_coverage": """
             SELECT nationkey, n_name FROM (
               SELECT DISTINCT c_nationkey AS nationkey FROM customer

@@ -106,3 +106,59 @@ def test_vectorize_pipeline_upserts_changed_docs(spark, sf_dir, tmp_path):
             first.where(F.col("doc_id") == changed_id).collect()})
     # time travel: snapshot 1 still shows the original chunk set
     assert store2.read("chunks", snap_id=1).count() == n1
+
+
+def test_backoff_requeue_defers_rate_limited(spark):
+    """S5 429 handling (community_scraper.py:130-133) as data-driven
+    requeue: rate-limited queries get deadline+60 and attempt+1; others
+    drop out as done."""
+    from ai_intel_web_scraper_spark.sources.community import backoff_requeue
+    q = spark.createDataFrame(
+        [(1, 200, 0.0, 1), (2, 429, 10.0, 1), (3, 429, 20.0, 2)],
+        "query_id long, status int, deadline double, attempt int")
+    nxt = {r["query_id"]: (r["deadline"], r["attempt"])
+           for r in backoff_requeue(q).collect()}
+    assert nxt == {2: (70.0, 2), 3: (80.0, 3)}
+
+
+def test_hn_conditional_comment_fetch(spark):
+    """S6: comments join only for points > 5 (community_scraper.py:239-243)
+    even when the items table HAS comments for the story."""
+    from ai_intel_web_scraper_spark.sources.community import hn_records
+    hits = spark.createDataFrame(
+        [("1", "low points story", "", 3, 5, "a", 0),
+         ("2", "high points story", "https://x.example", 9, 5, "b", 1)],
+        "objectID string, title string, url string, points int, "
+        "num_comments int, author string, query_seq long")
+    comments = spark.createDataFrame(
+        [("1", 0, "u1", "<p>ignored words</p>"),
+         ("2", 1, "u3", "<i>second</i> comment"),
+         ("2", 0, "u2", "<p>first</p> comment")],
+        "story_id string, comment_seq int, author string, text string")
+    rows = {r["url"]: r for r in
+            hn_records(hits, comments, "acme").collect()}
+    low = rows["https://news.ycombinator.com/item?id=1"]
+    high = rows["https://news.ycombinator.com/item?id=2"]
+    assert low["n_top_comments"] == 0 and "Top Comments" not in low["text"]
+    assert high["n_top_comments"] == 2
+    # comment order by comment_seq, HTML stripped (tags become spaces,
+    # no whitespace normalize — faithful to community_scraper.py:287),
+    # author formatting
+    assert high["text"].index("**u2**: first  comment") \
+        < high["text"].index("**u3**: second  comment")
+    assert "Original URL: https://x.example" in high["text"]
+    assert "Original URL" not in low["text"]
+
+
+def test_reddit_wave_dedup_keeps_first_wave(spark):
+    from ai_intel_web_scraper_spark.sources.community import reddit_records
+    mk = lambda seq, score: ("/r/s/comments/9", "a post title here with words",
+                             "body words making this long enough to keep ok",
+                             "s", score, 1, "u", 1.6e9, seq)
+    posts = spark.createDataFrame(
+        [mk(5, 100), mk(2, 200), mk(9, 300)],
+        "permalink string, title string, selftext string, subreddit string, "
+        "score int, num_comments int, author string, created_utc double, "
+        "query_seq long")
+    out = reddit_records(posts, "acme").collect()
+    assert len(out) == 1 and out[0]["score"] == 200  # smallest query_seq
