@@ -581,7 +581,8 @@ def q_chunk_dispatch(spark, sf_dir):
 
 def q_bin_pack(spark, sf_dir):
     """SURVEY V6: greedy token-budget bin packing of each user's events in
-    time order (applyInPandas per group; running-reset not SQL-expressible)."""
+    time order (applyInPandas per group). The running reset is linear-
+    recursive, so the oracle walks it with a DuckDB recursive CTE."""
     ev = _t(spark, sf_dir, "events")
     weighted = ev.select("user_id", "ts", "event_id",
                          F.pmod(F.col("event_id"), F.lit(9)).cast("int")
@@ -1594,6 +1595,24 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings""",
         "recursive_chunks": rec_chunks_sql,
         "chunk_dispatch": chunk_dispatch_sql,
+        "bin_pack": """
+            WITH RECURSIVE seq AS (
+              SELECT user_id, event_id, (event_id % 9)::INT AS w,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events),
+            walk AS (
+              SELECT user_id, event_id, rn, w, 0 AS bin, w AS acc
+              FROM seq WHERE rn = 1
+              UNION ALL
+              SELECT s.user_id, s.event_id, s.rn, s.w,
+                     CASE WHEN wk.acc > 0 AND wk.acc + s.w > 20
+                          THEN wk.bin + 1 ELSE wk.bin END,
+                     CASE WHEN wk.acc > 0 AND wk.acc + s.w > 20
+                          THEN s.w ELSE wk.acc + s.w END
+              FROM walk wk JOIN seq s
+                ON s.user_id = wk.user_id AND s.rn = wk.rn + 1)
+            SELECT user_id, event_id, bin::INT AS bin_index FROM walk""",
         "stream_sessions": """
             WITH o AS (
               SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,

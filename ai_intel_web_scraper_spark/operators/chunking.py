@@ -112,16 +112,19 @@ def recursive_chunks(df: DataFrame, id_col: str, text_col: str,
     def fn(iterator):
         for pdf in iterator:
             rows = []
-            for _, r in pdf.iterrows():
-                prefix = (f"[{' | '.join(str(r[c]) for c in prefix_cols)}] "
+            prefix_vals = (list(zip(*(pdf[c] for c in prefix_cols)))
+                           if prefix_cols else [()] * len(pdf))
+            for rid, text, pvals in zip(pdf[id_col], pdf[text_col],
+                                        prefix_vals):
+                prefix = (f"[{' | '.join(str(v) for v in pvals)}] "
                           if prefix_cols else "")
                 for ci, ch in enumerate(_recursive_split(
-                        str(r[text_col]), max_tokens, overlap)):
+                        str(text), max_tokens, overlap)):
                     txt = prefix + ch
                     cid = hashlib.sha256(
-                        f"{r[id_col]}:{ci}:{txt[:100]}".encode()
+                        f"{rid}:{ci}:{txt[:100]}".encode()
                     ).hexdigest()[:12]
-                    rows.append((r[id_col], ci, txt, len(ch.split()), cid))
+                    rows.append((rid, ci, txt, len(ch.split()), cid))
             if rows:
                 yield pd.DataFrame(rows, columns=[
                     id_col, "chunk_index", "chunk_text", "token_count",

@@ -29,17 +29,18 @@ def image_features(pages: DataFrame) -> DataFrame:
     def fn(iterator):
         for pdf in iterator:
             rows = []
-            for _, r in pdf.iterrows():
+            for image_id, fmt, raw in zip(pdf["image_id"], pdf["fmt"],
+                                          pdf["bytes"]):
                 try:
-                    px = decode_image(bytes(r["bytes"]))
+                    px = decode_image(bytes(raw))
                     m = px.reshape(-1, 3).mean(axis=0)
-                    rows.append((r["image_id"], int(px.shape[1]),
-                                 int(px.shape[0]), r["fmt"],
+                    rows.append((image_id, int(px.shape[1]),
+                                 int(px.shape[0]), fmt,
                                  round(float(m[0]), 6), round(float(m[1]), 6),
                                  round(float(m[2]), 6),
                                  average_phash(px), True))
                 except Exception:
-                    rows.append((r["image_id"], None, None, r["fmt"],
+                    rows.append((image_id, None, None, fmt,
                                  None, None, None, None, False))
             yield pd.DataFrame(rows, columns=[
                 "image_id", "w", "h", "fmt", "mean_r", "mean_g", "mean_b",
@@ -56,12 +57,12 @@ def image_resize(pages: DataFrame, out_w: int, out_h: int) -> DataFrame:
     def fn(iterator):
         for pdf in iterator:
             rows = []
-            for _, r in pdf.iterrows():
-                px = decode_image(bytes(r["bytes"]))
+            for image_id, raw in zip(pdf["image_id"], pdf["bytes"]):
+                px = decode_image(bytes(raw))
                 ys = (np.arange(out_h) * px.shape[0] // out_h)
                 xs = (np.arange(out_w) * px.shape[1] // out_w)
                 small = px[ys][:, xs]
-                rows.append((r["image_id"], png_encode(small), out_w, out_h))
+                rows.append((image_id, png_encode(small), out_w, out_h))
             yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h"])
     return (pages.select("image_id", "bytes")
             .mapInPandas(fn, schema="image_id string, bytes binary, w int, h int"))

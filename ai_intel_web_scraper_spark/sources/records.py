@@ -69,21 +69,37 @@ def paginated_urls(spark: SparkSession, pattern: str,
 
 
 def cursor_paginated_source(spark: SparkSession, fetch_page,
-                            schema, max_pages: int = 10_000) -> DataFrame:
+                            schema, max_pages: int = 10_000,
+                            pages_per_batch: int = 64) -> DataFrame:
     """SURVEY S3/S4: cursor/offset-paginated external source. The reference
     loops GitHub REST pages (`page`,`per_page` until empty,
     github_scraper.py:113-216) and GraphQL cursors (`after`/`hasNextPage`,
     github_scraper.py:233-334). Generic shape: `fetch_page(cursor) ->
-    (rows, next_cursor|None)`; each page becomes a small DataFrame,
-    accumulated with unionByName — the driver holds one page at a time,
-    never the whole result."""
+    (rows, next_cursor|None)`. Pages are flushed into one DataFrame per
+    `pages_per_batch` — the cursor protocol forces rows through the driver
+    anyway, so batching bounds the union lineage at max_pages/batch nodes
+    (a per-page union built a 10k-deep plan) while the driver still holds
+    at most one batch of rows."""
     out = None
     cursor = None
+    buf: list = []
+    pages_in_buf = 0
+
+    def flush(acc, rows):
+        if not rows:
+            return acc
+        df = spark.createDataFrame(rows, schema)
+        return df if acc is None else acc.unionByName(df)
+
     for _ in range(max_pages):
         rows, cursor = fetch_page(cursor)
         if rows:
-            page_df = spark.createDataFrame(rows, schema)
-            out = page_df if out is None else out.unionByName(page_df)
+            buf.extend(rows)
+            pages_in_buf += 1
+        if pages_in_buf >= pages_per_batch:
+            out = flush(out, buf)
+            buf, pages_in_buf = [], 0
         if cursor is None:
             break
+    out = flush(out, buf)
     return out if out is not None else spark.createDataFrame([], schema)
