@@ -139,6 +139,13 @@ class CrawlConfig:
     #   (the only feasible shape at the 10^10-URL sizing, where the blob
     #   would be ~10+ GB of driver memory and per-round broadcast).
     bloom_mode: str = "broadcast"
+    # "pandas": host_state cached as driver pandas (one row per HOST, tiny
+    #   locally; avoids a Spark write job per round).
+    # "dataframe": host_state stays a table end-to-end — quota derivation,
+    #   the alive/max/sum scalars (one tiny agg job), and the
+    #   fetched_count update (join + staged replace) are all Spark jobs;
+    #   the driver never holds the host set. Required at 10^8-host scale.
+    host_state_mode: str = "pandas"
     expected_urls: int = 1 << 20
     rank_mode: str = "bfs"        # "bfs" (oracle-parity) | "priority"
     write_payload: bool = True    # join image bytes into the fetched sink
@@ -180,6 +187,8 @@ class CrawlEngine:
         return self._host_pdf
 
     def _host_cfg(self, cols: list[str]) -> DataFrame:
+        if self.cfg.host_state_mode == "dataframe":
+            return self.store.read("host_state").select(*cols)
         return self.spark.createDataFrame(self._host_state_pdf()[cols])
 
     def _apply_url_policies(self, df: DataFrame, cfg: DataFrame) -> DataFrame:
@@ -240,9 +249,11 @@ class CrawlEngine:
                          F.col("r.url_hash").alias("url_hash"),
                          "seed_seq", "priority")
                  .where(F.col("url").isNotNull()))
+        # host_state is staged but not yet committed here, so the policy
+        # config comes from the local frame in BOTH host_state modes
         seeds = self._apply_url_policies(
-            seeds, self._host_cfg(["host", "crawl_delay", "exclude_patterns",
-                                   "disallow"]))
+            seeds, sp.createDataFrame(hs[["host", "crawl_delay",
+                                          "exclude_patterns", "disallow"]]))
         ok = seeds.where(F.col("reject").isNull())
         # alias seeds (distinct raw strings, same canonical URL) collapse
         # keep-first by seed_seq — the oracle's add-before-enqueue skip
@@ -307,16 +318,42 @@ class CrawlEngine:
         frontier = self.store.read("frontier")
 
         # -- politeness quota (SURVEY C9): two-phase salted ranking ---------
-        hs = self._host_state_pdf()
-        quota = np.minimum(
-            np.maximum((cfg.round_seconds / hs["crawl_delay"]).astype(np.int64),
-                       1),
-            (hs["max_pages"] - hs["fetched_count"]).astype(np.int64))
-        qpdf = pd.DataFrame({"host": hs["host"],
-                             "crawl_delay": hs["crawl_delay"],
-                             "quota": quota.astype(np.int32)})
-        alive_pdf = qpdf[qpdf["quota"] > 0]
-        if len(alive_pdf) == 0:
+        # quota = min(max(round_seconds/crawl_delay, 1), remaining budget)
+        if cfg.host_state_mode == "dataframe":
+            hs = None
+            quota_cfg = (self.store.read("host_state")
+                         .select("host", "crawl_delay",
+                                 F.least(
+                                     F.greatest(
+                                         F.floor(F.lit(cfg.round_seconds)
+                                                 / F.col("crawl_delay")),
+                                         F.lit(1)),
+                                     F.col("max_pages")
+                                     - F.col("fetched_count"))
+                                 .cast("int").alias("quota"))
+                         .where(F.col("quota") > 0))
+            qs = quota_cfg.agg(F.max("quota").alias("mx"),
+                               F.sum("quota").alias("sm"),
+                               F.count("*").alias("n")).first()
+            max_quota = int(qs["mx"] or 0)
+            quota_sum = int(qs["sm"] or 0)
+            n_alive = int(qs["n"])
+        else:
+            hs = self._host_state_pdf()
+            quota = np.minimum(
+                np.maximum((cfg.round_seconds / hs["crawl_delay"])
+                           .astype(np.int64), 1),
+                (hs["max_pages"] - hs["fetched_count"]).astype(np.int64))
+            qpdf = pd.DataFrame({"host": hs["host"],
+                                 "crawl_delay": hs["crawl_delay"],
+                                 "quota": quota.astype(np.int32)})
+            alive_pdf = qpdf[qpdf["quota"] > 0]
+            max_quota = int(alive_pdf["quota"].max()) if len(alive_pdf) else 0
+            quota_sum = int(alive_pdf["quota"].sum()) if len(alive_pdf) else 0
+            n_alive = len(alive_pdf)
+            if n_alive:
+                quota_cfg = sp.createDataFrame(alive_pdf)
+        if n_alive == 0:
             # every remaining host's max_pages budget is exhausted: the
             # crawl is over (oracle: quota<=0 drops the host's rows).
             # Commit an empty frontier so the driver loop terminates.
@@ -334,7 +371,6 @@ class CrawlEngine:
                 "append")
             self.store.commit(round_no, metrics)
             return metrics
-        quota_cfg = sp.createDataFrame(alive_pdf)
         if cfg.rank_mode == "bfs":
             order_cols = [F.col("depth").asc(), F.col("discovery_seq").asc()]
         else:
@@ -349,9 +385,7 @@ class CrawlEngine:
                                  "discovery_seq")
         ranked = politeness_rank(
             narrow, quota_cfg, order_cols, cfg.n_salt, round_no,
-            cfg.round_seconds,
-            max_quota=int(alive_pdf["quota"].max())
-            if len(alive_pdf) else 0)
+            cfg.round_seconds, max_quota=max_quota)
         ranked_keys = ranked.select("url_hash", "discovery_seq",
                                     "crawl_delay", "fetch_slot", "fetch_ts")
         # the ranked set is quota-bounded (<= sum of host quotas rows): when
@@ -367,8 +401,7 @@ class CrawlEngine:
                 .lower().rstrip("b"))
         except ValueError:
             bcast_limit = 10 * 1024 * 1024
-        est_rows = int(alive_pdf["quota"].sum() if len(alive_pdf) else 0)
-        if bcast_limit > 0 and est_rows * 40 <= bcast_limit:
+        if bcast_limit > 0 and quota_sum * 40 <= bcast_limit:
             ranked_keys = F.broadcast(ranked_keys)
         scheduled = (frontier.join(
             ranked_keys,
@@ -627,12 +660,26 @@ class CrawlEngine:
         for f in futs:  # join the concurrent sink writes
             f.result()
         pool.shutdown()
-        new_hs = hs.copy()
-        if host_ok:
-            delta = new_hs["host"].map(host_ok).fillna(0).astype(np.int64)
-            new_hs["fetched_count"] = new_hs["fetched_count"] + delta
-        self._host_pdf = new_hs
-        self.store.stage_write_arrow("host_state", new_hs, "replace")
+        if cfg.host_state_mode == "dataframe":
+            # per-host budget update as a join + staged replace — the host
+            # set never transits the driver
+            succ = (fetch.where(F.col("outcome") == "success")
+                    .groupBy("host").agg(F.count("*").alias("_ok")))
+            new_hs_df = (self.store.read("host_state")
+                         .join(succ, "host", "left")
+                         .withColumn("fetched_count",
+                                     F.col("fetched_count")
+                                     + F.coalesce(F.col("_ok"), F.lit(0)))
+                         .drop("_ok"))
+            self.store.stage_write("host_state", new_hs_df, "replace")
+        else:
+            new_hs = hs.copy()
+            if host_ok:
+                delta = (new_hs["host"].map(host_ok).fillna(0)
+                         .astype(np.int64))
+                new_hs["fetched_count"] = new_hs["fetched_count"] + delta
+            self._host_pdf = new_hs
+            self.store.stage_write_arrow("host_state", new_hs, "replace")
         if use_part_bloom:
             # executor-side shard merge: previous shard rows + this round's
             # partials, OR-folded per bucket; staged as a replace. No bitmap

@@ -248,3 +248,28 @@ def test_counting_bloom_executor_merge_path(spark):
     # must not have corrupted counters: re-adding restores full positives
     merged.add_many(buckets[:500], hashes[:500])
     assert merged.maybe_contains(buckets, hashes).all()
+
+
+def test_dataframe_host_state_mode_is_bit_identical(spark, fixtures,
+                                                    tmp_path):
+    """host_state_mode='dataframe' (quota derivation, alive/max/sum
+    scalars, and the fetched_count update all run as Spark jobs — the
+    driver never holds the host table) must produce exactly the same crawl
+    as the pandas-cache mode, including budget-exhaustion behavior."""
+    results = {}
+    for mode in ("pandas", "dataframe"):
+        wh = str(tmp_path / f"wh_hs_{mode}")
+        shutil.rmtree(wh, ignore_errors=True)
+        eng = CrawlEngine(spark, fixtures, wh,
+                          CrawlConfig(expected_urls=1 << 14,
+                                      write_payload=False,
+                                      host_state_mode=mode))
+        eng.run(max_rounds=4)
+        fetched = sorted(
+            (r["url"], r["round"], r["depth"], r["discovery_seq"],
+             r["fetch_slot"])
+            for r in eng.store.read("fetched").collect())
+        hs = sorted((r["host"], r["fetched_count"])
+                    for r in eng.store.read("host_state").collect())
+        results[mode] = (fetched, hs)
+    assert results["pandas"] == results["dataframe"]
