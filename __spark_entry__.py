@@ -836,6 +836,60 @@ def q_phash_neardup(spark, sf_dir):
     return phash_hamming_neardup(pages, max_hamming=6)
 
 
+def q_vectorize_pipeline(spark, sf_dir):
+    """SURVEY §3.3 lifecycle composite under the value-hash gate
+    (reference pipeline.py:537-547 -> ingest -> chunk -> embed -> upsert):
+    runs the REAL vectorize() pipeline — recursive chunking with context
+    prefix, md5 hash embedding, MERGE upsert into the snapshot store —
+    then reads the committed chunks table back as scalar rows."""
+    import shutil
+    from ai_intel_web_scraper_spark.pipelines import vectorize
+    docs = _t(spark, sf_dir, "documents")
+    wh = "/tmp/spark_graft_entry_vec_wh"
+    shutil.rmtree(wh, ignore_errors=True)
+    store = vectorize(spark, docs, wh, prefix_cols=["source"])
+    chunks = store.read("chunks")
+    return (chunks.select("doc_id", "chunk_index", "chunk_id", "token_count",
+                          F.posexplode("embedding").alias("dim", "value"))
+            .select("doc_id", "chunk_index", "chunk_id", "token_count",
+                    "dim",
+                    F.round(F.col("value").cast("double"), 6).alias("value")))
+
+
+def _hash_embed_sql(rel: str, key: str, text_col: str) -> str:
+    """Embedder oracle over any relation `rel` keyed by `key`: the md5
+    hash scheme + exact-integer accumulate + IEEE normalize reproduce the
+    Spark UDF bit-for-bit (see operators/vectors.py::hash_embed_udf)."""
+    return f"""(
+      WITH toks AS (
+        SELECT {key},
+               unnest(regexp_split_to_array(trim(lower({text_col})),
+                                            '\\s+')) AS tok
+        FROM {rel}),
+      hv AS (
+        SELECT {key},
+               ('0x' || substring(md5(tok), 1, 8))::BIGINT
+                   % {V.EMBED_DIM} AS idx,
+               CASE WHEN ('0x' || substring(md5(tok), 9, 2))::BIGINT % 2 = 1
+                    THEN 1.0 ELSE -1.0 END AS sgn
+        FROM toks),
+      acc AS (SELECT {key}, idx, sum(sgn)::DOUBLE AS a
+              FROM hv GROUP BY {key}, idx),
+      dims AS (SELECT {key}, d.dim FROM {rel},
+               (SELECT unnest(generate_series(0, {V.EMBED_DIM - 1}))
+                    AS dim) d),
+      vec AS (SELECT dims.{key} AS {key}, dims.dim,
+                     coalesce(acc.a, 0.0) AS a
+              FROM dims LEFT JOIN acc
+                ON acc.{key} = dims.{key} AND acc.idx = dims.dim),
+      nrm AS (SELECT {key}, sqrt(sum(a * a)) AS n
+              FROM vec GROUP BY {key})
+      SELECT vec.{key} AS {key}, dim,
+             round(CAST(CAST(CASE WHEN n > 0 THEN a / n ELSE a END
+                        AS REAL) AS DOUBLE), 6) AS value
+      FROM vec JOIN nrm ON vec.{key} = nrm.{key})"""
+
+
 # --------------------------------------------- community-source oracle SQL
 
 def _sql_margin_sentiment(expr: str) -> str:
@@ -1008,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recursive_chunks": q_recursive_chunks,
         "chunk_dispatch": q_chunk_dispatch,
         "hash_embed": q_hash_embed,
+        "vectorize_pipeline": q_vectorize_pipeline,
         # rows-only (genuinely non-SQL-expressible: multi-round stateful
         # crawl; image-codec UDFs; per-group running-reset bin packing)
         "crawl_frontier": q_crawl_frontier,
@@ -1488,34 +1543,15 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > TIMESTAMP '1996-01-01'
             GROUP BY o_orderkey, o_orderdate
             ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""",
-        "hash_embed": f"""
-            WITH toks AS (
-              SELECT doc_id,
-                     unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
-                         AS tok
-              FROM documents),
-            hv AS (
-              SELECT doc_id,
-                     ('0x' || substring(md5(tok), 1, 8))::BIGINT
-                         % {V.EMBED_DIM} AS idx,
-                     CASE WHEN ('0x' || substring(md5(tok), 9, 2))::BIGINT % 2
-                               = 1 THEN 1.0 ELSE -1.0 END AS sgn
-              FROM toks),
-            acc AS (SELECT doc_id, idx, sum(sgn)::DOUBLE AS a
-                    FROM hv GROUP BY doc_id, idx),
-            dims AS (SELECT doc_id, d.dim FROM documents,
-                     (SELECT unnest(generate_series(0, {V.EMBED_DIM - 1}))
-                          AS dim) d),
-            vec AS (SELECT dims.doc_id, dims.dim,
-                           coalesce(acc.a, 0.0) AS a
-                    FROM dims LEFT JOIN acc
-                      ON acc.doc_id = dims.doc_id AND acc.idx = dims.dim),
-            nrm AS (SELECT doc_id, sqrt(sum(a * a)) AS n
-                    FROM vec GROUP BY doc_id)
-            SELECT vec.doc_id, dim,
-                   round(CAST(CAST(CASE WHEN n > 0 THEN a / n ELSE a END
-                              AS REAL) AS DOUBLE), 6) AS value
-            FROM vec JOIN nrm ON vec.doc_id = nrm.doc_id""",
+        "hash_embed": "SELECT doc_id, dim, value FROM "
+                      + _hash_embed_sql("documents", "doc_id", "text"),
+        "vectorize_pipeline": f"""
+            WITH chunks AS ({rec_chunks_sql}),
+            emb AS (SELECT * FROM {_hash_embed_sql("chunks", "chunk_id",
+                                                   "chunk_text")})
+            SELECT c.doc_id, c.chunk_index, c.chunk_id, c.token_count,
+                   emb.dim, emb.value
+            FROM emb JOIN chunks c ON c.chunk_id = emb.chunk_id""",
         "global_budget": """
             SELECT doc_id, n_chars FROM (
               SELECT doc_id, n_chars,

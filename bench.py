@@ -36,15 +36,22 @@ HEADLINE = [
     "user_quota", "token_window_chunks", "minhash_pairs", "simhash_pairs",
     "url_classify", "new_docs_anti", "shipping_priority",
 ]
+# round-2 additions, reported separately so the HEADLINE list stays
+# directly comparable round-over-round
+EXTRA = [
+    "html_extract", "chunk_dispatch", "minhash_greedy", "minhash_verified",
+    "reddit_source", "hn_source", "hash_embed", "quality_filter",
+]
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def run_queries(spark, sf_dir: str, names: list[str] | None = None
+                ) -> dict[str, float]:
     from pyspark.sql import functions as F
 
     import __spark_entry__ as E
     qs = E.queries()
     out = {}
-    for name in HEADLINE:
+    for name in (names or HEADLINE):
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         # hash-all-columns aggregate: a bare count() would let Catalyst
@@ -344,6 +351,7 @@ def main() -> None:
 
     t_all = time.time()
     queries: dict[str, float] = {}
+    extra: dict[str, float] = {}
     crawl: dict = {}
     sched: dict = {}
     if args.sched_only:
@@ -354,6 +362,7 @@ def main() -> None:
     else:
         if not args.crawl_only:
             queries = run_queries(spark, sf_dir)
+            extra = run_queries(spark, sf_dir, EXTRA)
         if not args.queries_only:
             crawl = run_crawl(spark, args.hosts, args.pages,
                               args.payload, args.round_seconds,
@@ -373,6 +382,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        **({"queries_extra": extra} if extra else {}),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cores": args.cores,
         "crawl": crawl,
