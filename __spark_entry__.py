@@ -754,6 +754,14 @@ def q_ann_lsh_topk(spark, sf_dir):
     return V.lsh_topk(_t(spark, sf_dir, "embeddings"), QUERY_VEC_A, TOPK)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-family ANN (coarse quantizer -> probe n_probe inverted lists ->
+    exact re-rank), completing the ANN trio next to brute-force and
+    multi-probe LSH. Assignment argmax and the probe ranking reproduce in
+    SQL from the same deterministic codebook."""
+    return V.ivf_topk(_t(spark, sf_dir, "embeddings"), QUERY_VEC_A, TOPK)
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Near-dup vectors: the fixture has no true high-cosine pairs (max
     observed 0.51), so deterministic perturbed copies are planted;
@@ -1058,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_greedy": q_minhash_greedy,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "recursive_chunks": q_recursive_chunks,
         "chunk_dispatch": q_chunk_dispatch,
@@ -1625,6 +1634,34 @@ def oracle_sql() -> dict[str, str]:
               SELECT vec_id, embedding, {bucket_expr} AS bkt
               FROM embeddings)
             WHERE bkt IN ({probes})
+            ORDER BY score DESC, vec_id LIMIT {TOPK}""",
+        "ann_ivf_topk": f"""
+            WITH cents AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx,
+                     embedding AS cvec
+              FROM embeddings ORDER BY vec_id LIMIT {V.IVF_CENTROIDS}),
+            assign AS (
+              SELECT vec_id, embedding, idx,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY
+                       round(list_dot_product(embedding::DOUBLE[],
+                                              cvec::DOUBLE[])
+                             / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                                      embedding::DOUBLE[]))
+                                * sqrt(list_dot_product(cvec::DOUBLE[],
+                                                        cvec::DOUBLE[]))), 9)
+                       DESC, idx ASC) AS rn
+              FROM embeddings CROSS JOIN cents),
+            probe AS (
+              SELECT idx FROM cents
+              ORDER BY round(
+                list_dot_product(cvec::DOUBLE[],
+                                 {_sql_vec_lit(QUERY_VEC_A)})
+                / (sqrt(list_dot_product(cvec::DOUBLE[], cvec::DOUBLE[]))
+                   * {np.sqrt(sum(x * x for x in QUERY_VEC_A))!r}), 9)
+                DESC, idx LIMIT {V.IVF_PROBE})
+            SELECT vec_id, round({cos_a}, 6) AS score
+            FROM (SELECT vec_id, embedding FROM assign
+                  WHERE rn = 1 AND idx IN (SELECT idx FROM probe))
             ORDER BY score DESC, vec_id LIMIT {TOPK}""",
         "embedding_neardup": """
             SELECT vec_id AS id_a, vec_id + 1000000 AS id_b

@@ -83,6 +83,49 @@ def lsh_topk(embeddings: DataFrame, query: list[float], k: int,
     return topk_by_score(cand, cosine_col(vec_col, query), k, id_col)
 
 
+IVF_CENTROIDS = 8
+IVF_PROBE = 2
+
+
+def ivf_topk(embeddings: DataFrame, query: list[float], k: int,
+             n_centroids: int = IVF_CENTROIDS, n_probe: int = IVF_PROBE,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-style ANN: coarse quantizer -> probe the n_probe nearest
+    inverted lists -> exact cosine re-rank within them. The codebook here
+    is a deterministic data sample (the first n_centroids rows by id)
+    standing in for a trained k-means codebook — the mechanics are exactly
+    the production IVF shape: assignment is a native argmax over codebook
+    cosines (at scale the cluster id is the partition/cluster key, so the
+    probe is partition pruning), and only a constant-size codebook ever
+    crosses the driver. Scores are rounded to 9 dp before the argmax so
+    the assignment is stable across engines/summation orders."""
+    import math
+    cents = (embeddings.orderBy(id_col).limit(n_centroids)
+             .select(id_col, vec_col).collect())
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(y * y for y in b)) or 1.0
+        return num / (na * nb)
+
+    ranked = sorted(
+        ((round(cos(query, [float(x) for x in r[vec_col]]), 9), i)
+         for i, r in enumerate(cents)), key=lambda t: (-t[0], t[1]))
+    probe = [i for _, i in ranked[:n_probe]]
+    arr = F.array(*[
+        F.struct(
+            F.round(cosine_col(vec_col,
+                               [float(x) for x in cents[i][vec_col]]), 9)
+            .alias("s"),
+            F.lit(-i).alias("ni"))
+        for i in range(len(cents))])
+    cluster = -F.array_max(arr)["ni"]
+    cand = (embeddings.withColumn("_cluster", cluster)
+            .where(F.col("_cluster").isin(probe)))
+    return topk_by_score(cand, cosine_col(vec_col, query), k, id_col)
+
+
 def lsh_table_buckets_udf(dim: int, n_tables: int = N_TABLES,
                           bits: int = BITS_PER_TABLE):
     """array of per-TABLE bucket values (banding): one independent
