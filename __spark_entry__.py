@@ -831,6 +831,44 @@ def q_crawl_frontier(spark, sf_dir):
             .orderBy("round", "depth", "discovery_seq"))
 
 
+def q_image_roundtrip(spark, sf_dir):
+    """Image codec path under the value-hash gate: synthesize solid-color
+    images per document, ENCODE them with the real PNG writer, then run
+    the real decode + feature extraction (operators/multimodal.py). Solid
+    colors at multiple-of-8 dimensions make every output analytic: channel
+    means equal the color, the 8x8 average phash of a constant image is 0,
+    and the PNG roundtrip is lossless."""
+    import numpy as np
+    import pandas as pd
+    from ai_intel_web_scraper_spark.functions.codec import png_encode
+    from ai_intel_web_scraper_spark.operators.multimodal import image_features
+    docs = _t(spark, sf_dir, "documents")
+    meta = docs.select(
+        F.col("doc_id").cast("string").alias("image_id"),
+        (16 + F.pmod("doc_id", F.lit(3)) * 8).cast("int").alias("w"),
+        F.lit(16).alias("h"),
+        F.pmod("doc_id", F.lit(256)).cast("int").alias("r"),
+        F.pmod(F.col("doc_id") * 7, F.lit(256)).cast("int").alias("g"),
+        F.pmod(F.col("doc_id") * 13, F.lit(256)).cast("int").alias("b"))
+
+    def enc(iterator):
+        for pdf in iterator:
+            rows = []
+            for iid, w, h, r, g, b in zip(pdf["image_id"], pdf["w"],
+                                          pdf["h"], pdf["r"], pdf["g"],
+                                          pdf["b"]):
+                px = np.full((int(h), int(w), 3), (r, g, b), dtype=np.uint8)
+                rows.append((iid, "png", png_encode(px)))
+            yield pd.DataFrame(rows, columns=["image_id", "fmt", "bytes"])
+
+    pages = meta.mapInPandas(
+        enc, schema="image_id string, fmt string, bytes binary")
+    # phash of a CONSTANT image depends on float rounding in the 8x8 mean
+    # (strict > against an equal mean) — excluded here; phash behavior is
+    # covered by phash_neardup + pytest planted-duplicate checks
+    return image_features(pages).drop("phash")
+
+
 def q_image_features(spark, sf_dir):
     pages = spark.read.parquet(_crawl_fixture_paths()["pages"])
     from ai_intel_web_scraper_spark.operators.multimodal import image_features
@@ -1072,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dispatch": q_chunk_dispatch,
         "hash_embed": q_hash_embed,
         "vectorize_pipeline": q_vectorize_pipeline,
+        "image_roundtrip": q_image_roundtrip,
         # rows-only (genuinely non-SQL-expressible: multi-round stateful
         # crawl; image-codec UDFs; per-group running-reset bin packing)
         "crawl_frontier": q_crawl_frontier,
@@ -1666,6 +1705,15 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": """
             SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
             FROM embeddings""",
+        "image_roundtrip": """
+            SELECT doc_id::VARCHAR AS image_id,
+                   (16 + (doc_id % 3) * 8)::INT AS w, 16::INT AS h,
+                   'png' AS fmt,
+                   (doc_id % 256)::DOUBLE AS mean_r,
+                   ((doc_id * 7) % 256)::DOUBLE AS mean_g,
+                   ((doc_id * 13) % 256)::DOUBLE AS mean_b,
+                   TRUE AS decode_ok
+            FROM documents""",
         "recursive_chunks": rec_chunks_sql,
         "chunk_dispatch": chunk_dispatch_sql,
         "bin_pack": """
