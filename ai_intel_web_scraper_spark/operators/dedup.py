@@ -264,8 +264,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
     sym = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
            .unionByName(pairs.select(F.col("id_b").alias("src"),
                                      F.col("id_a").alias("dst"))))
-    sym = sym.localCheckpoint(eager=True)
+    # the candidate-pair graph is tiny relative to the corpus (LSH already
+    # pruned it); iterating at the session's full shuffle width would run
+    # mostly-empty tasks per round — size the loop's parallelism to the
+    # edge count instead
+    n_parts = max(2, min(16, sym.sparkSession.sparkContext.defaultParallelism))
+    sym = sym.repartition(n_parts, "src").localCheckpoint(eager=True)
     comp = (sym.select(F.col("src").alias("id")).distinct()
+            .repartition(n_parts, "id")
             .withColumn("comp", F.col("id")).localCheckpoint(eager=True))
     prev_sum = None
     for _ in range(max_iter):
@@ -279,6 +285,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
                             sym["dst"] == F.col("_nid"))
                    .select("src", "lab"))
         comp = (self_lab.unionByName(nbr_lab)
+                .repartition(n_parts, "src")
                 .groupBy("src").agg(F.min("lab").alias("comp"))
                 .withColumnRenamed("src", "id")
                 .localCheckpoint(eager=True))
