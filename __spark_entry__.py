@@ -882,6 +882,31 @@ def q_phash_neardup(spark, sf_dir):
     return phash_hamming_neardup(pages, max_hamming=6)
 
 
+def q_cursor_source(spark, sf_dir):
+    """SURVEY S3/S4 (reference github_scraper.py:113-216,233-334): the
+    cursor-paginated source shape under the hash gate — fetch_page serves
+    100-row pages of the documents table with an opaque cursor, the
+    accumulator unions page batches; result must equal the table."""
+    import pyarrow.parquet as pq
+    from ai_intel_web_scraper_spark.sources.records import (
+        cursor_paginated_source)
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "n_chars"])
+    page_size = 100
+
+    def fetch_page(cursor):
+        start = int(cursor or 0)
+        sl = tbl.slice(start, page_size)
+        rows = [(int(a), int(b)) for a, b in
+                zip(sl["doc_id"].to_pylist(), sl["n_chars"].to_pylist())]
+        nxt = start + page_size
+        return rows, (str(nxt) if nxt < tbl.num_rows else None)
+
+    return cursor_paginated_source(spark, fetch_page,
+                                   "doc_id long, n_chars long",
+                                   pages_per_batch=3)
+
+
 def q_vectorize_pipeline(spark, sf_dir):
     """SURVEY §3.3 lifecycle composite under the value-hash gate
     (reference pipeline.py:537-547 -> ingest -> chunk -> embed -> upsert):
@@ -1111,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_embed": q_hash_embed,
         "vectorize_pipeline": q_vectorize_pipeline,
         "image_roundtrip": q_image_roundtrip,
+        "cursor_source": q_cursor_source,
         # rows-only (genuinely non-SQL-expressible: multi-round stateful
         # crawl; image-codec UDFs; per-group running-reset bin packing)
         "crawl_frontier": q_crawl_frontier,
@@ -1705,6 +1731,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": """
             SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
             FROM embeddings""",
+        "cursor_source": "SELECT doc_id, n_chars FROM documents",
         "image_roundtrip": """
             SELECT doc_id::VARCHAR AS image_id,
                    (16 + (doc_id % 3) * 8)::INT AS w, 16::INT AS h,
