@@ -284,6 +284,33 @@ def _burn(k):
     return s
 
 
+def _bw_task(n):
+    import numpy as np
+    a = np.random.default_rng(1).standard_normal(n)
+    s = 0.0
+    for _ in range(6):
+        s += float(a.sum())
+        a = a * 1.0000001  # streams read+write through DRAM
+    return s
+
+
+def run_bw_calibration(levels=(8, 32), n: int = 12_000_000) -> dict:
+    """Memory-BANDWIDTH ceiling calibration (the busy loop is
+    cache-resident and measures only CPU delivery): each worker streams a
+    ~100 MB array through DRAM. Shuffle/sort stages are bandwidth-bound,
+    so when this number shrinks as workers grow, no shuffle-heavy job can
+    scale on this box regardless of idle CPUs."""
+    from concurrent.futures import ProcessPoolExecutor
+    out = {}
+    for w in levels:
+        t0 = time.time()
+        with ProcessPoolExecutor(w) as ex:
+            list(ex.map(_bw_task, [n] * (w * 2)))
+        wall = time.time() - t0
+        out[str(w)] = round(w * 2 * 6 * 2 * n * 8 / wall / 1e9, 1)
+    return out  # approx GB/s streamed per level
+
+
 def run_calibration(levels=(2, 8, 32), tasks_per_worker: int = 4,
                     n: int = 3_000_000) -> dict:
     """Platform-ceiling calibration: pure-Python busy loops in a process
@@ -376,6 +403,7 @@ def main() -> None:
             queries["sched_round"] = sched["wall_sec"]
     total = round(time.time() - t_all, 2)
     calib = run_calibration() if args.calibrate else {}
+    bw = run_bw_calibration() if args.calibrate else {}
 
     print(json.dumps({
         "metric": "frontier-scheduling throughput + operator suite wall time",
@@ -388,6 +416,7 @@ def main() -> None:
         "crawl": crawl,
         "sched": sched,
         **({"platform_mops": calib} if calib else {}),
+        **({"platform_bw_gbs": bw} if bw else {}),
     }))
 
 
