@@ -251,6 +251,23 @@ def q_quality_score(spark, sf_dir):
                        X.quality_score_col(F.col("text")).alias("qscore"))
 
 
+def q_text_metrics(spark, sf_dir):
+    """Consolidated per-document text metrics — one driver slot exercising
+    six operators (SURVEY P3 word count, C14 relevance, V1 token count,
+    quality score, language ID, fingerprint) that each also keep their own
+    standalone queries()/oracle entries past the driver's 50-query window."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.word_count_col(F.col("text")).cast("long").alias("wc"),
+        F.round(X.relevance_score_col(F.col("text"), REL_KEYWORDS), 6)
+        .alias("rel_score"),
+        X.token_count_col(F.col("text")).cast("long").alias("n_tokens"),
+        X.quality_score_col(F.col("text")).alias("qscore"),
+        X.lang_id_col(F.col("text")).alias("predicted"),
+        X.fingerprint_col(F.col("text")).alias("fp"))
+
+
 def q_paginated_preseed(spark, sf_dir):
     return (spark.range(2, 100)
             .select(F.col("id").cast("long").alias("page"),
@@ -476,8 +493,11 @@ def q_shipping_priority(spark, sf_dir):
     li = (_t(spark, sf_dir, "lineitem")
           .where(F.col("l_shipdate") > "1996-01-01")
           .select("l_orderkey", "l_extendedprice", "l_discount"))
-    cents = F.round(F.col("l_extendedprice")
-                    * (1 - F.col("l_discount")) * 100).cast("long")
+    # Exact hundredth-cent units: each inner round() is of a value within
+    # 1e-9 of an integer (source data is 2-dp), so every engine agrees;
+    # round(price*(1-disc)*100) hit .5-tie divergence between engines.
+    cents = (F.round(F.col("l_extendedprice") * 100).cast("long")
+             * (100 - F.round(F.col("l_discount") * 100).cast("long")))
     return (orders.join(F.broadcast(cust),
                         orders["o_custkey"] == cust["c_custkey"])
             .join(li, orders["o_orderkey"] == li["l_orderkey"])
@@ -812,6 +832,77 @@ def _crawl_fixture_paths() -> dict:
             for n in ("pages", "web_graph", "seeds", "politeness", "robots")}
 
 
+def _sql_lit_cell(v) -> str:
+    """One literal cell for a generated DuckDB VALUES table."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, float):
+        # repr round-trips the double bit-exactly; the cast stops DuckDB
+        # from typing the bare literal as DECIMAL (str()s differently)
+        return f"CAST({v!r} AS DOUBLE)"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _sql_values_table(rows: list[tuple], cols: list[str]) -> str:
+    """`(VALUES ...) t(cols)` literal relation for planted-expectation
+    oracles (same trick as embedding_neardup's pair mapping)."""
+    body = ", ".join(
+        "(" + ", ".join(_sql_lit_cell(v) for v in row) + ")" for row in rows)
+    return f"(SELECT * FROM (VALUES {body}) t({', '.join(cols)}))"
+
+
+def _crawl_frontier_expected() -> list[tuple]:
+    """Run the pure-Python oracle crawler (oracle/crawler.py — the golden
+    implementation the parity suite gates on) over the entry fixtures with
+    the exact q_crawl_frontier engine config; its fetched table becomes a
+    literal relation, making the multi-round stateful crawl SQL-checkable."""
+    from ai_intel_web_scraper_spark.functions.urls import url_host
+    from ai_intel_web_scraper_spark.oracle.crawler import oracle_crawl
+    res = oracle_crawl(_crawl_fixture_paths(), max_rounds=4,
+                       round_seconds=120.0)
+    return [(r["url"], url_host(r["url"]), r["depth"], r["round"],
+             r["discovery_seq"]) for r in res.fetched]
+
+
+def _image_features_expected() -> list[tuple]:
+    """Planted-expectation rows for image_features: decode each fixture
+    image with the pure-Python codec OUTSIDE Spark and recompute the
+    features — checks the Spark-side plumbing (mapInPandas batching,
+    schema, binary transport) end-to-end under the value-hash gate."""
+    import pyarrow.parquet as pq
+    from ai_intel_web_scraper_spark.functions.codec import (average_phash,
+                                                            decode_image)
+    tbl = pq.read_table(_crawl_fixture_paths()["pages"],
+                        columns=["image_id", "fmt", "bytes"])
+    rows = []
+    for r in tbl.to_pylist():
+        try:
+            px = decode_image(r["bytes"])
+            m = px.reshape(-1, 3).mean(axis=0)
+            rows.append((r["image_id"], int(px.shape[1]), int(px.shape[0]),
+                         r["fmt"], round(float(m[0]), 6),
+                         round(float(m[1]), 6), round(float(m[2]), 6),
+                         average_phash(px), True))
+        except Exception:
+            rows.append((r["image_id"], None, None, r["fmt"],
+                         None, None, None, None, False))
+    return rows
+
+
+def _phash_lit_rows() -> list[tuple]:
+    """(image_id, phash) ground truth straight from the fixture generator's
+    pages table; the oracle brute-forces all O(n^2) hamming pairs in DuckDB
+    — an independent check of the guaranteed-recall block-LSH join."""
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(_crawl_fixture_paths()["pages"],
+                        columns=["image_id", "phash"])
+    return list(zip(tbl["image_id"].to_pylist(), tbl["phash"].to_pylist()))
+
+
 def q_crawl_frontier(spark, sf_dir):
     """The flagship: a full crawl on tiny fixtures; returns the fetched
     table in deterministic crawl order."""
@@ -1078,47 +1169,52 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # The driver checks the FIRST 50 keys each round (CORRECTNESS_r{N}).
+    # Rotation policy (SURVEY §2.7): never-checked / recently-fixed queries
+    # lead; long-stable trivial greens (all driver-green in r2, operators
+    # also covered in-window via text_metrics) sit past position 50.
     return {
-        # SQL-checked (oracle below)
+        # --- r3 priority: no driver row before r3, or red in r2 ---------
+        "embedding_neardup": q_embedding_neardup,
+        "recursive_chunks": q_recursive_chunks,
+        "chunk_dispatch": q_chunk_dispatch,
+        "hash_embed": q_hash_embed,
+        "vectorize_pipeline": q_vectorize_pipeline,
+        "image_roundtrip": q_image_roundtrip,
+        "cursor_source": q_cursor_source,
+        "bin_pack": q_bin_pack,
+        "crawl_frontier": q_crawl_frontier,   # SQL-checked in r3: oracle
+        "image_features": q_image_features,   # crawler / codec expectations
+        "phash_neardup": q_phash_neardup,     # emitted as literal relations
+        "shipping_priority": q_shipping_priority,  # r1+r2 red: tie-proof now
+        "text_metrics": q_text_metrics,       # new 6-operator consolidation
+        # --- driver-green in r2, kept in-window ------------------------
         "pricing_summary": q_pricing_summary,
         "docs_keep_first": q_docs_keep_first,
         "events_keep_first": q_events_keep_first,
         "topic_tags": q_topic_tags,
         "quality_filter": q_quality_filter,
-        "word_count": q_word_count,
-        "relevance": q_relevance,
         "sentiment_counts": q_sentiment_counts,
         "budget_prefix": q_budget_prefix,
-        "history_compaction": q_history_compaction,
         "rrf_fusion": q_rrf_fusion,
         "topk_cosine": q_topk_cosine,
         "group_stats": q_group_stats,
-        "cube_stats": q_cube_stats,
         "prefix_dup_groups": q_prefix_dup_groups,
         "jaccard_top_pairs": q_jaccard_top_pairs,
-        "lang_id": q_lang_id,
-        "token_count": q_token_count,
-        "fingerprint_stats": q_fingerprint_stats,
-        "quality_score": q_quality_score,
         "paginated_preseed": q_paginated_preseed,
         "user_quota": q_user_quota,
-        "json_extract": q_json_extract,
         "source_status": q_source_status,
         "token_window_chunks": q_token_window_chunks,
-        "record_ids": q_record_ids,
-        "date_extraction": q_date_extraction,
         "url_classify": q_url_classify,
         "bench_numbers": q_bench_numbers,
         "html_extract": q_html_extract,
         "reddit_source": q_reddit_source,
         "hn_source": q_hn_source,
         "nation_coverage": q_nation_coverage,
-        "shipping_priority": q_shipping_priority,
         "global_budget": q_global_budget,
         "new_docs_anti": q_new_docs_anti,
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_sessions": q_stream_sessions,
-        "boilerplate_clean": q_boilerplate_clean,
         "topic_fanout": q_topic_fanout,
         "stream_budget_state": q_stream_budget_state,
         "process_pipeline": q_process_pipeline,
@@ -1130,19 +1226,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "embedding_neardup": q_embedding_neardup,
-        "recursive_chunks": q_recursive_chunks,
-        "chunk_dispatch": q_chunk_dispatch,
-        "hash_embed": q_hash_embed,
-        "vectorize_pipeline": q_vectorize_pipeline,
-        "image_roundtrip": q_image_roundtrip,
-        "cursor_source": q_cursor_source,
-        # rows-only (genuinely non-SQL-expressible: multi-round stateful
-        # crawl; image-codec UDFs; per-group running-reset bin packing)
-        "crawl_frontier": q_crawl_frontier,
-        "image_features": q_image_features,
-        "phash_neardup": q_phash_neardup,
-        "bin_pack": q_bin_pack,
+        # --- past the 50-query window: stable r2 greens -----------------
+        # (word/relevance/token/quality/lang/fingerprint stay individually
+        # runnable and oracle-checked; text_metrics carries them in-window)
+        "word_count": q_word_count,
+        "relevance": q_relevance,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint_stats": q_fingerprint_stats,
+        "date_extraction": q_date_extraction,
+        "record_ids": q_record_ids,
+        "json_extract": q_json_extract,
+        "boilerplate_clean": q_boilerplate_clean,
+        "cube_stats": q_cube_stats,
+        "history_compaction": q_history_compaction,
     }
 
 
@@ -1607,8 +1705,9 @@ def oracle_sql() -> dict[str, str]:
         "shipping_priority": """
             SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
                        AS o_orderdate,
-                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-                            AS BIGINT)) AS revenue_cents
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                       AS revenue_cents
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN lineitem ON l_orderkey = o_orderkey
@@ -1761,6 +1860,41 @@ def oracle_sql() -> dict[str, str]:
               FROM walk wk JOIN seq s
                 ON s.user_id = wk.user_id AND s.rn = wk.rn + 1)
             SELECT user_id, event_id, bin::INT AS bin_index FROM walk""",
+        "text_metrics": f"""
+            SELECT doc_id, {wc}::BIGINT AS wc,
+                   round({_sql_contains_count(lower, REL_KEYWORDS)}
+                         / {float(len(REL_KEYWORDS))}, 6) AS rel_score,
+                   len(regexp_extract_all(text,
+                       '{X.TOKEN_REGEX}'))::BIGINT AS n_tokens,
+                   round(
+                     least({wc} / 100.0, 1.0) * 0.5
+                     + least({qs_stop} / 3.0, 1.0) * 0.3
+                     + (1.0 - least(
+                         (len(regexp_extract_all(text, '[^\\w\\s]'))
+                          / greatest(length(text), 1)) * 10.0, 1.0)) * 0.2,
+                     6) AS qscore,
+                   {lang_case} AS predicted,
+                   md5(lower(text)) AS fp
+            FROM (SELECT doc_id, text, {lang_scores} FROM documents)""",
+        "crawl_frontier": f"""
+            SELECT url, host, depth, round, discovery_seq
+            FROM {_sql_values_table(_crawl_frontier_expected(),
+                                    ["url", "host", "depth", "round",
+                                     "discovery_seq"])}""",
+        "image_features": f"""
+            SELECT image_id, w, h, fmt, mean_r, mean_g, mean_b, phash,
+                   decode_ok
+            FROM {_sql_values_table(_image_features_expected(),
+                                    ["image_id", "w", "h", "fmt", "mean_r",
+                                     "mean_g", "mean_b", "phash",
+                                     "decode_ok"])}""",
+        "phash_neardup": f"""
+            WITH ph AS (SELECT * FROM {_sql_values_table(
+                _phash_lit_rows(), ["image_id", "phash"])})
+            SELECT a.image_id AS id_a, b.image_id AS id_b,
+                   bit_count(xor(a.phash, b.phash))::INT AS hamming
+            FROM ph a JOIN ph b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 6""",
         "stream_sessions": """
             WITH o AS (
               SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,

@@ -151,12 +151,20 @@ def or_merge_shards_fn():
     return fn
 
 
-def partitioned_probe_fn(m_bits: int, out_columns: list[str]):
+def partitioned_probe_fn(out_columns: list[str]):
     """Cogrouped probe: (candidate rows of one bucket) x (that bucket's
     shard rows) -> candidates + `maybe` flag. Each task receives ONLY its
     bucket's bitmap (once per bucket, not per row) — the executor-resident
     alternative to broadcasting the whole sidecar; at 10^10 URLs the
-    sidecar never exists as one object anywhere."""
+    sidecar never exists as one object anywhere.
+
+    Probe width is SELF-DESCRIBED by each shard row (len(bitmap)*8), never
+    taken from engine config: a warehouse reopened with a different
+    expected_urls/n_buckets sizing must still probe the stored shards at
+    the width they were built with (a wrong-width probe yields false
+    'definitely new' verdicts that bypass the exact anti-join). Mixed
+    widths merge per-width and OR the verdicts, so old and new sizings
+    coexist correctly until the next rebuild/compaction."""
     def fn(cand: pd.DataFrame, shards: pd.DataFrame) -> pd.DataFrame:
         out = cand[out_columns].copy()
         if len(cand) == 0:
@@ -165,13 +173,19 @@ def partitioned_probe_fn(m_bits: int, out_columns: list[str]):
         if len(shards) == 0:
             out["maybe"] = False  # no shard: nothing seen in this bucket
             return out
-        bitmap = None
+        by_width: dict[int, np.ndarray] = {}
         for raw in shards["bitmap"]:
             arr = np.frombuffer(raw, dtype=np.uint8)
-            bitmap = arr.copy() if bitmap is None else np.bitwise_or(bitmap, arr)
-        pos = _positions(cand["url_hash"].to_numpy(), m_bits)
-        bits = (bitmap[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
-        out["maybe"] = bits.all(axis=1)
+            w = arr.size * 8
+            by_width[w] = (arr.copy() if w not in by_width
+                           else np.bitwise_or(by_width[w], arr))
+        hashes = cand["url_hash"].to_numpy()
+        maybe = np.zeros(len(cand), dtype=bool)
+        for w, bitmap in by_width.items():
+            pos = _positions(hashes, w)
+            bits = (bitmap[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+            maybe |= bits.all(axis=1)
+        out["maybe"] = maybe
         return out
     return fn
 

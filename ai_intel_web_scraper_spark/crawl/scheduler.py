@@ -50,6 +50,26 @@ from .bloom import (BloomShards, bloom_probe_udf, or_merge_shards_fn,
                     partial_bitmaps, partitioned_probe_fn)
 from .statestore import SnapshotStore
 
+_BYTE_SUFFIX = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
+                "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30,
+                "t": 1 << 40, "tb": 1 << 40}
+
+
+def _parse_byte_size(s, default: int = 10 * 1024 * 1024) -> int:
+    """Spark byte-string config values ('10485760', '10m', '1g', '512k')
+    -> bytes, mirroring JavaUtils.byteStringAsBytes; `default` on any
+    unparseable value (the heuristic must never throw)."""
+    text = str(s).strip().lower()
+    i = len(text)
+    while i > 0 and not text[:i][-1].isdigit():
+        i -= 1
+    num, suffix = text[:i], text[i:].strip()
+    try:
+        return int(num) * _BYTE_SUFFIX[suffix]
+    except (ValueError, KeyError):
+        return default
+
+
 FRONTIER_SCHEMA = ("url string, url_hash long, bucket int, host string, "
                    "depth int, priority double, discovery_seq long, attempt int")
 URL_SEEN_SCHEMA = "url string, url_hash long, bucket int, round_added int"
@@ -395,12 +415,8 @@ class CrawlEngine:
         # partitioned join on the shared url_hash bucketing). Gating on
         # estimated BYTES vs autoBroadcastJoinThreshold (not a fixed row
         # count) keeps the broadcast within executor memory on any cluster.
-        try:
-            bcast_limit = int(str(sp.conf.get(
-                "spark.sql.autoBroadcastJoinThreshold", "10485760"))
-                .lower().rstrip("b"))
-        except ValueError:
-            bcast_limit = 10 * 1024 * 1024
+        bcast_limit = _parse_byte_size(
+            sp.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
         if bcast_limit > 0 and quota_sum * 40 <= bcast_limit:
             ranked_keys = F.broadcast(ranked_keys)
         scheduled = (frontier.join(
@@ -480,6 +496,7 @@ class CrawlEngine:
         # "definitely new" verdicts would bypass the exact anti-join.
         use_part_bloom = cfg.use_bloom and cfg.bloom_mode == "partitioned"
         shards_df = None
+        rebuilt_shards = None
         bloom_bytes = None
         bloom = None
         if use_part_bloom:
@@ -493,6 +510,7 @@ class CrawlEngine:
                 # still executor-side (staged with this round's update)
                 shards_df = self._shard_partials(
                     self.store.read("url_seen")).persist()
+                rebuilt_shards = shards_df  # released at end of round
             out_cols = deduped.columns
             # fresh StructType: StructType.add MUTATES the frame's cached
             # schema, which would poison the cogroup's column resolution
@@ -501,9 +519,8 @@ class CrawlEngine:
                 + [T.StructField("maybe", T.BooleanType())])
             probed = (deduped.groupBy("bucket")
                       .cogroup(shards_df.groupBy("bucket"))
-                      .applyInPandas(
-                          partitioned_probe_fn(self._bloom_m, out_cols),
-                          schema=out_schema))
+                      .applyInPandas(partitioned_probe_fn(out_cols),
+                                     schema=out_schema))
             definite_new = probed.where(~F.col("maybe")).drop("maybe")
             to_confirm = probed.where(F.col("maybe")).drop("maybe")
             confirmed = to_confirm.join(
@@ -719,6 +736,8 @@ class CrawlEngine:
         fetch.unpersist()
         policed.unpersist()
         new_urls.unpersist()
+        if rebuilt_shards is not None:  # mode-switch rebuild path only
+            rebuilt_shards.unpersist()
         return metrics
 
     # ------------------------------------------------------------ driver loop

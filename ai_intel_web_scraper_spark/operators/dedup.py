@@ -259,8 +259,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
     """Min-label propagation over an (id_a, id_b) edge list -> (id, comp)
     with comp = the component's minimum id. Converges in component-diameter
     iterations (near-dup clusters are shallow); each iteration is one
-    shuffle join + agg with lineage truncated via localCheckpoint. The
-    monotone-decreasing sum of labels doubles as the convergence test."""
+    shuffle join + agg with lineage truncated via localCheckpoint.
+    Convergence = no label changed vs the previous iteration (checked by a
+    changed-row probe join; a sum-of-labels test would overflow Spark 4's
+    ANSI long sum under the 64-bit hash ids this repo uses as doc ids)."""
     sym = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
            .unionByName(pairs.select(F.col("id_b").alias("src"),
                                      F.col("id_a").alias("dst"))))
@@ -273,7 +275,6 @@ def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
     comp = (sym.select(F.col("src").alias("id")).distinct()
             .repartition(n_parts, "id")
             .withColumn("comp", F.col("id")).localCheckpoint(eager=True))
-    prev_sum = None
     for _ in range(max_iter):
         # new label = min(own label, neighbors' labels), expressed as a
         # UNION + groupBy-min so comp never self-joins (Spark's ambiguous-
@@ -284,15 +285,21 @@ def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
                                         F.col("comp").alias("lab")),
                             sym["dst"] == F.col("_nid"))
                    .select("src", "lab"))
-        comp = (self_lab.unionByName(nbr_lab)
-                .repartition(n_parts, "src")
-                .groupBy("src").agg(F.min("lab").alias("comp"))
-                .withColumnRenamed("src", "id")
-                .localCheckpoint(eager=True))
-        s = comp.agg(F.sum("comp")).first()[0]
-        if s == prev_sum:  # labels only decrease: equal sum == fixpoint
+        new_comp = (self_lab.unionByName(nbr_lab)
+                    .repartition(n_parts, "src")
+                    .groupBy("src").agg(F.min("lab").alias("comp"))
+                    .withColumnRenamed("src", "id")
+                    .localCheckpoint(eager=True))
+        # labels only decrease, so "any row with a strictly smaller label"
+        # is the exact fixpoint test; limit(1) short-circuits the probe
+        prev_lab = comp.select(F.col("id").alias("_pid"),
+                               F.col("comp").alias("_plab"))
+        changed = (new_comp.join(prev_lab, F.col("id") == F.col("_pid"))
+                   .where(F.col("comp") < F.col("_plab"))
+                   .limit(1).count())
+        comp = new_comp
+        if changed == 0:
             break
-        prev_sum = s
     return comp
 
 

@@ -70,26 +70,37 @@ def paginated_urls(spark: SparkSession, pattern: str,
 
 def cursor_paginated_source(spark: SparkSession, fetch_page,
                             schema, max_pages: int = 10_000,
-                            pages_per_batch: int = 64) -> DataFrame:
+                            pages_per_batch: int = 64,
+                            checkpoint_every_batches: int = 16) -> DataFrame:
     """SURVEY S3/S4: cursor/offset-paginated external source. The reference
     loops GitHub REST pages (`page`,`per_page` until empty,
     github_scraper.py:113-216) and GraphQL cursors (`after`/`hasNextPage`,
     github_scraper.py:233-334). Generic shape: `fetch_page(cursor) ->
     (rows, next_cursor|None)`. Pages are flushed into one DataFrame per
     `pages_per_batch` — the cursor protocol forces rows through the driver
-    anyway, so batching bounds the union lineage at max_pages/batch nodes
-    (a per-page union built a 10k-deep plan) while the driver still holds
-    at most one batch of rows."""
+    anyway, so batching keeps the driver holding at most one batch of rows
+    — and every `checkpoint_every_batches` flushes the accumulated union is
+    localCheckpoint-ed, so plan depth stays bounded at a constant
+    (~checkpoint_every_batches union nodes) no matter how many pages a
+    drain walks; a 10k-page drain otherwise builds a 160-union plan whose
+    analysis cost grows quadratically."""
     out = None
     cursor = None
     buf: list = []
     pages_in_buf = 0
+    flushes_since_ckpt = 0
 
     def flush(acc, rows):
+        nonlocal flushes_since_ckpt
         if not rows:
             return acc
         df = spark.createDataFrame(rows, schema)
-        return df if acc is None else acc.unionByName(df)
+        acc = df if acc is None else acc.unionByName(df)
+        flushes_since_ckpt += 1
+        if flushes_since_ckpt >= checkpoint_every_batches:
+            acc = acc.localCheckpoint(eager=True)
+            flushes_since_ckpt = 0
+        return acc
 
     for _ in range(max_pages):
         rows, cursor = fetch_page(cursor)

@@ -30,6 +30,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# sched-bench bucket count: buckets >> cores (matches the 10^10 design,
+# where bucket count is sized to the cluster, not the laptop)
+SCHED_BUCKETS = 64
+
 HEADLINE = [
     "pricing_summary", "docs_keep_first", "topic_tags", "budget_prefix",
     "rrf_fusion", "topk_cosine", "group_stats", "jaccard_top_pairs",
@@ -90,7 +94,8 @@ def run_crawl(spark, n_hosts: int, total_pages: int,
               with_payload: bool, round_seconds: float,
               budget_scale: int = 1, depth_add: int = 0,
               max_links: int = 12, seed_frac: float = 0.6,
-              bloom_mode: str = "broadcast") -> dict:
+              bloom_mode: str = "partitioned",
+              host_state_mode: str = "dataframe") -> dict:
     from ai_intel_web_scraper_spark.crawl.scheduler import (CrawlConfig,
                                                             CrawlEngine)
     fx = crawl_fixtures(spark, n_hosts, total_pages,
@@ -102,7 +107,7 @@ def run_crawl(spark, n_hosts: int, total_pages: int,
     eng = CrawlEngine(spark, fx, wh, CrawlConfig(
         expected_urls=max(1 << 20, total_pages * 4),
         write_payload=with_payload, round_seconds=round_seconds,
-        n_salt=8, bloom_mode=bloom_mode))
+        n_salt=8, bloom_mode=bloom_mode, host_state_mode=host_state_mode))
     t0 = time.time()
     rounds = eng.run()
     wall = time.time() - t0
@@ -114,7 +119,7 @@ def run_crawl(spark, n_hosts: int, total_pages: int,
         "rounds": len(rounds), "scheduled": scheduled,
         "deduped_candidates": discovered, "new_urls": new_urls,
         "fetched_ok": fetched, "wall_sec": round(wall, 2),
-        "bloom_mode": bloom_mode,
+        "bloom_mode": bloom_mode, "host_state_mode": host_state_mode,
         "throughput_urls_per_sec": round((scheduled + discovered) / wall, 1),
     }
 
@@ -126,11 +131,12 @@ def sched_fixtures(spark, n_urls: int, n_hosts: int, seen_frac: float) -> dict:
     covering ~seen_frac of the frontier. Everything is spark.range + codegen
     (no Python row generation); written once and cached by tag."""
     from pyspark.sql import functions as F
-    tag = f"u{n_urls}_h{n_hosts}_s{seen_frac}_v3"
+    tag = f"u{n_urls}_h{n_hosts}_s{seen_frac}_v4"
     out = f"/tmp/spark_graft_sched_fx_{tag}"
     done = os.path.join(out, "_DONE")
     paths = {"frontier": os.path.join(out, "frontier.parquet"),
-             "url_seen": os.path.join(out, "url_seen.parquet")}
+             "url_seen": os.path.join(out, "url_seen.parquet"),
+             "bloom_shards": os.path.join(out, "bloom_shards.parquet")}
     if not os.path.exists(done):
         shutil.rmtree(out, ignore_errors=True)
         ids = spark.range(0, n_urls, 1, 64)
@@ -166,7 +172,8 @@ def sched_fixtures(spark, n_urls: int, n_hosts: int, seen_frac: float) -> dict:
                     "raw_url", "depth", "priority", "discovery_seq",
                     "attempt"))
         frontier = frontier.withColumn(
-            "bucket", F.pmod(F.abs("url_hash"), F.lit(16)).cast("int"))
+            "bucket",
+            F.pmod(F.abs("url_hash"), F.lit(SCHED_BUCKETS)).cast("int"))
         frontier.write.mode("overwrite").parquet(paths["frontier"])
         # ~seen_frac of the frontier is already known (hash-derived subset)
         (spark.read.parquet(paths["frontier"])
@@ -174,18 +181,24 @@ def sched_fixtures(spark, n_urls: int, n_hosts: int, seen_frac: float) -> dict:
                 < int(seen_frac * 1000))
          .select("url", "url_hash", "bucket")
          .write.mode("overwrite").parquet(paths["url_seen"]))
-        # bloom sidecar over url_seen (the engine's fast-path state)
-        from ai_intel_web_scraper_spark.crawl.bloom import (BloomShards,
-                                                            partial_bitmaps)
+        # bloom sidecar over url_seen, in BOTH placements: executor-built
+        # per-bucket shard rows (the 10^10 shape — written as a parquet
+        # table, never driver-merged) and the single broadcast blob
+        from ai_intel_web_scraper_spark.crawl.bloom import (
+            BloomShards, or_merge_shards_fn, partial_bitmaps)
         import numpy as np
-        bloom = BloomShards.sized_for(max(int(n_urls * seen_frac), 1024), 16)
-        parts = (spark.read.parquet(paths["url_seen"])
-                 .select("bucket", "url_hash")
-                 .repartition(16, "bucket")
-                 .mapInPandas(partial_bitmaps(bloom.m_bits, 16),
-                              schema="bucket int, bitmap binary")
-                 .collect())
-        for row in parts:
+        bloom = BloomShards.sized_for(max(int(n_urls * seen_frac), 1024),
+                                      SCHED_BUCKETS)
+        partials = (spark.read.parquet(paths["url_seen"])
+                    .select("bucket", "url_hash")
+                    .repartition(SCHED_BUCKETS, "bucket")
+                    .mapInPandas(partial_bitmaps(bloom.m_bits, SCHED_BUCKETS),
+                                 schema="bucket int, bitmap binary"))
+        (partials.groupBy("bucket")
+         .applyInPandas(or_merge_shards_fn(),
+                        schema="bucket int, bitmap binary")
+         .write.mode("overwrite").parquet(paths["bloom_shards"]))
+        for row in spark.read.parquet(paths["bloom_shards"]).collect():
             bloom.merge_bitmap(int(row["bucket"]),
                                np.frombuffer(row["bitmap"], dtype=np.uint8))
         with open(os.path.join(out, "bloom.bin"), "wb") as f:
@@ -197,14 +210,17 @@ def sched_fixtures(spark, n_urls: int, n_hosts: int, seen_frac: float) -> dict:
 
 
 def run_sched(spark, n_urls: int, n_hosts: int, seen_frac: float,
-              round_seconds: float, n_salt: int) -> dict:
+              round_seconds: float, n_salt: int,
+              bloom_mode: str = "partitioned") -> dict:
     """ONE frontier-scheduling round at bench scale — the per-round
     DataFrame job of the crawl engine, timed end-to-end including the
     parquet sink write. This is the north-rule metric surface:
     URLs (scheduled + deduped) per second. Pipeline (identical operators to
     CrawlEngine.run_round's scheduling path):
 
-      scan frontier -> bloom probe (vectorized Arrow UDF, CPU fast path)
+      scan frontier -> bloom probe (partitioned: bucket-cogrouped
+      executor-resident shard rows, the 10^10 shape; broadcast: one blob
+      probed by a vectorized Arrow UDF)
       -> exact anti-join for the 'maybe seen' minority only
       -> two-phase salted politeness rank on NARROW columns
       -> late-materialize the full rows for the quota-bounded survivors
@@ -213,8 +229,10 @@ def run_sched(spark, n_urls: int, n_hosts: int, seen_frac: float,
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
-    from ai_intel_web_scraper_spark.crawl.bloom import bloom_probe_udf
+    from ai_intel_web_scraper_spark.crawl.bloom import (bloom_probe_udf,
+                                                        partitioned_probe_fn)
     from ai_intel_web_scraper_spark.crawl.scheduler import politeness_rank
     fx = sched_fixtures(spark, n_urls, n_hosts, seen_frac)
     rng = np.random.default_rng(42)
@@ -244,9 +262,23 @@ def run_sched(spark, n_urls: int, n_hosts: int, seen_frac: float,
                         F.col("r.url_hash").alias("url_hash"),
                         "depth", "discovery_seq")
                 .withColumn("bucket",
-                            F.pmod(F.abs("url_hash"), F.lit(16)).cast("int")))
-    maybe_seen = bloom_probe_udf(spark, blob)
-    probed = resolved.withColumn("maybe", maybe_seen("bucket", "url_hash"))
+                            F.pmod(F.abs("url_hash"),
+                                   F.lit(SCHED_BUCKETS)).cast("int")))
+    if bloom_mode == "partitioned":
+        # executor-resident sidecar: candidates cogrouped with their
+        # bucket's shard row — the driver never holds the bit set
+        shards_df = spark.read.parquet(fx["bloom_shards"])
+        out_schema = T.StructType(
+            list(resolved.schema.fields)
+            + [T.StructField("maybe", T.BooleanType())])
+        probed = (resolved.groupBy("bucket")
+                  .cogroup(shards_df.groupBy("bucket"))
+                  .applyInPandas(partitioned_probe_fn(resolved.columns),
+                                 schema=out_schema))
+    else:
+        maybe_seen = bloom_probe_udf(spark, blob)
+        probed = resolved.withColumn("maybe",
+                                     maybe_seen("bucket", "url_hash"))
     definite_new = probed.where(~F.col("maybe")).drop("maybe")
     seen = spark.read.parquet(fx["url_seen"]).select("bucket", "url_hash",
                                                      "url")
@@ -272,7 +304,7 @@ def run_sched(spark, n_urls: int, n_hosts: int, seen_frac: float,
     n_sched = ds.dataset(sink).count_rows()
     return {
         "frontier_urls": n_urls, "deduped": n_urls, "scheduled": n_sched,
-        "wall_sec": round(wall, 2),
+        "wall_sec": round(wall, 2), "bloom_mode": bloom_mode,
         "throughput_urls_per_sec": round((n_urls + n_sched) / wall, 1),
     }
 
@@ -341,11 +373,22 @@ def main() -> None:
     ap.add_argument("--payload", action="store_true", default=True)
     ap.add_argument("--no-payload", dest="payload", action="store_false")
     ap.add_argument("--round-seconds", type=float, default=600.0)
-    ap.add_argument("--bloom-mode", default="broadcast",
+    ap.add_argument("--bloom-mode", default="partitioned",
                     choices=["broadcast", "partitioned"],
-                    help="url_seen bloom sidecar placement: one broadcast "
-                         "blob, or executor-resident per-bucket shard rows "
-                         "(the 10^10-URL shape; driver never holds the set)")
+                    help="url_seen bloom sidecar placement: executor-"
+                         "resident per-bucket shard rows (default — the "
+                         "10^10-URL shape; driver never holds the set) or "
+                         "one broadcast blob (local-mode fast path)")
+    ap.add_argument("--host-state-mode", default="dataframe",
+                    choices=["pandas", "dataframe"],
+                    help="host_state placement: pure-DataFrame end-to-end "
+                         "(default — the 10^8-host shape) or driver pandas")
+    ap.add_argument("--both-modes", action="store_true", default=True,
+                    help="in the full bench, also run the crawl e2e and "
+                         "sched round in the other bloom mode and report "
+                         "both (headline stays the scale-safe partitioned)")
+    ap.add_argument("--single-mode", dest="both_modes",
+                    action="store_false")
     ap.add_argument("--budget-scale", type=int, default=1)
     ap.add_argument("--depth-add", type=int, default=0)
     ap.add_argument("--max-links", type=int, default=12)
@@ -381,10 +424,12 @@ def main() -> None:
     extra: dict[str, float] = {}
     crawl: dict = {}
     sched: dict = {}
+    crawl_alt: dict = {}
+    sched_alt: dict = {}
     if args.sched_only:
         sched = run_sched(spark, args.sched_urls, args.sched_hosts,
                           args.sched_seen_frac, args.round_seconds,
-                          args.sched_salt)
+                          args.sched_salt, args.bloom_mode)
         queries["sched_round"] = sched["wall_sec"]
     else:
         if not args.crawl_only:
@@ -395,13 +440,26 @@ def main() -> None:
                               args.payload, args.round_seconds,
                               args.budget_scale, args.depth_add,
                               args.max_links, args.seed_frac,
-                              args.bloom_mode)
+                              args.bloom_mode, args.host_state_mode)
             queries["crawl_scheduling"] = crawl["wall_sec"]
             sched = run_sched(spark, args.sched_urls, args.sched_hosts,
                               args.sched_seen_frac, args.round_seconds,
-                              args.sched_salt)
+                              args.sched_salt, args.bloom_mode)
             queries["sched_round"] = sched["wall_sec"]
+    # headline total is queries + headline-mode crawl/sched only, so
+    # `value` stays comparable round-over-round; alt-mode runs follow
     total = round(time.time() - t_all, 2)
+    if not args.sched_only and not args.queries_only and args.both_modes:
+        other = ("broadcast" if args.bloom_mode == "partitioned"
+                 else "partitioned")
+        crawl_alt = run_crawl(spark, args.hosts, args.pages,
+                              args.payload, args.round_seconds,
+                              args.budget_scale, args.depth_add,
+                              args.max_links, args.seed_frac,
+                              other, args.host_state_mode)
+        sched_alt = run_sched(spark, args.sched_urls, args.sched_hosts,
+                              args.sched_seen_frac, args.round_seconds,
+                              args.sched_salt, other)
     calib = run_calibration() if args.calibrate else {}
     bw = run_bw_calibration() if args.calibrate else {}
 
@@ -415,6 +473,8 @@ def main() -> None:
         "cores": args.cores,
         "crawl": crawl,
         "sched": sched,
+        **({"crawl_alt_mode": crawl_alt} if crawl_alt else {}),
+        **({"sched_alt_mode": sched_alt} if sched_alt else {}),
         **({"platform_mops": calib} if calib else {}),
         **({"platform_bw_gbs": bw} if bw else {}),
     }))

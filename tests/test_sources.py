@@ -47,6 +47,30 @@ def test_cursor_paginated_source_drains_pages(spark):
     assert calls == [None, "c1", "c2"]
 
 
+def test_cursor_paginated_source_deep_drain_bounded_plan(spark):
+    """A ~1k-page drain must keep plan depth constant (localCheckpoint
+    every checkpoint_every_batches flushes), not build a deep union chain
+    whose analysis cost grows with page count."""
+    n_pages = 1000
+
+    def fetch(cursor):
+        start = int(cursor or 0)
+        nxt = start + 1
+        return ([(start, f"v{start}")],
+                str(nxt) if nxt < n_pages else None)
+
+    df = cursor_paginated_source(spark, fetch, "id long, v string",
+                                 pages_per_batch=8,
+                                 checkpoint_every_batches=4)
+    # plan depth: count Union nodes in the analyzed plan — bounded by the
+    # checkpoint cadence (<= checkpoint_every_batches), not pages/batch
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert plan.count("Union") <= 4, plan
+    assert df.count() == n_pages
+    assert df.agg({"id": "min"}).first()[0] == 0
+    assert df.agg({"id": "max"}).first()[0] == n_pages - 1
+
+
 def test_merge_upsert_updates_and_inserts(spark, tmp_path):
     store = SnapshotStore(spark, str(tmp_path / "wh"),
                           schemas={"chunks": "cid string, txt string"})
