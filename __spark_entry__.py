@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ai_intel_web_scraper_spark.operators import chunking as C
 from ai_intel_web_scraper_spark.operators import dedup as D
+from ai_intel_web_scraper_spark.operators import export as EXP
 from ai_intel_web_scraper_spark.operators import ranking as R
 from ai_intel_web_scraper_spark.operators import stats as S
 from ai_intel_web_scraper_spark.operators import text as X
@@ -266,6 +267,42 @@ def q_text_metrics(spark, sf_dir):
         X.quality_score_col(F.col("text")).alias("qscore"),
         X.lang_id_col(F.col("text")).alias("predicted"),
         X.fingerprint_col(F.col("text")).alias("fp"))
+
+
+def q_metadata_sanitize(spark, sf_dir):
+    """SURVEY V10 at its declared export boundary (reference
+    vectorstore/store.py:335-381): build a chunk-metadata-shaped frame
+    (ordered topic_ids array, primary_topic with 'unclassified' fallback,
+    nullable date + string columns), then flatten it for a scalar-only
+    store — arrays -> CSV, dates -> yyyy-MM-dd, nulls -> ''."""
+    docs = _t(spark, sf_dir, "documents")
+    tags = (X.topic_scores(docs, "doc_id", "text")
+            .where(F.col("topic") != "unclassified"))
+    # deterministic list order on BOTH sides: score desc, topic asc
+    lists = (tags.groupBy("doc_id")
+             .agg(F.array_sort(F.collect_list(F.struct(
+                 (-F.col("score")).alias("neg"), F.col("topic")))).alias("s"))
+             .select("doc_id",
+                     F.transform("s", lambda x: x["topic"])
+                     .alias("topic_ids")))
+    meta = (docs.join(lists, "doc_id", "left")
+            .select(
+                "doc_id",
+                "topic_ids",
+                F.coalesce(F.element_at("topic_ids", 1),
+                           F.lit("unclassified")).alias("primary_topic"),
+                # synthesized nullable date/string exercise None -> ''
+                F.when(F.pmod("doc_id", F.lit(7)) == 0,
+                       F.lit(None).cast("date"))
+                 .otherwise(F.date_add(F.lit("2024-01-01").cast("date"),
+                                       F.pmod("doc_id", F.lit(365))
+                                       .cast("int")))
+                 .alias("content_date"),
+                F.when(F.pmod("doc_id", F.lit(5)) == 0,
+                       F.lit(None).cast("string"))
+                 .otherwise(F.col("source")).alias("source_type"),
+                "n_chars"))
+    return EXP.sanitize_for_scalar_store(meta)
 
 
 def q_paginated_preseed(spark, sf_dir):
@@ -1188,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_neardup": q_phash_neardup,     # emitted as literal relations
         "shipping_priority": q_shipping_priority,  # r1+r2 red: tie-proof now
         "text_metrics": q_text_metrics,       # new 6-operator consolidation
+        "metadata_sanitize": q_metadata_sanitize,  # V10, new in r3
         # --- driver-green in r2, kept in-window ------------------------
         "pricing_summary": q_pricing_summary,
         "docs_keep_first": q_docs_keep_first,
@@ -1219,7 +1257,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_budget_state": q_stream_budget_state,
         "process_pipeline": q_process_pipeline,
         "sql_top_events": q_sql_top_events,
-        "length_quantiles": q_length_quantiles,
         "minhash_pairs": q_minhash_pairs,
         "minhash_verified": q_minhash_verified,
         "minhash_greedy": q_minhash_greedy,
@@ -1227,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         # --- past the 50-query window: stable r2 greens -----------------
+        "length_quantiles": q_length_quantiles,
         # (word/relevance/token/quality/lang/fingerprint stay individually
         # runnable and oracle-checked; text_metrics carries them in-window)
         "word_count": q_word_count,
@@ -1876,6 +1914,30 @@ def oracle_sql() -> dict[str, str]:
                    {lang_case} AS predicted,
                    md5(lower(text)) AS fp
             FROM (SELECT doc_id, text, {lang_scores} FROM documents)""",
+        "metadata_sanitize": f"""
+            WITH tagged AS (
+              SELECT doc_id, topic, round(score, 6) AS score FROM (
+                SELECT doc_id, topic, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, tidx) AS rn
+                FROM ({topic_scores_sql})
+                WHERE score >= {X.TOPIC_MIN_SCORE})
+              WHERE rn <= {X.TOPIC_TOP_N}),
+            lists AS (
+              SELECT doc_id,
+                     list(topic ORDER BY score DESC, topic) AS tl
+              FROM tagged GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(array_to_string(l.tl, ','), '') AS topic_ids,
+                   coalesce(l.tl[1], 'unclassified') AS primary_topic,
+                   CASE WHEN d.doc_id % 7 = 0 THEN ''
+                        ELSE strftime(DATE '2024-01-01'
+                                      + (d.doc_id % 365)::INT, '%Y-%m-%d')
+                   END AS content_date,
+                   CASE WHEN d.doc_id % 5 = 0 THEN ''
+                        ELSE coalesce(d.source, '') END AS source_type,
+                   d.n_chars
+            FROM documents d LEFT JOIN lists l ON d.doc_id = l.doc_id""",
         "crawl_frontier": f"""
             SELECT url, host, depth, round, discovery_seq
             FROM {_sql_values_table(_crawl_frontier_expected(),

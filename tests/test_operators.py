@@ -523,3 +523,32 @@ def test_ivf_topk_recovers_planted_and_overlaps_exact(spark, sf_dir):
              V.brute_force_topk(emb, E.QUERY_VEC_A, 10).collect()]
     got = [r["vec_id"] for r in V.ivf_topk(emb, E.QUERY_VEC_A, 10).collect()]
     assert len(set(got) & set(exact)) >= 3
+
+
+def test_sanitize_for_scalar_store_flattens_per_reference_rules(spark):
+    """SURVEY V10 (reference vectorstore/store.py:367-381): arrays -> CSV,
+    date/timestamp -> strings, null -> '', scalars pass through typed."""
+    import datetime as dt
+
+    from ai_intel_web_scraper_spark.operators.export import (
+        sanitize_for_scalar_store)
+    df = spark.createDataFrame(
+        [(1, ["a", "b"], dt.date(2024, 3, 5),
+          dt.datetime(2024, 3, 5, 10, 30, 0), "s", 2.5, True),
+         (2, [], None, None, None, None, None),
+         (3, None, dt.date(2024, 1, 1), None, "t", 0.0, False)],
+        "id long, tags array<string>, d date, ts timestamp, "
+        "s string, x double, b boolean")
+    out = sanitize_for_scalar_store(df)
+    rows = {r["id"]: r for r in out.collect()}
+    types = dict(out.dtypes)
+    assert types["tags"] == "string" and types["d"] == "string"
+    assert types["ts"] == "string" and types["x"] == "double"
+    assert types["b"] == "boolean"  # scalars keep their type
+    assert rows[1]["tags"] == "a,b"
+    assert rows[1]["d"] == "2024-03-05"
+    assert rows[1]["ts"] == "2024-03-05 10:30:00"
+    assert rows[2]["tags"] == ""      # empty array -> "" (",".join([]))
+    assert rows[3]["tags"] == ""      # null array  -> ""
+    assert rows[2]["d"] == "" and rows[2]["s"] == ""
+    assert rows[2]["x"] is None       # numeric nulls stay typed nulls
