@@ -273,3 +273,71 @@ def test_dataframe_host_state_mode_is_bit_identical(spark, fixtures,
                     for r in eng.store.read("host_state").collect())
         results[mode] = (fetched, hs)
     assert results["pandas"] == results["dataframe"]
+
+
+def test_partitioned_probe_self_describes_width_and_merges_mixed(spark):
+    """A warehouse reopened with a different expected_urls sizing leaves
+    shard rows of two widths in the same bucket: the probe must read each
+    at its own width (len(bitmap)*8) and OR the verdicts — probing a
+    stored shard at the wrong width would yield false 'definitely new'
+    verdicts that bypass the exact anti-join."""
+    import numpy as np
+    import pandas as pd
+
+    from ai_intel_web_scraper_spark.crawl.bloom import (BloomShards,
+                                                        partitioned_probe_fn)
+    rng = np.random.default_rng(11)
+    old_keys = rng.integers(-(1 << 62), 1 << 62, 500, dtype=np.int64)
+    new_keys = rng.integers(-(1 << 62), 1 << 62, 500, dtype=np.int64)
+    absent = rng.integers(-(1 << 62), 1 << 62, 500, dtype=np.int64)
+
+    def shard_row(keys, m_bits):
+        b = BloomShards(1, m_bits)
+        b.add_many(np.zeros(len(keys), dtype=np.int64), keys)
+        return b.shards[0].tobytes()
+
+    shards = pd.DataFrame({
+        "bucket": [0, 0],
+        "bitmap": [shard_row(old_keys, 1 << 14),   # old sizing
+                   shard_row(new_keys, 1 << 17)],  # reopened, resized
+    })
+    cand = pd.DataFrame({
+        "url_hash": np.concatenate([old_keys, new_keys, absent]),
+        "bucket": 0,
+    })
+    out = partitioned_probe_fn(["url_hash", "bucket"])(cand, shards)
+    maybe = out["maybe"].to_numpy()
+    # zero false negatives for keys in EITHER width's shard
+    assert maybe[:1000].all()
+    # and the filter still prunes: most absent keys read definitely-new
+    assert (~maybe[1000:]).sum() > 400
+
+
+def test_parse_byte_size_spark_suffixes():
+    from ai_intel_web_scraper_spark.crawl.scheduler import _parse_byte_size
+    assert _parse_byte_size("10485760") == 10485760
+    assert _parse_byte_size("10485760b") == 10485760
+    assert _parse_byte_size("10m") == 10 * 1024 * 1024
+    assert _parse_byte_size("10MB") == 10 * 1024 * 1024
+    assert _parse_byte_size("1g") == 1 << 30
+    assert _parse_byte_size("512k") == 512 * 1024
+    assert _parse_byte_size("-1") == -1  # broadcast disabled
+    assert _parse_byte_size("nonsense") == 10 * 1024 * 1024  # default
+
+
+def test_connected_components_on_64bit_hash_ids(spark):
+    """The convergence test must not overflow Spark 4's ANSI long sum when
+    ids are 64-bit hashes (the repo's standard doc id); labels near
+    +/-2^62 summed over a component would throw under the old
+    sum-of-labels fixpoint check."""
+    from ai_intel_web_scraper_spark.operators.dedup import (
+        connected_components)
+    big = 1 << 62
+    # two components whose label sums each overflow int64 if summed twice
+    pairs = [(big, big + 1), (big + 1, big + 2),
+             (-big, -big - 1), (big + 10, big + 11)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    comp = {r["id"]: r["comp"] for r in connected_components(df).collect()}
+    assert comp[big] == comp[big + 1] == comp[big + 2] == big
+    assert comp[-big] == comp[-big - 1] == -big - 1
+    assert comp[big + 10] == comp[big + 11] == big + 10
