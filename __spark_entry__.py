@@ -1010,6 +1010,49 @@ def q_phash_neardup(spark, sf_dir):
     return phash_hamming_neardup(pages, max_hamming=6)
 
 
+def q_audio_features(spark, sf_dir):
+    """Audio path under the value-hash gate (mirrors image_roundtrip):
+    synthesize square-wave PCM WAVs per document with stdlib `wave`,
+    decode them with the REAL audio_features operator. Square-wave
+    features are closed-form — duration = frames/sr, rms = amp/32768
+    EXACTLY in float (power-of-two scale, no rounding anywhere) — so
+    DuckDB recomputes them analytically. doc_id%13==0 rows carry corrupt
+    bytes and must come back decode_ok=false, not fail the task."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+    from ai_intel_web_scraper_spark.operators.multimodal import (
+        audio_features)
+    docs = _t(spark, sf_dir, "documents")
+    meta = docs.select(
+        F.col("doc_id").cast("string").alias("audio_id"),
+        (F.pmod("doc_id", F.lit(2000)) * 16 + 16).cast("int").alias("amp"),
+        (F.pmod("doc_id", F.lit(13)) == 0).alias("corrupt"))
+
+    def enc(iterator):
+        for pdf in iterator:
+            rows = []
+            for aid, amp, corrupt in zip(pdf["audio_id"], pdf["amp"],
+                                         pdf["corrupt"]):
+                if corrupt:
+                    rows.append((aid, b"not a riff header"))
+                    continue
+                wavef = np.tile(np.array([amp, -amp], dtype=np.int16), 2000)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(wavef.tobytes())
+                rows.append((aid, buf.getvalue()))
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes"])
+
+    clips = meta.mapInPandas(enc, schema="audio_id string, bytes binary")
+    return audio_features(clips)
+
+
 def q_cursor_source(spark, sf_dir):
     """SURVEY S3/S4 (reference github_scraper.py:113-216,233-334): the
     cursor-paginated source shape under the hash gate — fetch_page serves
@@ -1226,13 +1269,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,  # r1+r2 red: tie-proof now
         "text_metrics": q_text_metrics,       # new 6-operator consolidation
         "metadata_sanitize": q_metadata_sanitize,  # V10, new in r3
+        "audio_features": q_audio_features,        # real WAV decode, r3
         # --- driver-green in r2, kept in-window ------------------------
         "pricing_summary": q_pricing_summary,
         "docs_keep_first": q_docs_keep_first,
         "events_keep_first": q_events_keep_first,
         "topic_tags": q_topic_tags,
         "quality_filter": q_quality_filter,
-        "sentiment_counts": q_sentiment_counts,
         "budget_prefix": q_budget_prefix,
         "rrf_fusion": q_rrf_fusion,
         "topk_cosine": q_topk_cosine,
@@ -1264,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         # --- past the 50-query window: stable r2 greens -----------------
+        "sentiment_counts": q_sentiment_counts,
         "length_quantiles": q_length_quantiles,
         # (word/relevance/token/quality/lang/fingerprint stay individually
         # runnable and oracle-checked; text_metrics carries them in-window)
@@ -1938,6 +1982,19 @@ def oracle_sql() -> dict[str, str]:
                         ELSE coalesce(d.source, '') END AS source_type,
                    d.n_chars
             FROM documents d LEFT JOIN lists l ON d.doc_id = l.doc_id""",
+        "audio_features": """
+            SELECT doc_id::VARCHAR AS audio_id,
+                   CASE WHEN doc_id % 13 = 0 THEN NULL
+                        ELSE 0.5 END AS duration_s,
+                   CASE WHEN doc_id % 13 = 0 THEN NULL
+                        ELSE 8000 END AS sample_rate,
+                   CASE WHEN doc_id % 13 = 0 THEN NULL
+                        ELSE 1 END AS channels,
+                   CASE WHEN doc_id % 13 = 0 THEN NULL
+                        ELSE ((doc_id % 2000) * 16 + 16) / 32768.0
+                   END AS rms,
+                   doc_id % 13 <> 0 AS decode_ok
+            FROM documents""",
         "crawl_frontier": f"""
             SELECT url, host, depth, round, discovery_seq
             FROM {_sql_values_table(_crawl_frontier_expected(),

@@ -4,10 +4,12 @@ Images travel as opaque `binary` columns with typed metadata (input_hint
 shape). Decode and feature extraction run in Arrow-batched mapInPandas over
 the REAL pure-Python codec from functions/codec.py (PNG + deterministic
 lossy stand-in) — the Spark-side plumbing (schemas, batching, partition
-behavior) is production-shaped. Audio/video decode is STUBBED behind
-NotImplementedError (no codec libs in this container): the UDF signatures,
-schemas and batch shapes are real and tested; only the innermost decode call
-raises.
+behavior) is production-shaped. Audio decode is REAL for PCM WAV (stdlib
+`wave`; other codecs degrade to decode_ok=false rows — the soundfile/
+librosa swap-in point). Video decode remains STUBBED behind
+NotImplementedError (no ffmpeg bindings in this container): the UDF
+signature, schema and batch shape are real and tested; only the innermost
+decode call raises.
 """
 
 from __future__ import annotations
@@ -15,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..functions.codec import average_phash, decode_image
 
@@ -76,16 +79,46 @@ def phash_hamming_neardup(pages: DataFrame, max_hamming: int = 6) -> DataFrame:
         pages.select("image_id", "phash"), "image_id", "phash", max_hamming)
 
 
-def audio_features(df: DataFrame) -> DataFrame:  # pragma: no cover - stub
-    """STUB: audio decode (no audio libs in this container). Real Spark
-    plumbing: binary column in, fixed feature schema out via mapInPandas."""
+AUDIO_FEATURES_SCHEMA = ("audio_id string, duration_s double, "
+                         "sample_rate int, channels int, rms double, "
+                         "decode_ok boolean")
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """REAL PCM-WAV decode via the stdlib `wave` module (RIFF/WAVE with
+    8/16/32-bit integer PCM — no external codec library needed); any other
+    container/codec yields a decode_ok=false row, the swap-in point for
+    soundfile/librosa on a real cluster. Arrow-batched mapInPandas; audio
+    bytes never enter a shuffle (narrow map), mirroring image_features.
+    Emits duration, sample rate, channel count, and full-scale-normalized
+    RMS over all channels."""
     def fn(iterator):
-        for _pdf in iterator:
-            raise NotImplementedError(
-                "audio decode requires a codec library; plumbing is in place —"
-                " swap the body for soundfile/librosa on a real cluster")
-    return df.select("bytes").mapInPandas(
-        fn, schema="duration_s double, rms double")
+        import io
+        import wave
+        widths = {1: np.int8, 2: np.int16, 4: np.int32}
+        for pdf in iterator:
+            rows = []
+            for audio_id, raw in zip(pdf["audio_id"], pdf["bytes"]):
+                try:
+                    with wave.open(io.BytesIO(bytes(raw))) as w:
+                        n = w.getnframes()
+                        sr = w.getframerate()
+                        sw = w.getsampwidth()
+                        ch = w.getnchannels()
+                        data = np.frombuffer(w.readframes(n),
+                                             dtype=widths[sw])
+                        scale = float(1 << (8 * sw - 1))
+                        rms = (float(np.sqrt(np.mean(
+                            (data.astype(np.float64) / scale) ** 2)))
+                            if data.size else 0.0)
+                        rows.append((audio_id, n / sr, sr, ch, rms, True))
+                except Exception:
+                    rows.append((audio_id, None, None, None, None, False))
+            yield pd.DataFrame(rows, columns=[
+                "audio_id", "duration_s", "sample_rate", "channels",
+                "rms", "decode_ok"])
+    return (df.select(F.col("audio_id"), F.col("bytes"))
+            .mapInPandas(fn, schema=AUDIO_FEATURES_SCHEMA))
 
 
 def video_frame_sample(df: DataFrame, every_n: int = 30) -> DataFrame:  # pragma: no cover - stub

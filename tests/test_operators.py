@@ -135,12 +135,47 @@ def test_image_features_real_decode(spark, fixtures):
         assert 0.0 <= r["mean_r"] <= 255.0
 
 
-def test_multimodal_stubs_raise(spark, fixtures):
+def test_video_stub_raises(spark, fixtures):
     import pytest
-    from ai_intel_web_scraper_spark.operators.multimodal import audio_features
+    from ai_intel_web_scraper_spark.operators.multimodal import (
+        video_frame_sample)
     pages = spark.read.parquet(fixtures["pages"]).limit(2)
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
-        audio_features(pages).collect()
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        video_frame_sample(pages).collect()
+
+
+def test_audio_features_decodes_real_pcm_wav(spark):
+    """Square-wave PCM WAV has closed-form features: duration = n/sr,
+    rms = amp/32768 EXACTLY in float (power-of-two scale); corrupt bytes
+    degrade to decode_ok=false rows, not task failure."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from ai_intel_web_scraper_spark.operators.multimodal import (
+        audio_features)
+
+    def make_wav(amp, sr=8000, frames=4000):
+        half = np.tile(np.array([amp, -amp], dtype=np.int16), frames // 2)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(half.tobytes())
+        return buf.getvalue()
+
+    rows = [("a", make_wav(3000)), ("b", make_wav(16384)),
+            ("bad", b"not a riff header at all")]
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary")
+    got = {r["audio_id"]: r for r in audio_features(df).collect()}
+    assert got["a"]["decode_ok"] and got["b"]["decode_ok"]
+    assert got["a"]["duration_s"] == 0.5
+    assert got["a"]["sample_rate"] == 8000 and got["a"]["channels"] == 1
+    assert got["a"]["rms"] == 3000 / 32768
+    assert got["b"]["rms"] == 0.5
+    assert not got["bad"]["decode_ok"] and got["bad"]["rms"] is None
 
 
 def test_url_classify_routes_each_kind(spark):
