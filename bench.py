@@ -45,6 +45,8 @@ HEADLINE = [
 EXTRA = [
     "html_extract", "chunk_dispatch", "minhash_greedy", "minhash_verified",
     "reddit_source", "hn_source", "hash_embed", "quality_filter",
+    # round-3 additions
+    "text_metrics", "metadata_sanitize", "audio_features",
 ]
 
 
