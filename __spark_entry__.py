@@ -1053,6 +1053,46 @@ def q_audio_features(spark, sf_dir):
     return audio_features(clips)
 
 
+def q_video_frames(spark, sf_dir):
+    """Video path under the value-hash gate: per document, pack 8-12
+    solid-color frames into the MJPN container (functions/codec.py, the
+    declared mp4 stand-in), then run the REAL video_frame_sample operator
+    (every_n=4, random-access seek decodes only sampled frames). Solid
+    colors make every sampled frame's channel means exact integers, so
+    DuckDB recomputes the whole result analytically; doc_id%11==0 rows
+    carry corrupt bytes (decode_ok=false path). frame_png is dropped
+    here (cross-engine PNG-byte hashing belongs to pytest roundtrips)."""
+    import numpy as np
+    import pandas as pd
+    from ai_intel_web_scraper_spark.functions.codec import mjpng_encode
+    from ai_intel_web_scraper_spark.operators.multimodal import (
+        video_frame_sample)
+    docs = _t(spark, sf_dir, "documents")
+    meta = docs.select(
+        F.col("doc_id").cast("string").alias("video_id"),
+        F.col("doc_id").alias("k"),
+        (8 + F.pmod("doc_id", F.lit(5))).cast("int").alias("n_frames"),
+        (F.pmod("doc_id", F.lit(11)) == 0).alias("corrupt"))
+
+    def enc(iterator):
+        for pdf in iterator:
+            rows = []
+            for vid, k, n, corrupt in zip(pdf["video_id"], pdf["k"],
+                                          pdf["n_frames"], pdf["corrupt"]):
+                if corrupt:
+                    rows.append((vid, b"EBML not an mjpn container"))
+                    continue
+                frames = [np.full((8, 8, 3),
+                                  ((k + i) % 256, (k * 3 + 7 * i) % 256,
+                                   (k * 5) % 256), dtype=np.uint8)
+                          for i in range(int(n))]
+                rows.append((vid, mjpng_encode(frames)))
+            yield pd.DataFrame(rows, columns=["video_id", "bytes"])
+
+    clips = meta.mapInPandas(enc, schema="video_id string, bytes binary")
+    return video_frame_sample(clips, every_n=4).drop("frame_png")
+
+
 def q_cursor_source(spark, sf_dir):
     """SURVEY S3/S4 (reference github_scraper.py:113-216,233-334): the
     cursor-paginated source shape under the hash gate — fetch_page serves
@@ -1270,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_metrics": q_text_metrics,       # new 6-operator consolidation
         "metadata_sanitize": q_metadata_sanitize,  # V10, new in r3
         "audio_features": q_audio_features,        # real WAV decode, r3
+        "video_frames": q_video_frames,            # real MJPN sampling, r3
         # --- driver-green in r2, kept in-window ------------------------
         "pricing_summary": q_pricing_summary,
         "docs_keep_first": q_docs_keep_first,
@@ -1282,7 +1323,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_stats": q_group_stats,
         "prefix_dup_groups": q_prefix_dup_groups,
         "jaccard_top_pairs": q_jaccard_top_pairs,
-        "paginated_preseed": q_paginated_preseed,
         "user_quota": q_user_quota,
         "source_status": q_source_status,
         "token_window_chunks": q_token_window_chunks,
@@ -1307,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         # --- past the 50-query window: stable r2 greens -----------------
+        "paginated_preseed": q_paginated_preseed,
         "sentiment_counts": q_sentiment_counts,
         "length_quantiles": q_length_quantiles,
         # (word/relevance/token/quality/lang/fingerprint stay individually
@@ -1995,6 +2036,20 @@ def oracle_sql() -> dict[str, str]:
                    END AS rms,
                    doc_id % 13 <> 0 AS decode_ok
             FROM documents""",
+        "video_frames": """
+            WITH f AS (SELECT unnest([0, 4, 8]) AS fi)
+            SELECT doc_id::VARCHAR AS video_id, fi::INT AS frame_index,
+                   8::INT AS w, 8::INT AS h,
+                   ((doc_id + fi) % 256)::DOUBLE AS mean_r,
+                   ((doc_id * 3 + 7 * fi) % 256)::DOUBLE AS mean_g,
+                   ((doc_id * 5) % 256)::DOUBLE AS mean_b,
+                   TRUE AS decode_ok
+            FROM documents CROSS JOIN f
+            WHERE doc_id % 11 <> 0 AND fi < 8 + doc_id % 5
+            UNION ALL
+            SELECT doc_id::VARCHAR, NULL, NULL, NULL, NULL, NULL, NULL,
+                   FALSE
+            FROM documents WHERE doc_id % 11 = 0""",
         "crawl_frontier": f"""
             SELECT url, host, depth, round, discovery_seq
             FROM {_sql_values_table(_crawl_frontier_expected(),

@@ -130,3 +130,38 @@ def average_phash(pixels: np.ndarray) -> int:
     for b in bits:
         val = (val << np.uint64(1)) | b
     return struct.unpack("<q", struct.pack("<Q", int(val)))[0]
+
+
+# ------------------------------------------------------- video container
+# A deliberately simple frame container (magic + u32 frame count + u32
+# lengths + concatenated PNG payloads). This is the declared stand-in for
+# mp4/webm — real deployments swap mjpng_* for ffmpeg bindings — but it
+# makes the video operators genuinely executable end-to-end: frames really
+# decode, sampling really seeks, corrupt bytes really fail.
+
+MJPNG_MAGIC = b"MJPN"
+
+
+def mjpng_encode(frames: list[np.ndarray]) -> bytes:
+    """Pack RGB frames (uint8 HxWx3, PNG-encoded each) into one blob."""
+    payloads = [png_encode(f) for f in frames]
+    head = MJPNG_MAGIC + struct.pack("<I", len(payloads))
+    head += b"".join(struct.pack("<I", len(p)) for p in payloads)
+    return head + b"".join(payloads)
+
+
+def mjpng_frame_count(data: bytes) -> int:
+    if data[:4] != MJPNG_MAGIC:
+        raise ValueError("not an MJPN container")
+    return struct.unpack_from("<I", data, 4)[0]
+
+
+def mjpng_decode_frame(data: bytes, index: int) -> np.ndarray:
+    """Random-access decode of frame `index` (seeks via the length table —
+    only the requested frame's PNG bytes are parsed)."""
+    n = mjpng_frame_count(data)
+    if not 0 <= index < n:
+        raise IndexError(f"frame {index} out of range [0, {n})")
+    lengths = struct.unpack_from(f"<{n}I", data, 8)
+    off = 8 + 4 * n + sum(lengths[:index])
+    return decode_image(data[off:off + lengths[index]], "png")

@@ -135,13 +135,37 @@ def test_image_features_real_decode(spark, fixtures):
         assert 0.0 <= r["mean_r"] <= 255.0
 
 
-def test_video_stub_raises(spark, fixtures):
-    import pytest
+def test_video_frame_sample_decodes_every_nth_frame(spark):
+    """MJPN container: solid-color frames make sampled-frame means exact;
+    only every_n-th index appears; corrupt bytes degrade to one
+    decode_ok=false row."""
+    import numpy as np
+
+    from ai_intel_web_scraper_spark.functions.codec import (decode_image,
+                                                            mjpng_encode)
     from ai_intel_web_scraper_spark.operators.multimodal import (
         video_frame_sample)
-    pages = spark.read.parquet(fixtures["pages"]).limit(2)
-    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
-        video_frame_sample(pages).collect()
+
+    def clip(k):
+        return mjpng_encode([
+            np.full((8, 8, 3), ((k + i) % 256, (2 * i) % 256, 7),
+                    dtype=np.uint8) for i in range(10)])
+
+    df = spark.createDataFrame(
+        [("v0", clip(0)), ("v1", clip(100)), ("bad", b"EBML not mjpn")],
+        "video_id string, bytes binary")
+    rows = video_frame_sample(df, every_n=4).collect()
+    ok = [r for r in rows if r["decode_ok"]]
+    assert sorted({r["frame_index"] for r in ok}) == [0, 4, 8]
+    for r in ok:
+        k = 0 if r["video_id"] == "v0" else 100
+        assert r["mean_r"] == float((k + r["frame_index"]) % 256)
+        assert r["mean_g"] == float((2 * r["frame_index"]) % 256)
+        # the emitted PNG round-trips to the same frame
+        px = decode_image(bytes(r["frame_png"]), "png")
+        assert float(px[..., 2].mean()) == 7.0
+    bad = [r for r in rows if not r["decode_ok"]]
+    assert len(bad) == 1 and bad[0]["video_id"] == "bad"
 
 
 def test_audio_features_decodes_real_pcm_wav(spark):
