@@ -140,14 +140,21 @@ def bloom_probe_udf(spark, blob: bytes):
 
 def or_merge_shards_fn():
     """applyInPandas per bucket: OR all bitmap versions of the bucket into
-    one row. Executor-side shard compaction — the driver never sees bits."""
+    one row PER WIDTH. Executor-side shard compaction — the driver never
+    sees bits. Widths are self-described (len(bitmap)); a warehouse
+    reopened under a different expected_urls sizing legitimately holds two
+    widths in one bucket, which must merge side by side, not crash (the
+    probe ORs the per-width verdicts)."""
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        acc = None
+        by_width: dict[int, np.ndarray] = {}
         for raw in pdf["bitmap"]:
             arr = np.frombuffer(raw, dtype=np.uint8)
-            acc = arr.copy() if acc is None else np.bitwise_or(acc, arr)
-        return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])],
-                             "bitmap": [acc.tobytes()]})
+            by_width[arr.size] = (arr.copy() if arr.size not in by_width
+                                  else np.bitwise_or(by_width[arr.size], arr))
+        b = int(pdf["bucket"].iloc[0])
+        return pd.DataFrame({"bucket": [b] * len(by_width),
+                             "bitmap": [v.tobytes()
+                                        for v in by_width.values()]})
     return fn
 
 
