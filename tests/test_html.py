@@ -69,3 +69,43 @@ def test_malformed_html_does_not_crash():
 def test_body_fallback_when_no_content_area():
     _, text = extract_content("<html><body><p>just text</p></body></html>")
     assert text == "just text"
+
+
+def test_malformed_corners_entities_comments_scripts():
+    """bs4-parity corners on REAL-WEB malformations (reference
+    scrapers/utils.py:120-246 relies on bs4's recovery): bare ampersands
+    and entities decode, comments and script/style bodies never leak into
+    text, void elements don't push tree depth."""
+    title, text = extract_content(
+        "<html><head><title>A &amp; B</title>"
+        "<style>p{color:red}</style>"
+        "<script>var x = '<p>not text</p>';</script></head>"
+        "<body><article><!-- hidden comment -->"
+        "<p>Q&amp;A costs &lt;5&gt; &euro; & more</p>"
+        "<p>line<br>break<img src=x><hr></p>"
+        "<p>last</p></article></body>")
+    assert title == "A & B"
+    assert "Q&A costs <5>" in text and "& more" in text
+    assert "hidden comment" not in text
+    assert "not text" not in text and "color:red" not in text
+    assert "last" in text
+
+
+def test_misnested_inline_tags_and_stray_closers():
+    """</b> closing an unopened tag and b/i misnesting must not drop
+    text or crash (the unclosed-tag pop rule)."""
+    _, text = extract_content(
+        "<body><article><p>plain</em> <b>bold <i>both</b> italic?</i>"
+        " tail</p><p>next</p></article></body>")
+    for frag in ("plain", "bold", "both", "italic?", "tail", "next"):
+        assert frag in text, frag
+
+
+def test_attribute_quoting_variants_and_case():
+    """Unquoted/single-quoted attrs, uppercase tag names, duplicate
+    attrs — all must parse to the same selections."""
+    html = ("<BODY><ARTICLE CLASS=docs-content>"
+            "<P id=one class='a b'>x</P><DIV class=sidebar>chrome</DIV>"
+            "</ARTICLE></BODY>")
+    _, text = extract_content(html)
+    assert "x" in text and "chrome" not in text
