@@ -76,6 +76,20 @@ class SnapshotStore:
             return json.load(f)
 
     # --------------------------------------------------------------- writes
+    def _file_stats(self, path: str) -> list[dict]:
+        """Per-file lineage stats (name, bytes, rows) for a staged write
+        dir — the Iceberg manifest-entry analog. Row counts come from the
+        parquet FOOTER (no data read)."""
+        import pyarrow.parquet as pq
+        out = []
+        for name in sorted(os.listdir(path)):
+            if not name.endswith(".parquet"):
+                continue
+            fp = os.path.join(path, name)
+            out.append({"file": name, "bytes": os.path.getsize(fp),
+                        "rows": pq.ParquetFile(fp).metadata.num_rows})
+        return out
+
     def stage_write(self, table: str, df: DataFrame, mode: str) -> None:
         """Write df into a fresh dir and stage it for the next commit.
         mode: 'append' (dirs add to parent's) or 'replace' (dirs supersede)."""
@@ -83,11 +97,14 @@ class SnapshotStore:
         dirname = f"w-{uuid.uuid4().hex[:12]}"
         path = os.path.join(self._table_dir(table), dirname)
         df.write.mode("overwrite").parquet(path)
+        stats = self._file_stats(path)
         with self._stage_lock:
-            st = self._staged.setdefault(table, {"mode": mode, "dirs": []})
+            st = self._staged.setdefault(
+                table, {"mode": mode, "dirs": [], "files": {}})
             if mode == "replace":
                 st["mode"] = "replace"
             st["dirs"].append(dirname)
+            st["files"][dirname] = stats
 
     def stage_write_arrow(self, table: str, pdf, mode: str) -> None:
         """Driver-side write for SMALL tables (host_state, metrics): one
@@ -100,22 +117,24 @@ class SnapshotStore:
         os.makedirs(path, exist_ok=True)
         pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
                        os.path.join(path, "part-0.parquet"))
+        stats = self._file_stats(path)
         with self._stage_lock:  # same discipline as stage_write: callers
             # may overlap with in-flight sink-writer threads
-            st = self._staged.setdefault(table, {"mode": mode, "dirs": []})
+            st = self._staged.setdefault(
+                table, {"mode": mode, "dirs": [], "files": {}})
             if mode == "replace":
                 st["mode"] = "replace"
             st["dirs"].append(dirname)
+            st["files"][dirname] = stats
 
     def staged_row_count(self, table: str) -> int:
-        """Row count of this round's staged dirs from parquet footers —
-        no Spark job."""
-        import pyarrow.dataset as ds
+        """Row count of this round's staged dirs — straight from the
+        lineage stats captured at stage time (no file reads, no Spark job)."""
         st = self._staged.get(table)
         if not st:
             return 0
-        paths = [os.path.join(self._table_dir(table), d) for d in st["dirs"]]
-        return sum(ds.dataset(p).count_rows() for p in paths)
+        return sum(f["rows"]
+                   for stats in st["files"].values() for f in stats)
 
     def stage_blob(self, name: str, data: bytes) -> None:
         fname = f"{name}-{uuid.uuid4().hex[:12]}.bin"
@@ -139,6 +158,11 @@ class SnapshotStore:
             "round": round_no,
             "tables": tables,
             "blobs": blobs,
+            # Iceberg manifest-entry analog: THIS commit's added files per
+            # table/dir with byte and footer row counts — per-partition
+            # lineage is walkable through the parent chain
+            "added_files": {t: st.get("files", {})
+                            for t, st in self._staged.items()},
             "metrics": metrics or {},
             "committed_at": time.time(),  # informational only, never read back
         }

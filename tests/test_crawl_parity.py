@@ -280,3 +280,30 @@ def test_compaction_preserves_data_and_time_travel(spark, fixtures, tmp_path):
     # time travel to the pre-compaction snapshot still works
     assert {r["url"] for r in
             store.read("url_seen", snap_id=snap_before).collect()} == before
+
+
+def test_manifest_records_per_file_lineage(engine):
+    """Each snapshot manifest carries this commit's added files with byte
+    sizes and footer row counts (Iceberg manifest-entry analog): summing
+    added url_seen rows along the parent chain reproduces the table's
+    final row count exactly, and every listed file exists on disk with
+    the recorded size."""
+    import os
+    store = engine.store
+    hist = store.history()
+    added_rows = 0
+    listed_files = 0
+    for h in hist:
+        snap = store.snapshot(h["snapshot_id"])
+        added = snap.get("added_files", {})
+        for d, stats in added.get("url_seen", {}).items():
+            added_rows += sum(f["rows"] for f in stats)
+        for table, dirs in added.items():
+            for d, stats in dirs.items():
+                for f in stats:
+                    fp = os.path.join(store.root, "tables", table, d,
+                                      f["file"])
+                    assert os.path.getsize(fp) == f["bytes"]
+                    listed_files += 1
+    assert listed_files > 0
+    assert added_rows == store.read("url_seen").count()
