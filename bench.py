@@ -50,6 +50,27 @@ EXTRA = [
 ]
 
 
+def warmup(spark, sf_dir: str) -> float:
+    """Warm the JVM (codegen, shuffle machinery), the parquet reader, and
+    the Arrow Python workers ONCE so per-query timings measure the query,
+    not session startup. Reported separately; still inside total wall."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    t0 = time.time()
+    spark.range(0, 4_000_000, 1, 8).agg(F.sum("id")).collect()
+    p = os.path.join(sf_dir, "region.parquet")
+    if os.path.exists(p):
+        spark.read.parquet(p).count()
+
+    def touch(it):
+        for pdf in it:
+            yield pd.DataFrame({"n": [len(pdf)]})
+    (spark.range(0, 65_536, 1, 8)
+     .mapInPandas(touch, schema="n long").count())
+    return round(time.time() - t0, 3)
+
+
 def run_queries(spark, sf_dir: str, names: list[str] | None = None
                 ) -> dict[str, float]:
     from pyspark.sql import functions as F
@@ -429,6 +450,7 @@ def main() -> None:
                       extra_conf=extra)
 
     t_all = time.time()
+    warm = warmup(spark, sf_dir)
     queries: dict[str, float] = {}
     extra: dict[str, float] = {}
     crawl: dict = {}
@@ -477,6 +499,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "warmup_sec": warm,
         **({"queries_extra": extra} if extra else {}),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cores": args.cores,
