@@ -241,3 +241,38 @@ def test_cuckoo_filter_membership_delete_fpr():
     # serialization round trip preserves membership
     cf2 = CuckooShards.from_bytes(cf.to_bytes())
     assert (cf2.maybe_contains(buckets[half:], hashes[half:])).all()
+
+
+def test_canonicalize_idempotent_and_hash_variant_invariant():
+    """Properties the url_seen set depends on: canonicalization is
+    IDEMPOTENT (a canonical URL re-canonicalizes to itself — otherwise
+    re-discovered URLs could hash differently and refetch), and
+    url_hash64 of the canonical form is invariant under the href variants
+    a crawler actually sees (fragment, query, trailing slash, scheme/host
+    case)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ai_intel_web_scraper_spark.functions.urls import (canonicalize_url,
+                                                           url_hash64)
+
+    host = st.from_regex(r"[a-z][a-z0-9-]{0,10}(\.[a-z]{2,5}){1,2}",
+                         fullmatch=True)
+    path = st.from_regex(r"(/[a-zA-Z0-9._~-]{0,8}){0,4}", fullmatch=True)
+
+    @settings(max_examples=300, deadline=None)
+    @given(host, path,
+           st.sampled_from(["", "/", "#frag", "?q=1", "/#x", "/?a=b&c=d"]),
+           st.sampled_from(["http", "https", "HTTP", "HttpS"]))
+    def check(h, p, suffix, scheme):
+        base = f"{scheme}://{h}{p}"
+        canon = canonicalize_url(base + suffix)
+        assert canon is not None
+        # idempotent
+        assert canonicalize_url(canon) == canon
+        # variant-invariant: every suffix/case variant lands on ONE hash
+        ref = canonicalize_url(f"{scheme.lower()}://{h.lower()}{p}")
+        assert canon == ref
+        assert url_hash64(canon) == url_hash64(ref)
+
+    check()
