@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ai_intel_web_scraper_spark.operators import chunking as C
 from ai_intel_web_scraper_spark.operators import dedup as D
 from ai_intel_web_scraper_spark.operators import export as EXP
+from ai_intel_web_scraper_spark.operators import queryanalysis as QA
 from ai_intel_web_scraper_spark.operators import ranking as R
 from ai_intel_web_scraper_spark.operators import stats as S
 from ai_intel_web_scraper_spark.operators import text as X
@@ -303,6 +304,53 @@ def q_metadata_sanitize(spark, sf_dir):
                  .otherwise(F.col("source")).alias("source_type"),
                 "n_chars"))
     return EXP.sanitize_for_scalar_store(meta)
+
+
+# R5 synthetic "LLM response" body — ONE template shared by the Spark
+# query (format_string) and the DuckDB oracle (printf) so they cannot
+# drift; args: intent, doc_id, doc_id, hyde-json-fragment, doc_id.
+QA_JSON_TEMPLATE = (
+    '{"intent":"%s","competitors_mentioned":["kx","questdb"],'
+    '"topics":[],"sub_queries":["sub %d a","sub %d b"],'
+    '"hyde_passage":%s,"reasoning":"ok %d"}')
+
+
+def q_query_analysis(spark, sf_dir):
+    """SURVEY R5 — query analysis, the deterministic layers (reference
+    webapp/rag/query_engine.py:858-884 + prompts.py:11-35). Synthesizes
+    per document a user query (4 intent-shaped templates over the doc's
+    first word) and a raw 'LLM response' exercising every repair path
+    (plain / fenced / single-line fence / padded / truncated-malformed /
+    non-JSON prose), then applies the reference fence-strip + JSON parse
+    with the documented fallback (layer 1) and the rule-based analyzer
+    (layer 2). Pure scalar projections — no UDF, no shuffle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    w1 = F.lower(F.element_at(F.split(F.trim(F.col("text")), r"\s+"), 1))
+    q = (F.when(did % 4 == 0, F.format_string(
+            "how does questdb compare to clickhouse for %s workloads", w1))
+         .when(did % 4 == 1, F.format_string(
+            "what is the ingest throughput benchmark of kx on %s", w1))
+         .when(did % 4 == 2, F.format_string(
+            "prospect worried about clickhouse licensing and %s", w1))
+         .otherwise(F.format_string("tell me about %s internals", w1)))
+    intent_lit = (F.when(did % 2 == 0, F.lit("factual"))
+                  .otherwise(F.lit("comparison")))
+    hyde = (F.when(did % 2 == 0, F.lit("null"))
+            .otherwise(F.format_string('"h%d"', did)))
+    body = F.format_string(QA_JSON_TEMPLATE, intent_lit, did, did, hyde, did)
+    v = did % 6
+    raw = (F.when(v == 0, body)
+           .when(v == 1, F.concat(F.lit("```json\n"), body, F.lit("\n```")))
+           .when(v == 2, F.substring(body, 1, 40))
+           .when(v == 3, F.concat(F.lit("```"), body, F.lit("```")))
+           .when(v == 4, F.concat(F.lit("  \n"), body, F.lit("\n  ")))
+           .otherwise(F.lit("LLM said: the answer is not JSON")))
+    base = docs.select("doc_id", q.alias("user_query"), raw.alias("raw"))
+    return base.select(
+        "doc_id", "user_query",
+        *QA.repaired_analysis_cols(F.col("raw"), F.col("user_query")),
+        *QA.rule_analysis_cols(F.col("user_query")))
 
 
 def q_paginated_preseed(spark, sf_dir):
@@ -1311,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_sanitize": q_metadata_sanitize,  # V10, new in r3
         "audio_features": q_audio_features,        # real WAV decode, r3
         "video_frames": q_video_frames,            # real MJPN sampling, r3
+        "query_analysis": q_query_analysis,        # R5 det. layers, new in r3
         # --- driver-green in r2, kept in-window ------------------------
         "pricing_summary": q_pricing_summary,
         "docs_keep_first": q_docs_keep_first,
@@ -1336,7 +1385,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "new_docs_anti": q_new_docs_anti,
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_sessions": q_stream_sessions,
-        "topic_fanout": q_topic_fanout,
         "stream_budget_state": q_stream_budget_state,
         "process_pipeline": q_process_pipeline,
         "sql_top_events": q_sql_top_events,
@@ -1347,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         # --- past the 50-query window: stable r2 greens -----------------
+        "topic_fanout": q_topic_fanout,    # rotated out in r3 for R5
         "paginated_preseed": q_paginated_preseed,
         "sentiment_counts": q_sentiment_counts,
         "length_quantiles": q_length_quantiles,
@@ -1548,6 +1597,35 @@ def oracle_sql() -> dict[str, str]:
     for p in X.BOILERPLATE_PATTERNS:
         dirty = f"regexp_replace({dirty}, '{p}', ' ', 'g')"
     cleaned_sql = f"trim(regexp_replace({dirty}, '\\s+', ' ', 'g'))"
+
+    # --- R5 query-analysis fragments (generated from QA module constants
+    # so the rule set cannot drift between engine and oracle) -----------
+    qa_query_case = """CASE doc_id % 4
+                  WHEN 0 THEN printf('how does questdb compare to clickhouse for %s workloads', w1)
+                  WHEN 1 THEN printf('what is the ingest throughput benchmark of kx on %s', w1)
+                  WHEN 2 THEN printf('prospect worried about clickhouse licensing and %s', w1)
+                  ELSE printf('tell me about %s internals', w1) END"""
+    qa_lo = "lower(user_query)"
+    qa_comp_csv = "concat_ws(',', " + ", ".join(
+        "CASE WHEN regexp_matches({lo}, '\\b{c}\\b') THEN '{c}' END"
+        .format(lo=qa_lo, c=c) for c in QA.COMPETITORS) + ")"
+    qa_topic_csv = "concat_ws(',', " + ", ".join(
+        "CASE WHEN regexp_matches({lo}, '\\b({p})\\b') THEN '{t}' END"
+        .format(lo=qa_lo, t=t, p="|".join(kws))
+        for t, kws in X.TOPICS.items()) + ")"
+    qa_ncomp = "(" + " + ".join(
+        "CASE WHEN regexp_matches({lo}, '\\b{c}\\b') THEN 1 ELSE 0 END"
+        .format(lo=qa_lo, c=c) for c in QA.COMPETITORS) + ")"
+    qa_intent = (
+        f"CASE WHEN regexp_matches({qa_lo}, '{QA.INTENT_COMPARISON_RE}') "
+        f"OR {qa_ncomp} >= 2 THEN 'comparison' "
+        f"WHEN regexp_matches({qa_lo}, '{QA.INTENT_OBJECTION_RE}') "
+        f"THEN 'objection_handling' "
+        f"WHEN regexp_matches({qa_lo}, '{QA.INTENT_FACTUAL_RE}') "
+        f"THEN 'factual' ELSE '{QA.FALLBACK_INTENT}' END")
+    qa_hint = "CASE " + " ".join(
+        f"WHEN regexp_matches({qa_lo}, '{p}') THEN '{n}'"
+        for n, p in QA.HINT_RULES) + " ELSE '<null>' END"
 
     return {
         "pricing_summary": """
@@ -2023,6 +2101,80 @@ def oracle_sql() -> dict[str, str]:
                         ELSE coalesce(d.source, '') END AS source_type,
                    d.n_chars
             FROM documents d LEFT JOIN lists l ON d.doc_id = l.doc_id""",
+        "query_analysis": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     lower(list_extract(regexp_split_to_array(trim(text),
+                           '\\s+'), 1)) AS w1
+              FROM documents),
+            qs AS (SELECT doc_id, {qa_query_case} AS user_query FROM base),
+            raws AS (
+              SELECT doc_id, user_query,
+                CASE doc_id % 6
+                  WHEN 0 THEN body
+                  WHEN 1 THEN '```json' || chr(10) || body || chr(10) || '```'
+                  WHEN 2 THEN substr(body, 1, 40)
+                  WHEN 3 THEN '```' || body || '```'
+                  WHEN 4 THEN '  ' || chr(10) || body || chr(10) || '  '
+                  ELSE 'LLM said: the answer is not JSON' END AS raw
+              FROM (
+                SELECT doc_id, user_query,
+                       printf('{QA_JSON_TEMPLATE}',
+                              CASE WHEN doc_id % 2 = 0 THEN 'factual'
+                                   ELSE 'comparison' END,
+                              doc_id, doc_id,
+                              CASE WHEN doc_id % 2 = 0 THEN 'null'
+                                   ELSE printf('"h%d"', doc_id) END,
+                              doc_id) AS body
+                FROM qs)),
+            cleaned AS (
+              SELECT doc_id, user_query,
+                regexp_replace(CASE WHEN ends_with(c1, '```')
+                          THEN substr(c1, 1, len(c1) - 3) ELSE c1 END,
+                  '^\\s+|\\s+$', '', 'g') AS c
+              FROM (
+                SELECT doc_id, user_query,
+                  CASE WHEN starts_with(c0, '```') THEN
+                         CASE WHEN contains(c0, chr(10))
+                              THEN substr(c0, instr(c0, chr(10)) + 1)
+                              ELSE substr(c0, 4) END
+                       ELSE c0 END AS c1
+                FROM (SELECT doc_id, user_query,
+                             regexp_replace(raw, '^\\s+|\\s+$', '', 'g')
+                               AS c0
+                      FROM raws))),
+            parsed AS (
+              SELECT doc_id, user_query, TRY_CAST(c AS JSON) AS j,
+                     coalesce(json_type(TRY_CAST(c AS JSON)), 'INVALID')
+                       != 'OBJECT' AS parse_failed
+              FROM cleaned)
+            SELECT doc_id, user_query, parse_failed,
+              CASE WHEN parse_failed THEN '{QA.FALLBACK_INTENT}'
+                   ELSE json_extract_string(j, '$.intent')
+              END AS llm_intent,
+              CASE WHEN parse_failed THEN ''
+                   WHEN json_extract(j, '$.competitors_mentioned') IS NULL
+                     THEN '<null>'
+                   ELSE coalesce(array_to_string(CAST(json_extract(j,
+                        '$.competitors_mentioned') AS VARCHAR[]), '|'), '')
+              END AS llm_competitors,
+              CASE WHEN parse_failed THEN user_query
+                   WHEN json_extract(j, '$.sub_queries') IS NULL
+                     THEN '<null>'
+                   ELSE coalesce(array_to_string(CAST(json_extract(j,
+                        '$.sub_queries') AS VARCHAR[]), '|'), '')
+              END AS llm_sub_queries,
+              CASE WHEN parse_failed THEN '<null>'
+                   ELSE coalesce(json_extract_string(j, '$.hyde_passage'),
+                                 '<null>') END AS llm_hyde,
+              CASE WHEN parse_failed THEN '{QA.FALLBACK_REASONING}'
+                   ELSE json_extract_string(j, '$.reasoning')
+              END AS llm_reasoning,
+              {qa_intent} AS rule_intent,
+              {qa_comp_csv} AS rule_competitors,
+              {qa_topic_csv} AS rule_topics,
+              {qa_hint} AS rule_hint
+            FROM parsed""",
         "audio_features": """
             SELECT doc_id::VARCHAR AS audio_id,
                    CASE WHEN doc_id % 13 = 0 THEN NULL

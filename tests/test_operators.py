@@ -611,3 +611,106 @@ def test_sanitize_for_scalar_store_flattens_per_reference_rules(spark):
     assert rows[3]["tags"] == ""      # null array  -> ""
     assert rows[2]["d"] == "" and rows[2]["s"] == ""
     assert rows[2]["x"] is None       # numeric nulls stay typed nulls
+
+
+# ----------------------------------------------------------- R5 analysis
+
+def _reference_fence_strip(raw: str) -> str:
+    """Literal port of query_engine.py:867-872 — the ground truth the
+    Spark expression must reproduce character-for-character."""
+    cleaned = raw.strip()
+    if cleaned.startswith("```"):
+        cleaned = cleaned.split("\n", 1)[1] if "\n" in cleaned else cleaned[3:]
+    if cleaned.endswith("```"):
+        cleaned = cleaned.rsplit("```", 1)[0]
+    return cleaned.strip()
+
+
+def test_strip_md_fences_matches_reference(spark):
+    from ai_intel_web_scraper_spark.operators import queryanalysis as QA
+    body = '{"intent":"factual","sub_queries":["a"]}'
+    cases = [
+        body,                                  # no fences
+        f"```json\n{body}\n```",               # fenced w/ language tag
+        f"```\n{body}\n```",                   # fenced, bare
+        f"```{body}```",                       # single line, no newline
+        f"  \n{body}\n  ",                     # whitespace padding
+        "```",                                 # fence only, no payload
+        "``` ```",                             # fence pair, blank payload
+        f"```json\n{body}",                    # opening fence only
+        f"{body}\n```",                        # closing fence only
+        "",                                    # empty
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "raw string")
+    out = df.select("raw", QA.strip_md_fences_col(F.col("raw")).alias("c"))
+    for r in out.collect():
+        assert r["c"] == _reference_fence_strip(r["raw"]), repr(r["raw"])
+
+
+def test_parse_analysis_failure_matches_json_loads(spark):
+    import json
+
+    from ai_intel_web_scraper_spark.operators import queryanalysis as QA
+    cases = [
+        '{"intent":"x","reasoning":"r"}',          # clean object
+        '```json\n{"intent":"y"}\n```',            # fenced object
+        '{"intent":"x"',                           # truncated
+        "not json at all",                         # prose
+        "[1, 2]",                                  # valid JSON, not object
+        "123",                                     # valid JSON scalar
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "raw string")
+    out = df.select(
+        "raw",
+        QA.analysis_failed_col(
+            QA.parse_analysis_col(F.col("raw"))).alias("failed"))
+    for r in out.collect():
+        try:
+            ref_ok = isinstance(
+                json.loads(_reference_fence_strip(r["raw"])), dict)
+        except (json.JSONDecodeError, ValueError):
+            ref_ok = False
+        assert r["failed"] == (not ref_ok), repr(r["raw"])
+
+
+def test_rule_analysis_intents_and_mentions(spark):
+    from ai_intel_web_scraper_spark.operators import queryanalysis as QA
+    cases = [
+        # (query, intent, competitors_csv)
+        ("how does questdb compare to clickhouse", "comparison",
+         "questdb,clickhouse"),
+        ("kx versus questdb ingestion", "comparison", "kx,questdb"),
+        # two mentions force comparison even with no comparison word
+        ("questdb clickhouse licensing", "comparison",
+         "questdb,clickhouse"),
+        ("customer worried about clickhouse pricing", "objection_handling",
+         "clickhouse"),
+        ("what is the latency of kx", "factual", "kx"),
+        ("tell me about storage internals", "exploratory", ""),
+        # word boundaries: 'kxes'/'foockhouse' must not match
+        ("kxes and foockhouse musings", "exploratory", ""),
+    ]
+    df = spark.createDataFrame([(q,) for q, _, _ in cases], "q string")
+    out = df.select("q", *QA.rule_analysis_cols(F.col("q")))
+    got = {r["q"]: r for r in out.collect()}
+    for q, intent, comps in cases:
+        assert got[q]["rule_intent"] == intent, q
+        assert got[q]["rule_competitors"] == comps, q
+
+
+def test_rule_analysis_hints_first_match_wins(spark):
+    from ai_intel_web_scraper_spark.operators import queryanalysis as QA
+    cases = [
+        ("show me the benchmark numbers", "benchmark"),
+        ("where are the docs for the api", "official_docs"),
+        ("latest release announcement", "blog"),
+        # benchmark rule outranks docs rule when both match
+        ("benchmark section of the docs", "benchmark"),
+        ("nothing matches here", "<null>"),
+    ]
+    df = spark.createDataFrame([(q,) for q, _ in cases], "q string")
+    got = {r["q"]: r["rule_hint"]
+           for r in df.select("q", *QA.rule_analysis_cols(F.col("q")))
+           .collect()}
+    for q, hint in cases:
+        assert got[q] == hint, q
