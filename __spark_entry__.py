@@ -978,6 +978,94 @@ def _image_features_expected() -> list[tuple]:
     return rows
 
 
+BPE_MERGES = 256
+BPE_PREVIEW_K = 6
+
+
+def _bpe_expected() -> list[tuple]:
+    """Independent naive BPE recompute for the oracle: recount-from-
+    scratch training and leftmost-single-pair encoding (vs the engine's
+    incremental trainer and merge-all-occurrences encoder — provably the
+    same function, implemented differently), run OUTSIDE Spark over the
+    same fixture captions and emitted as a literal relation."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from ai_intel_web_scraper_spark.functions import bpe
+    tbl = pq.read_table(_crawl_fixture_paths()["pages"],
+                        columns=["image_id", "caption"])
+    ids = tbl["image_id"].to_pylist()
+    caps = tbl["caption"].to_pylist()
+    words = Counter(w for t in sorted(caps) for w in bpe.pretokenize(t))
+    seq = {w: [bytes([b]) for b in w] for w in words}
+    merges: list[tuple[bytes, bytes]] = []
+    for _ in range(BPE_MERGES):
+        cnt: Counter = Counter()
+        for w, f in words.items():
+            for p in zip(seq[w], seq[w][1:]):
+                cnt[p] += f
+        if not cnt:
+            break
+        best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        for w in words:
+            s = seq[w]
+            while True:
+                for i in range(len(s) - 1):
+                    if (s[i], s[i + 1]) == best:
+                        s[i:i + 2] = [s[i] + s[i + 1]]
+                        break
+                else:
+                    break
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def nenc(t: str) -> list[bytes]:
+        toks: list[bytes] = []
+        for w in bpe.pretokenize(t):
+            s = [bytes([c]) for c in w]
+            while True:
+                cand = [(ranks[p], i)
+                        for i, p in enumerate(zip(s, s[1:])) if p in ranks]
+                if not cand:
+                    break
+                _, i = min(cand)
+                s[i:i + 2] = [s[i] + s[i + 1]]
+            toks.extend(s)
+        return toks
+
+    rows = []
+    for iid, cap in zip(ids, caps):
+        toks = nenc(cap or "")
+        rows.append((iid, len((cap or "").encode("utf-8")), len(toks),
+                     "|".join(tk.hex() for tk in toks[:BPE_PREVIEW_K])))
+    return rows
+
+
+def q_bpe_tokens(spark, sf_dir):
+    """SURVEY V1 at real-BPE fidelity (reference tiktoken encode,
+    vectorstore/chunker.py:33-41): train a deterministic merges table on
+    the fixture captions driver-side (bounded sample — the 100 TB story
+    trains on a sample or loads tiktoken's published cl100k table), then
+    tokenize with the GPT-2/tiktoken greedy merge loop in an
+    Arrow-batched pandas UDF. Emits count AND a token-stream hex preview
+    so the value hash checks the actual tokens, not just their number."""
+    import pyarrow.parquet as pq
+
+    from ai_intel_web_scraper_spark.functions import bpe
+    paths = _crawl_fixture_paths()
+    caps = pq.read_table(paths["pages"],
+                         columns=["caption"])["caption"].to_pylist()
+    merges = bpe.train_bpe(caps, BPE_MERGES)
+    count_udf, preview_udf = bpe.bpe_udfs(merges, BPE_PREVIEW_K)
+    pages = spark.read.parquet(paths["pages"]).select("image_id", "caption")
+    return pages.select(
+        "image_id",
+        F.octet_length("caption").alias("n_bytes"),
+        count_udf(F.col("caption")).alias("n_tokens"),
+        preview_udf(F.col("caption")).alias("preview"))
+
+
 def _phash_lit_rows() -> list[tuple]:
     """(image_id, phash) ground truth straight from the fixture generator's
     pages table; the oracle brute-forces all O(n^2) hamming pairs in DuckDB
@@ -1360,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,        # real WAV decode, r3
         "video_frames": q_video_frames,            # real MJPN sampling, r3
         "query_analysis": q_query_analysis,        # R5 det. layers, new in r3
+        "bpe_tokens": q_bpe_tokens,                # V1 real-BPE path, r3
         # --- driver-green in r2, kept in-window ------------------------
         "pricing_summary": q_pricing_summary,
         "docs_keep_first": q_docs_keep_first,
@@ -1387,7 +1476,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions": q_stream_sessions,
         "stream_budget_state": q_stream_budget_state,
         "process_pipeline": q_process_pipeline,
-        "sql_top_events": q_sql_top_events,
         "minhash_pairs": q_minhash_pairs,
         "minhash_verified": q_minhash_verified,
         "minhash_greedy": q_minhash_greedy,
@@ -1396,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         # --- past the 50-query window: stable r2 greens -----------------
         "topic_fanout": q_topic_fanout,    # rotated out in r3 for R5
+        "sql_top_events": q_sql_top_events,  # rotated out in r3 for BPE
         "paginated_preseed": q_paginated_preseed,
         "sentiment_counts": q_sentiment_counts,
         "length_quantiles": q_length_quantiles,
@@ -2202,6 +2291,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id::VARCHAR, NULL, NULL, NULL, NULL, NULL, NULL,
                    FALSE
             FROM documents WHERE doc_id % 11 = 0""",
+        "bpe_tokens": f"""
+            SELECT image_id, n_bytes, n_tokens, preview
+            FROM {_sql_values_table(_bpe_expected(),
+                                    ["image_id", "n_bytes", "n_tokens",
+                                     "preview"])}""",
         "crawl_frontier": f"""
             SELECT url, host, depth, round, discovery_seq
             FROM {_sql_values_table(_crawl_frontier_expected(),

@@ -276,3 +276,79 @@ def test_canonicalize_idempotent_and_hash_variant_invariant():
         assert url_hash64(canon) == url_hash64(ref)
 
     check()
+
+
+# ------------------------------------------------------------------ BPE
+
+def _bpe_corpus():
+    return ["the spark table scans the table fast",
+            "query the table, scan the spark query!",
+            "spark spark spark 12345 rows/sec", "l'examen crénelé — naïve"]
+
+
+def test_bpe_roundtrip_is_lossless():
+    """BPE must be a bijection: concatenated tokens == utf-8 bytes, for
+    ascii, unicode, contractions, digits and whitespace runs."""
+    from ai_intel_web_scraper_spark.functions import bpe
+    merges = bpe.train_bpe(_bpe_corpus(), 64)
+    ranks = bpe.build_ranks(merges)
+    for t in _bpe_corpus() + ["", "   ", "a", "it's\n\tdone — 1234567",
+                              "naïve café ☃ snow", "x" * 300]:
+        assert b"".join(bpe.encode(t, ranks)) == t.encode("utf-8"), repr(t)
+
+
+def test_bpe_training_is_deterministic_and_compresses():
+    from ai_intel_web_scraper_spark.functions import bpe
+    m1 = bpe.train_bpe(_bpe_corpus(), 128)
+    m2 = bpe.train_bpe(list(_bpe_corpus()), 128)
+    assert m1 == m2
+    ranks = bpe.build_ranks(m1)
+    # the dominant word fuses into ONE token; counts beat byte counts
+    assert bpe.encode_word(b"spark", ranks) == [b"spark"]
+    text = " ".join(_bpe_corpus())
+    assert len(bpe.encode(text, ranks)) < len(text.encode()) / 2
+
+
+def test_bpe_greedy_merge_order_matches_rank_table():
+    """With a hand-built merges table the encoder must apply merges in
+    rank order — the tiktoken plug-in contract (build_ranks accepts any
+    published merges list)."""
+    from ai_intel_web_scraper_spark.functions import bpe
+    ranks = bpe.build_ranks([(b"h", b"e"), (b"l", b"l"), (b"he", b"ll")])
+    assert bpe.encode_word(b"hello", ranks) == [b"hell", b"o"]
+    # rank order matters: (l,l) before (e,l) would change the outcome
+    ranks2 = bpe.build_ranks([(b"e", b"l"), (b"l", b"l"), (b"h", b"e")])
+    assert bpe.encode_word(b"hello", ranks2) == [b"h", b"el", b"l", b"o"]
+
+
+def test_bpe_fast_encoder_matches_naive_reference():
+    """The incremental/cached encoder vs a from-scratch naive one-merge-
+    at-a-time loop on randomized word soup."""
+    import random
+
+    from ai_intel_web_scraper_spark.functions import bpe
+    rng = random.Random(7)
+    vocab = ["spark", "table", "scan", "query", "fast", "row", "12",
+             "3456", "—", "it's"]
+    texts = [" ".join(rng.choices(vocab, k=rng.randint(1, 30)))
+             for _ in range(40)]
+    merges = bpe.train_bpe(texts, 200)
+    ranks = bpe.build_ranks(merges)
+
+    def naive(t: str) -> list[bytes]:
+        out = []
+        for w in bpe.pretokenize(t):
+            s = [bytes([c]) for c in w]
+            while True:
+                cand = [(ranks[p], i) for i, p in enumerate(zip(s, s[1:]))
+                        if p in ranks]
+                if not cand:
+                    break
+                _, i = min(cand)
+                s[i:i + 2] = [s[i] + s[i + 1]]
+            out.extend(s)
+        return out
+
+    cache: dict = {}
+    for t in texts + ["unseen zebra text 999"]:
+        assert bpe.encode(t, ranks, cache) == naive(t), t
