@@ -47,6 +47,7 @@ EXTRA = [
     "reddit_source", "hn_source", "hash_embed", "quality_filter",
     # round-3 additions
     "text_metrics", "metadata_sanitize", "audio_features",
+    "query_analysis", "bpe_tokens",
 ]
 
 
