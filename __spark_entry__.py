@@ -980,14 +980,16 @@ def _image_features_expected() -> list[tuple]:
 
 BPE_MERGES = 256
 BPE_PREVIEW_K = 6
+BPE_CHUNK_TOKENS = 6
+BPE_CHUNK_OVERLAP = 2
 
 
-def _bpe_expected() -> list[tuple]:
-    """Independent naive BPE recompute for the oracle: recount-from-
-    scratch training and leftmost-single-pair encoding (vs the engine's
+def _naive_bpe_over_captions():
+    """Independent naive BPE for the oracles: recount-from-scratch
+    training and leftmost-single-pair encoding (vs the engine's
     incremental trainer and merge-all-occurrences encoder — provably the
     same function, implemented differently), run OUTSIDE Spark over the
-    same fixture captions and emitted as a literal relation."""
+    fixture captions. Returns (ids, caps, nenc)."""
     from collections import Counter
 
     import pyarrow.parquet as pq
@@ -1034,11 +1036,34 @@ def _bpe_expected() -> list[tuple]:
             toks.extend(s)
         return toks
 
+    return ids, caps, nenc
+
+
+def _bpe_expected() -> list[tuple]:
+    ids, caps, nenc = _naive_bpe_over_captions()
     rows = []
     for iid, cap in zip(ids, caps):
         toks = nenc(cap or "")
         rows.append((iid, len((cap or "").encode("utf-8")), len(toks),
                      "|".join(tk.hex() for tk in toks[:BPE_PREVIEW_K])))
+    return rows
+
+
+def _bpe_chunks_expected() -> list[tuple]:
+    """Naive recompute of the BPE-budget chunker: same reference stride
+    loop, expressed as boundary arithmetic instead of the engine's
+    running cursor."""
+    ids, caps, nenc = _naive_bpe_over_captions()
+    stride = BPE_CHUNK_TOKENS - BPE_CHUNK_OVERLAP
+    rows = []
+    for iid, cap in zip(ids, caps):
+        toks = nenc(cap or "")
+        starts = [0] if len(toks) <= BPE_CHUNK_TOKENS else list(
+            range(0, len(toks) - BPE_CHUNK_OVERLAP, stride))
+        for ci, st in enumerate(starts):
+            window = toks[st:st + BPE_CHUNK_TOKENS]
+            rows.append((iid, ci, len(window),
+                         b"".join(window).decode("utf-8", "replace")))
     return rows
 
 
@@ -1064,6 +1089,44 @@ def q_bpe_tokens(spark, sf_dir):
         F.octet_length("caption").alias("n_bytes"),
         count_udf(F.col("caption")).alias("n_tokens"),
         preview_udf(F.col("caption")).alias("preview"))
+
+
+def q_bpe_chunks(spark, sf_dir):
+    """SURVEY V5×V1 at real-BPE fidelity: the reference chunker's
+    chunk_tokens/overlap stride loop (vectorstore/chunker.py) running on
+    REAL BPE token budgets instead of the regex proxy — once tiktoken's
+    published merges table is loaded, chunk boundaries match the
+    reference's exactly. One mapInPandas stage over the scan (tokens
+    stay inside the Arrow batch; only chunk rows come out)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ai_intel_web_scraper_spark.functions import bpe
+    paths = _crawl_fixture_paths()
+    caps = pq.read_table(paths["pages"],
+                         columns=["caption"])["caption"].to_pylist()
+    ranks = bpe.build_ranks(bpe.train_bpe(caps, BPE_MERGES))
+    schema = ("image_id string, chunk_index int, token_count int, "
+              "chunk_text string")
+
+    def gen(batches):
+        cache: dict = {}
+        for pdf in batches:
+            out = {"image_id": [], "chunk_index": [],
+                   "token_count": [], "chunk_text": []}
+            for iid, cap in zip(pdf["image_id"], pdf["caption"]):
+                toks = bpe.encode(cap or "", ranks, cache)
+                for ci, w in enumerate(bpe.chunk_token_windows(
+                        toks, BPE_CHUNK_TOKENS, BPE_CHUNK_OVERLAP)):
+                    out["image_id"].append(iid)
+                    out["chunk_index"].append(ci)
+                    out["token_count"].append(len(w))
+                    out["chunk_text"].append(
+                        b"".join(w).decode("utf-8", "replace"))
+            yield pd.DataFrame(out)
+
+    return (spark.read.parquet(paths["pages"])
+            .select("image_id", "caption").mapInPandas(gen, schema))
 
 
 def _phash_lit_rows() -> list[tuple]:
@@ -1449,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,            # real MJPN sampling, r3
         "query_analysis": q_query_analysis,        # R5 det. layers, new in r3
         "bpe_tokens": q_bpe_tokens,                # V1 real-BPE path, r3
+        "bpe_chunks": q_bpe_chunks,                # V5 on BPE budgets, r3
         # --- driver-green in r2, kept in-window ------------------------
         "pricing_summary": q_pricing_summary,
         "docs_keep_first": q_docs_keep_first,
@@ -1469,7 +1533,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "reddit_source": q_reddit_source,
         "hn_source": q_hn_source,
-        "nation_coverage": q_nation_coverage,
         "global_budget": q_global_budget,
         "new_docs_anti": q_new_docs_anti,
         "stream_windowed_counts": q_stream_windowed_counts,
@@ -1485,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the 50-query window: stable r2 greens -----------------
         "topic_fanout": q_topic_fanout,    # rotated out in r3 for R5
         "sql_top_events": q_sql_top_events,  # rotated out in r3 for BPE
+        "nation_coverage": q_nation_coverage,  # rotated out for bpe_chunks
         "paginated_preseed": q_paginated_preseed,
         "sentiment_counts": q_sentiment_counts,
         "length_quantiles": q_length_quantiles,
@@ -2296,6 +2360,11 @@ def oracle_sql() -> dict[str, str]:
             FROM {_sql_values_table(_bpe_expected(),
                                     ["image_id", "n_bytes", "n_tokens",
                                      "preview"])}""",
+        "bpe_chunks": f"""
+            SELECT image_id, chunk_index, token_count, chunk_text
+            FROM {_sql_values_table(_bpe_chunks_expected(),
+                                    ["image_id", "chunk_index",
+                                     "token_count", "chunk_text"])}""",
         "crawl_frontier": f"""
             SELECT url, host, depth, round, discovery_seq
             FROM {_sql_values_table(_crawl_frontier_expected(),

@@ -159,6 +159,22 @@ def encode(text: str, ranks: dict[tuple[bytes, bytes], int],
     return out
 
 
+def chunk_token_windows(toks: list[bytes], chunk_tokens: int,
+                        overlap: int) -> list[list[bytes]]:
+    """The reference chunker's stride loop (vectorstore/chunker.py:
+    chunk_tokens/overlap semantics) over a BPE token sequence: emit
+    windows of `chunk_tokens` tokens advancing by `chunk_tokens -
+    overlap`, last window short, single window when it all fits."""
+    out = []
+    start = 0
+    while True:
+        out.append(toks[start:start + chunk_tokens])
+        if start + chunk_tokens >= len(toks):
+            break
+        start += chunk_tokens - overlap
+    return out
+
+
 # ----------------------------------------------------------- Spark side
 
 def bpe_udfs(merges: list[tuple[bytes, bytes]], preview_k: int = 6):

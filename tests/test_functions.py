@@ -352,3 +352,26 @@ def test_bpe_fast_encoder_matches_naive_reference():
     cache: dict = {}
     for t in texts + ["unseen zebra text 999"]:
         assert bpe.encode(t, ranks, cache) == naive(t), t
+
+
+def test_bpe_chunk_windows_reference_stride_semantics():
+    """The chunker must reproduce the reference stride loop: single
+    window when it fits, short last window, overlap carried between
+    consecutive windows."""
+    from ai_intel_web_scraper_spark.functions.bpe import chunk_token_windows
+    t = [bytes([i]) for i in range(10)]
+    # fits exactly -> one window
+    assert chunk_token_windows(t, 10, 2) == [t]
+    assert chunk_token_windows(t[:3], 8, 2) == [t[:3]]
+    # stride = 6, so windows start at 0 and 6; last is short
+    w = chunk_token_windows(t, 8, 2)
+    assert w == [t[0:8], t[6:10]]
+    # stride 3; the loop stops once a window reaches the end, so the
+    # final start is 6 (window [6:10]), not 9
+    w = chunk_token_windows(t, 4, 1)
+    assert [x[0] for x in w] == [t[0], t[3], t[6]]
+    # every consecutive pair shares exactly `overlap` tokens
+    for a, b in zip(w, w[1:]):
+        assert a[-1:] == b[:1]
+    # empty input -> one empty window (degenerate, never crashes)
+    assert chunk_token_windows([], 4, 1) == [[]]
