@@ -440,3 +440,93 @@ class CuckooShards:
             nb, sl = (int(x) for x in z["meta"])
             shards = {int(k[1:]): z[k].copy() for k in z.files if k != "meta"}
         return cls(nb, sl, shards)
+
+
+# ------------------------------------------------- partitioned cuckoo mode
+
+def _cuckoo_rows_to_filters(raws, n_buckets: int,
+                            bucket: int) -> dict[int, "CuckooShards"]:
+    """Shard rows -> one single-bucket CuckooShards per WIDTH. A row's
+    n_slots_log2 is SELF-DESCRIBED by its byte length (2^L x 4 uint16
+    slots), mirroring the bloom shards' mixed-width convention: a
+    warehouse reopened under a different expected_urls sizing keeps both
+    widths probe-able side by side."""
+    by_width: dict[int, CuckooShards] = {}
+    for raw in raws:
+        arr = np.frombuffer(raw, dtype=np.uint16).copy()
+        slots_log2 = int(np.log2(arr.size // CuckooShards.SLOTS))
+        arr = arr.reshape(-1, CuckooShards.SLOTS)
+        cf = by_width.get(slots_log2)
+        if cf is None:
+            by_width[slots_log2] = CuckooShards(
+                n_buckets, slots_log2, {bucket: arr})
+        else:
+            # same width twice (e.g. pre-compaction duplicates): fold the
+            # occupied slots of the later row into the kept filter
+            occ = np.nonzero(arr)
+            for i, s in zip(*occ):
+                # re-insert via the standard path to preserve invariants
+                # ({i, alt(i)} is closed under alt, so i's partner is valid)
+                cf._insert_one(cf.shards[bucket], int(arr[i, s]), int(i),
+                               int(cf._alt_index(
+                                   np.array([i]),
+                                   np.array([arr[i, s]],
+                                            dtype=np.uint16))[0]),
+                               np.random.default_rng(bucket + 991))
+    return by_width
+
+
+def cuckoo_probe_fn(out_columns: list[str], n_buckets: int):
+    """Cogrouped probe, the cuckoo analog of partitioned_probe_fn:
+    (candidates of one bucket) x (that bucket's cuckoo shard rows) ->
+    candidates + `maybe`. Two-bucket fingerprint probes, vectorized per
+    width; verdicts OR across widths."""
+    def fn(cand: pd.DataFrame, shards: pd.DataFrame) -> pd.DataFrame:
+        out = cand[out_columns].copy()
+        if len(cand) == 0:
+            out["maybe"] = pd.Series([], dtype=bool)
+            return out
+        if len(shards) == 0:
+            out["maybe"] = False
+            return out
+        b = int(cand["bucket"].iloc[0])
+        hashes = cand["url_hash"].to_numpy()
+        bvec = np.full(len(hashes), b)
+        maybe = np.zeros(len(hashes), dtype=bool)
+        for cf in _cuckoo_rows_to_filters(shards["bitmap"], n_buckets,
+                                          b).values():
+            maybe |= cf.maybe_contains(bvec, hashes)
+        out["maybe"] = maybe
+        return out
+    return fn
+
+
+def cuckoo_upsert_fn(n_buckets: int, n_slots_log2: int):
+    """Cogrouped executor-side shard update: (this round's new url_hash
+    rows of one bucket) x (that bucket's existing shard rows) -> updated
+    shard rows. Cuckoo filters do not OR-merge, but each bucket has
+    exactly ONE owner task here, so sequential insertion into the
+    deserialized shard is safe and stays executor-side — the driver never
+    holds a filter. New hashes insert into the row at the ENGINE's
+    current sizing (created on demand); rows of other widths pass through
+    untouched and remain probe-able."""
+    def fn(new: pd.DataFrame, shards: pd.DataFrame) -> pd.DataFrame:
+        if len(new) == 0 and len(shards) == 0:
+            return pd.DataFrame({"bucket": pd.Series([], dtype="int32"),
+                                 "bitmap": pd.Series([], dtype=object)})
+        b = int((new if len(new) else shards)["bucket"].iloc[0])
+        by_width = _cuckoo_rows_to_filters(
+            shards["bitmap"] if len(shards) else [], n_buckets, b)
+        if len(new):
+            cf = by_width.get(n_slots_log2)
+            if cf is None:
+                cf = CuckooShards(n_buckets, n_slots_log2)
+                cf._shard(b)
+                by_width[n_slots_log2] = cf
+            hashes = new["url_hash"].to_numpy()
+            cf.add_many(np.full(len(hashes), b), hashes)
+        return pd.DataFrame({
+            "bucket": [b] * len(by_width),
+            "bitmap": [cf.shards[b].tobytes()
+                       for cf in by_width.values()]})
+    return fn

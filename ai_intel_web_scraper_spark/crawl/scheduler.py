@@ -46,7 +46,8 @@ from pyspark.sql import types as T
 
 from ..functions import urls as U
 from . import semantics as S
-from .bloom import (BloomShards, bloom_probe_udf, or_merge_shards_fn,
+from .bloom import (BloomShards, CuckooShards, bloom_probe_udf,
+                    cuckoo_probe_fn, cuckoo_upsert_fn, or_merge_shards_fn,
                     partial_bitmaps, partitioned_probe_fn)
 from .statestore import SnapshotStore
 
@@ -158,6 +159,13 @@ class CrawlConfig:
     #   executor-side OR-merge — the driver NEVER materializes the set
     #   (the only feasible shape at the 10^10-URL sizing, where the blob
     #   would be ~10+ GB of driver memory and per-round broadcast).
+    # "cuckoo": same executor-resident shard-row story, but the per-bucket
+    #   structure is a cuckoo filter (north-rule alternative): 16-bit
+    #   fingerprints, 2-bucket probes, delete-capable without counting-
+    #   bloom saturation. Cuckoo filters don't OR-merge, so the round
+    #   update cogroups each bucket's NEW hashes with its existing shard
+    #   row and inserts sequentially inside that bucket's single owner
+    #   task — still executor-side, still no driver materialization.
     bloom_mode: str = "broadcast"
     # "pandas": host_state cached as driver pandas (one row per HOST, tiny
     #   locally; avoids a Spark write job per round).
@@ -183,9 +191,12 @@ class CrawlEngine:
             "fetched": FETCHED_SCHEMA, "failures": FAILURES_SCHEMA,
             "host_state": HOST_STATE_SCHEMA, "metrics": METRICS_SCHEMA,
             "edges": EDGES_SCHEMA, "bloom_shards": "bucket int, bitmap binary",
+            "cuckoo_shards": "bucket int, bitmap binary",
         })
         self._bloom_m = BloomShards.sized_for(
             self.cfg.expected_urls, self.cfg.n_buckets).m_bits
+        self._cuckoo_slots_log2 = CuckooShards.sized_for(
+            self.cfg.expected_urls, self.cfg.n_buckets).n_slots_log2
         self.fixtures = fixtures
         self.graph = spark.read.parquet(fixtures["web_graph"])
         self.pages = spark.read.parquet(fixtures["pages"]) if self.cfg.write_payload else None
@@ -297,6 +308,10 @@ class CrawlEngine:
                 self.store.stage_write("bloom_shards",
                                        self._shard_partials(frontier),
                                        "replace")
+            elif self.cfg.bloom_mode == "cuckoo":
+                self.store.stage_write("cuckoo_shards",
+                                       self._cuckoo_shard_rows(frontier),
+                                       "replace")
             else:
                 bloom = BloomShards.sized_for(self.cfg.expected_urls,
                                               self.cfg.n_buckets)
@@ -312,6 +327,23 @@ class CrawlEngine:
                 .mapInPandas(partial_bitmaps(self._bloom_m,
                                              self.cfg.n_buckets),
                              schema="bucket int, bitmap binary"))
+
+    def _cuckoo_shard_rows(self, df: DataFrame,
+                           shards_df: DataFrame | None = None) -> DataFrame:
+        """Executor-built/updated per-bucket cuckoo shard rows: each
+        bucket's single owner task inserts its new hashes into the
+        deserialized shard (cogrouped with the existing rows when given —
+        cuckoo filters don't OR-merge, single ownership replaces it)."""
+        if shards_df is None:
+            shards_df = self.spark.createDataFrame(
+                [], "bucket int, bitmap binary")
+        return (df.select("bucket", "url_hash")
+                .groupBy("bucket")
+                .cogroup(shards_df.groupBy("bucket"))
+                .applyInPandas(
+                    cuckoo_upsert_fn(self.cfg.n_buckets,
+                                     self._cuckoo_slots_log2),
+                    schema="bucket int, bitmap binary"))
 
     def _bloom_add(self, bloom: BloomShards, df: DataFrame) -> None:
         """OR executor-built per-partition bitmaps into the sidecar shards.
@@ -494,7 +526,10 @@ class CrawlEngine:
         # probing disabled), and rebuilt from url_seen when probing is
         # enabled but no blob was carried — otherwise a stale blob's false
         # "definitely new" verdicts would bypass the exact anti-join.
-        use_part_bloom = cfg.use_bloom and cfg.bloom_mode == "partitioned"
+        use_part_bloom = (cfg.use_bloom
+                          and cfg.bloom_mode in ("partitioned", "cuckoo"))
+        is_cuckoo = cfg.bloom_mode == "cuckoo"
+        sidecar_tbl = "cuckoo_shards" if is_cuckoo else "bloom_shards"
         shards_df = None
         rebuilt_shards = None
         bloom_bytes = None
@@ -504,12 +539,13 @@ class CrawlEngine:
             # against the candidate buckets — each task receives only its
             # buckets' bitmaps, once, and the driver never holds the set
             snap_tables = (self.store.snapshot() or {}).get("tables", {})
-            if snap_tables.get("bloom_shards"):
-                shards_df = self.store.read("bloom_shards")
+            if snap_tables.get(sidecar_tbl):
+                shards_df = self.store.read(sidecar_tbl)
             else:  # mode switch / fresh enable: rebuild from url_seen,
                 # still executor-side (staged with this round's update)
-                shards_df = self._shard_partials(
-                    self.store.read("url_seen")).persist()
+                seen = self.store.read("url_seen")
+                shards_df = (self._cuckoo_shard_rows(seen) if is_cuckoo
+                             else self._shard_partials(seen)).persist()
                 rebuilt_shards = shards_df  # released at end of round
             out_cols = deduped.columns
             # fresh StructType: StructType.add MUTATES the frame's cached
@@ -517,10 +553,11 @@ class CrawlEngine:
             out_schema = T.StructType(
                 list(deduped.schema.fields)
                 + [T.StructField("maybe", T.BooleanType())])
+            probe = (cuckoo_probe_fn(out_cols, cfg.n_buckets) if is_cuckoo
+                     else partitioned_probe_fn(out_cols))
             probed = (deduped.groupBy("bucket")
                       .cogroup(shards_df.groupBy("bucket"))
-                      .applyInPandas(partitioned_probe_fn(out_cols),
-                                     schema=out_schema))
+                      .applyInPandas(probe, schema=out_schema))
             definite_new = probed.where(~F.col("maybe")).drop("maybe")
             to_confirm = probed.where(F.col("maybe")).drop("maybe")
             confirmed = to_confirm.join(
@@ -698,14 +735,19 @@ class CrawlEngine:
             self._host_pdf = new_hs
             self.store.stage_write_arrow("host_state", new_hs, "replace")
         if use_part_bloom:
-            # executor-side shard merge: previous shard rows + this round's
-            # partials, OR-folded per bucket; staged as a replace. No bitmap
-            # ever reaches the driver.
-            merged = (shards_df.unionByName(self._shard_partials(new_urls))
-                      .groupBy("bucket")
-                      .applyInPandas(or_merge_shards_fn(),
-                                     schema="bucket int, bitmap binary"))
-            self.store.stage_write("bloom_shards", merged, "replace")
+            # executor-side shard update, staged as a replace; no filter
+            # ever reaches the driver. Bloom: previous rows + this round's
+            # partials, OR-folded per bucket. Cuckoo: each bucket's owner
+            # task inserts the round's new hashes into its shard.
+            if is_cuckoo:
+                merged = self._cuckoo_shard_rows(new_urls, shards_df)
+            else:
+                merged = (shards_df
+                          .unionByName(self._shard_partials(new_urls))
+                          .groupBy("bucket")
+                          .applyInPandas(or_merge_shards_fn(),
+                                         schema="bucket int, bitmap binary"))
+            self.store.stage_write(sidecar_tbl, merged, "replace")
         elif bloom is not None:
             self._bloom_add(bloom, new_urls)
             self.store.stage_blob("bloom", bloom.to_bytes())

@@ -240,6 +240,31 @@ def sched_fixtures(spark, n_urls: int, n_hosts: int, seen_frac: float) -> dict:
     return paths
 
 
+def sched_cuckoo_shards(spark, paths: dict, n_urls: int,
+                        seen_frac: float) -> str:
+    """Cuckoo shard rows over the sched url_seen fixture (built lazily
+    with its own marker so cached frontiers aren't regenerated): each
+    bucket's owner task inserts its hashes into a fresh shard — the same
+    executor-side build the engine's cuckoo mode uses."""
+    out = os.path.dirname(paths["frontier"])
+    p = os.path.join(out, "cuckoo_shards.parquet")
+    done = os.path.join(out, "_DONE_CUCKOO")
+    if not os.path.exists(done):
+        from ai_intel_web_scraper_spark.crawl.bloom import (CuckooShards,
+                                                            cuckoo_upsert_fn)
+        ck = CuckooShards.sized_for(max(int(n_urls * seen_frac), 1024),
+                                    SCHED_BUCKETS)
+        empty = spark.createDataFrame([], "bucket int, bitmap binary")
+        (spark.read.parquet(paths["url_seen"]).select("bucket", "url_hash")
+         .groupBy("bucket").cogroup(empty.groupBy("bucket"))
+         .applyInPandas(cuckoo_upsert_fn(SCHED_BUCKETS, ck.n_slots_log2),
+                        schema="bucket int, bitmap binary")
+         .write.mode("overwrite").parquet(p))
+        with open(done, "w") as f:
+            f.write("ok")
+    return p
+
+
 def run_sched(spark, n_urls: int, n_hosts: int, seen_frac: float,
               round_seconds: float, n_salt: int,
               bloom_mode: str = "partitioned") -> dict:
@@ -263,9 +288,13 @@ def run_sched(spark, n_urls: int, n_hosts: int, seen_frac: float,
     from pyspark.sql import types as T
 
     from ai_intel_web_scraper_spark.crawl.bloom import (bloom_probe_udf,
+                                                        cuckoo_probe_fn,
                                                         partitioned_probe_fn)
     from ai_intel_web_scraper_spark.crawl.scheduler import politeness_rank
     fx = sched_fixtures(spark, n_urls, n_hosts, seen_frac)
+    if bloom_mode == "cuckoo":  # lazy one-time build, outside the timer
+        fx["cuckoo_shards"] = sched_cuckoo_shards(spark, fx, n_urls,
+                                                  seen_frac)
     rng = np.random.default_rng(42)
     delays = rng.choice([0.3, 0.5, 1.0], size=n_hosts)
     quota_cfg = spark.createDataFrame(pd.DataFrame({
@@ -295,17 +324,21 @@ def run_sched(spark, n_urls: int, n_hosts: int, seen_frac: float,
                 .withColumn("bucket",
                             F.pmod(F.abs("url_hash"),
                                    F.lit(SCHED_BUCKETS)).cast("int")))
-    if bloom_mode == "partitioned":
+    if bloom_mode in ("partitioned", "cuckoo"):
         # executor-resident sidecar: candidates cogrouped with their
         # bucket's shard row — the driver never holds the bit set
-        shards_df = spark.read.parquet(fx["bloom_shards"])
+        if bloom_mode == "cuckoo":
+            shards_df = spark.read.parquet(fx["cuckoo_shards"])
+            probe = cuckoo_probe_fn(resolved.columns, SCHED_BUCKETS)
+        else:
+            shards_df = spark.read.parquet(fx["bloom_shards"])
+            probe = partitioned_probe_fn(resolved.columns)
         out_schema = T.StructType(
             list(resolved.schema.fields)
             + [T.StructField("maybe", T.BooleanType())])
         probed = (resolved.groupBy("bucket")
                   .cogroup(shards_df.groupBy("bucket"))
-                  .applyInPandas(partitioned_probe_fn(resolved.columns),
-                                 schema=out_schema))
+                  .applyInPandas(probe, schema=out_schema))
     else:
         maybe_seen = bloom_probe_udf(spark, blob)
         probed = resolved.withColumn("maybe",
@@ -405,11 +438,13 @@ def main() -> None:
     ap.add_argument("--no-payload", dest="payload", action="store_false")
     ap.add_argument("--round-seconds", type=float, default=600.0)
     ap.add_argument("--bloom-mode", default="partitioned",
-                    choices=["broadcast", "partitioned"],
-                    help="url_seen bloom sidecar placement: executor-"
-                         "resident per-bucket shard rows (default — the "
-                         "10^10-URL shape; driver never holds the set) or "
-                         "one broadcast blob (local-mode fast path)")
+                    choices=["broadcast", "partitioned", "cuckoo"],
+                    help="url_seen sidecar placement: executor-resident "
+                         "per-bucket bloom shard rows (default — the "
+                         "10^10-URL shape; driver never holds the set), "
+                         "one broadcast blob (local-mode fast path), or "
+                         "executor-resident cuckoo-filter shards (delete-"
+                         "capable north-rule alternative)")
     ap.add_argument("--host-state-mode", default="dataframe",
                     choices=["pandas", "dataframe"],
                     help="host_state placement: pure-DataFrame end-to-end "

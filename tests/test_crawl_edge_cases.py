@@ -188,7 +188,7 @@ def test_partitioned_bloom_mode_is_bit_identical(spark, fixtures, tmp_path):
     sidecar) must produce exactly the same crawl as the broadcast-blob
     mode, including discovery order."""
     results = {}
-    for mode in ("broadcast", "partitioned"):
+    for mode in ("broadcast", "partitioned", "cuckoo"):
         wh = str(tmp_path / f"wh_{mode}")
         shutil.rmtree(wh, ignore_errors=True)
         eng = CrawlEngine(spark, fixtures, wh,
@@ -202,10 +202,13 @@ def test_partitioned_bloom_mode_is_bit_identical(spark, fixtures, tmp_path):
         seen = sorted(r["url"] for r in eng.store.read("url_seen").collect())
         results[mode] = (fetched, seen)
     assert results["broadcast"] == results["partitioned"]
-    # and the partitioned run never staged a blob (driver-side sidecar)
-    wh = str(tmp_path / "wh_partitioned")
-    blob_dir = os.path.join(wh, "blobs")
-    assert not os.listdir(blob_dir)
+    # the cuckoo sidecar (north-rule alternative; cogrouped single-owner
+    # insert instead of OR-merge) must also be bit-identical
+    assert results["broadcast"] == results["cuckoo"]
+    # and the executor-resident runs never staged a blob (driver sidecar)
+    for mode in ("partitioned", "cuckoo"):
+        blob_dir = os.path.join(str(tmp_path / f"wh_{mode}"), "blobs")
+        assert not os.listdir(blob_dir)
 
 
 def test_counting_bloom_executor_merge_path(spark):
@@ -371,3 +374,34 @@ def test_partitioned_bloom_resume_with_resized_filter_never_refetches(
     widths = {len(bytes(r["bitmap"])) * 8 for r in
               eng.store.read("bloom_shards").collect()}
     assert len(widths) >= 1
+
+
+def test_cuckoo_shard_upsert_and_probe_mixed_widths():
+    """cuckoo_upsert_fn inserts at the engine's CURRENT sizing while rows
+    of other widths pass through; cuckoo_probe_fn ORs verdicts across
+    widths — so a resume after an expected_urls resize keeps every
+    previously-seen URL 'maybe' (no false negatives), like the bloom
+    shards' mixed-width contract."""
+    import numpy as np
+    import pandas as pd
+
+    from ai_intel_web_scraper_spark.crawl.bloom import (cuckoo_probe_fn,
+                                                        cuckoo_upsert_fn)
+    rng = np.random.default_rng(5)
+    h = rng.integers(-2**62, 2**62, 300, dtype=np.int64)
+    empty = pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                          "bitmap": pd.Series([], dtype=object)})
+    row1 = cuckoo_upsert_fn(16, 10)(
+        pd.DataFrame({"bucket": 3, "url_hash": h[:150]}), empty)
+    assert len(row1) == 1
+    # second batch lands after a resize to a bigger sizing
+    row2 = cuckoo_upsert_fn(16, 11)(
+        pd.DataFrame({"bucket": 3, "url_hash": h[150:]}), row1)
+    widths = sorted(len(x) for x in row2["bitmap"])
+    assert widths == [(1 << 10) * 4 * 2, (1 << 11) * 4 * 2]
+    novel = rng.integers(-2**62, 2**62, 2000, dtype=np.int64)
+    cand = pd.DataFrame({"url_hash": np.concatenate([h, novel]),
+                         "bucket": 3})
+    out = cuckoo_probe_fn(["url_hash", "bucket"], 16)(cand, row2)
+    assert out["maybe"].to_numpy()[:300].all()      # no false negatives
+    assert out["maybe"].to_numpy()[300:].mean() < 0.05  # sane FPR
