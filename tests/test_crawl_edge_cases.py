@@ -346,14 +346,16 @@ def test_connected_components_on_64bit_hash_ids(spark):
     assert comp[big + 10] == comp[big + 11] == big + 10
 
 
+@pytest.mark.parametrize("mode,tbl", [("partitioned", "bloom_shards"),
+                                      ("cuckoo", "cuckoo_shards")])
 def test_partitioned_bloom_resume_with_resized_filter_never_refetches(
-        spark, tmp_path):
-    """The ADVICE scenario end-to-end: crawl partitioned with one
-    expected_urls sizing, then RESUME the same warehouse with a 16x
-    larger sizing (different shard width). Stored shards must be probed
-    at their own self-described width — a wrong-width probe yields false
-    'definitely new' verdicts that bypass the exact anti-join and refetch
-    seen URLs."""
+        spark, tmp_path, mode, tbl):
+    """The ADVICE scenario end-to-end, for BOTH executor-resident
+    sidecars: crawl with one expected_urls sizing, then RESUME the same
+    warehouse with a 16x larger sizing (different shard width). Stored
+    shards must be probed at their own self-described width — a
+    wrong-width probe yields false 'definitely new' verdicts that bypass
+    the exact anti-join and refetch seen URLs."""
     chain = {f"{BASE}/p/{i}": [f"{BASE}/p/{i+1}"] for i in range(8)}
     chain[f"{BASE}/p/8"] = [f"{BASE}/p/0"]  # cycle back: refetch bait
     fx = _mini_fixtures(str(tmp_path / "fx"),
@@ -361,10 +363,10 @@ def test_partitioned_bloom_resume_with_resized_filter_never_refetches(
                         pages=chain, max_pages=50, max_depth=12)
     wh = str(tmp_path / "wh")
     CrawlEngine(spark, fx, wh, CrawlConfig(
-        write_payload=False, bloom_mode="partitioned",
+        write_payload=False, bloom_mode=mode,
         expected_urls=1 << 10)).run(max_rounds=3)
     eng = CrawlEngine(spark, fx, wh, CrawlConfig(
-        write_payload=False, bloom_mode="partitioned",
+        write_payload=False, bloom_mode=mode,
         expected_urls=1 << 14))
     eng.run()
     fetched = eng.store.read("fetched")
@@ -372,7 +374,7 @@ def test_partitioned_bloom_resume_with_resized_filter_never_refetches(
     assert fetched.count() == 9  # the whole chain, each exactly once
     # and the resized run's new shards coexist with the old-width rows
     widths = {len(bytes(r["bitmap"])) * 8 for r in
-              eng.store.read("bloom_shards").collect()}
+              eng.store.read(tbl).collect()}
     assert len(widths) >= 1
 
 
