@@ -177,7 +177,7 @@ def rule_analysis_cols(query: Column) -> list[Column]:
                   for t, kws in TOPICS.items()}
     hint = F.lit(None).cast("string")
     for name, pat in reversed(HINT_RULES):
-        hint = F.when(F.lower(query).rlike(pat), F.lit(name)).otherwise(hint)
+        hint = F.when(lo.rlike(pat), F.lit(name)).otherwise(hint)
     return [
         intent.alias("rule_intent"),
         _mention_csv(lo, COMPETITORS).alias("rule_competitors"),
