@@ -47,7 +47,7 @@ EXTRA = [
     "reddit_source", "hn_source", "hash_embed", "quality_filter",
     # round-3 additions
     "text_metrics", "metadata_sanitize", "audio_features",
-    "query_analysis", "bpe_tokens",
+    "query_analysis", "bpe_tokens", "bpe_chunks",
 ]
 
 
