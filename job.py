@@ -43,7 +43,7 @@ def main() -> int:
     ap.add_argument("--max-rounds", type=int, default=200)
     ap.add_argument("--round-seconds", type=float, default=None)
     ap.add_argument("--bloom-mode", default="partitioned",
-                    choices=["broadcast", "partitioned"])
+                    choices=["broadcast", "partitioned", "cuckoo"])
     ap.add_argument("--host-state-mode", default="dataframe",
                     choices=["pandas", "dataframe"])
     ap.add_argument("--n-buckets", type=int, default=64)
