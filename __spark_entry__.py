@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai_intel_web_scraper_spark.operators import chunking as C
+from ai_intel_web_scraper_spark.operators import corpus as CP
 from ai_intel_web_scraper_spark.operators import dedup as D
 from ai_intel_web_scraper_spark.operators import export as EXP
 from ai_intel_web_scraper_spark.operators import queryanalysis as QA
@@ -1487,6 +1488,46 @@ def entry(spark: SparkSession) -> DataFrame:
             .orderBy("source", "topic"))
 
 
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style per-doc repetition signals (corpus-hygiene addition):
+    duplicate-word mass, most-frequent 2-gram + its occurrence count, and
+    duplicate-5-gram occurrence counts. Integer counts (hash-stable); the
+    filterable fractions live on the operator and in pytest."""
+    docs = _t(spark, sf_dir, "documents")
+    return CP.repetition_signals(docs, "doc_id", "text").drop("dup_word_frac")
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs sharing any word 4-gram with the
+    planted 'benchmark' slice (doc_id % 50 == 0). Broadcast gram-set
+    semi-join — the GPT-3 appendix-C overlap check as a Spark plan."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    rest = docs.where(F.col("doc_id") % 50 != 0)
+    return CP.contamination_hits(rest, bench, "doc_id", "text",
+                                 n=CP.DECONTAM_N)
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detect + redact over documents with deterministically planted
+    PII (every 7th doc gains an email, a phone, and an IPv4 — planted
+    identically in the oracle). Emits counts + md5 of the redacted text."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.format_string(
+                "%s reach user%d@example.com call 415-555-%04d from 10.0.%d.25",
+                F.col("text"), F.col("doc_id"),
+                (F.col("doc_id") % 10000).cast("int"),
+                (F.col("doc_id") % 256).cast("int")))
+        .otherwise(F.col("text")).alias("text"))
+    return planted.select(
+        "doc_id", *CP.pii_counts(F.col("text")),
+        F.md5(CP.pii_redact(F.col("text"))).alias("redacted_md5"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks the FIRST 50 keys each round (CORRECTNESS_r{N}).
     # Rotation policy (SURVEY §2.7): never-checked / recently-fixed queries
@@ -1513,23 +1554,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_analysis": q_query_analysis,        # R5 det. layers, new in r3
         "bpe_tokens": q_bpe_tokens,                # V1 real-BPE path, r3
         "bpe_chunks": q_bpe_chunks,                # V5 on BPE budgets, r3
+        "repetition_signals": q_repetition_signals,  # Gopher rules, new late-r3
+        "decontaminate": q_decontaminate,            # n-gram overlap, late-r3
+        "pii_scrub": q_pii_scrub,                    # PII redaction, late-r3
         # --- driver-green in r2, kept in-window ------------------------
         "pricing_summary": q_pricing_summary,
         "docs_keep_first": q_docs_keep_first,
         "events_keep_first": q_events_keep_first,
         "topic_tags": q_topic_tags,
         "quality_filter": q_quality_filter,
-        "budget_prefix": q_budget_prefix,
         "rrf_fusion": q_rrf_fusion,
         "topk_cosine": q_topk_cosine,
-        "group_stats": q_group_stats,
         "prefix_dup_groups": q_prefix_dup_groups,
         "jaccard_top_pairs": q_jaccard_top_pairs,
         "user_quota": q_user_quota,
         "source_status": q_source_status,
         "token_window_chunks": q_token_window_chunks,
         "url_classify": q_url_classify,
-        "bench_numbers": q_bench_numbers,
         "html_extract": q_html_extract,
         "reddit_source": q_reddit_source,
         "hn_source": q_hn_source,
@@ -1549,6 +1590,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_fanout": q_topic_fanout,    # rotated out in r3 for R5
         "sql_top_events": q_sql_top_events,  # rotated out in r3 for BPE
         "nation_coverage": q_nation_coverage,  # rotated out for bpe_chunks
+        "budget_prefix": q_budget_prefix,  # rotated out late-r3 for the three
+        "group_stats": q_group_stats,      # corpus-hygiene queries (P12/P15/
+        "bench_numbers": q_bench_numbers,  # P14 stay covered by global_budget,
+                                           # source_status+cube_stats, pytest)
         "paginated_preseed": q_paginated_preseed,
         "sentiment_counts": q_sentiment_counts,
         "length_quantiles": q_length_quantiles,
@@ -1926,6 +1971,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, jaccard FROM jac
             WHERE jaccard >= {MINHASH_THRESHOLD}
             ORDER BY jaccard DESC, id_a, id_b LIMIT 20""",
+        "repetition_signals": f"""
+            WITH base AS (SELECT doc_id, {_sql_words()} AS w FROM documents),
+            b AS (SELECT doc_id, len(w)::BIGINT AS n_words,
+                         len(list_distinct(w))::BIGINT AS n_distinct_words
+                  FROM base),
+            g2 AS (SELECT doc_id,
+                          unnest(list_transform(range(1, len(w)),
+                                 i -> w[i] || ' ' || w[i+1])) AS gram
+                   FROM base WHERE len(w) >= 2),
+            c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2
+                   GROUP BY doc_id, gram),
+            t2 AS (SELECT doc_id, gram AS top2_gram, cnt AS top2_cnt FROM (
+                     SELECT doc_id, gram, cnt, row_number() OVER (
+                       PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+                     FROM c2) WHERE rn = 1),
+            g5 AS (SELECT doc_id,
+                          unnest(list_transform(range(1, len(w) - 3),
+                                 i -> array_to_string(w[i:i+4], ' '))) AS gram
+                   FROM base WHERE len(w) >= 5),
+            c5 AS (SELECT doc_id, gram, count(*) AS cnt FROM g5
+                   GROUP BY doc_id, gram),
+            d5 AS (SELECT doc_id, sum(cnt)::BIGINT AS dup5_total,
+                          sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::BIGINT
+                              AS dup5_hits
+                   FROM c5 GROUP BY doc_id)
+            SELECT b.doc_id, n_words, n_distinct_words,
+                   coalesce(top2_gram, '') AS top2_gram,
+                   coalesce(top2_cnt, 0)::BIGINT AS top2_cnt,
+                   greatest(n_words - 1, 0)::BIGINT AS top2_total,
+                   coalesce(dup5_hits, 0)::BIGINT AS dup5_hits,
+                   coalesce(dup5_total, 0)::BIGINT AS dup5_total
+            FROM b LEFT JOIN t2 ON b.doc_id = t2.doc_id
+                   LEFT JOIN d5 ON b.doc_id = d5.doc_id""",
+        "decontaminate": f"""
+            WITH bg AS (SELECT DISTINCT gram FROM (
+                   SELECT unnest(list_transform(range(1, len(w) - 2),
+                          i -> array_to_string(w[i:i+3], ' '))) AS gram
+                   FROM (SELECT {_sql_words()} AS w FROM documents
+                         WHERE doc_id % 50 = 0)
+                   WHERE len(w) >= 4)),
+            dg AS (SELECT DISTINCT doc_id, gram FROM (
+                   SELECT doc_id,
+                          unnest(list_transform(range(1, len(w) - 2),
+                          i -> array_to_string(w[i:i+3], ' '))) AS gram
+                   FROM (SELECT doc_id, {_sql_words()} AS w FROM documents
+                         WHERE doc_id % 50 <> 0)
+                   WHERE len(w) >= 4))
+            SELECT doc_id, count(*)::BIGINT AS n_hit_grams
+            FROM dg JOIN bg USING (gram) GROUP BY doc_id""",
+        "pii_scrub": f"""
+            WITH planted AS (SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN printf(
+                     '%s reach user%d@example.com call 415-555-%04d from 10.0.%d.25',
+                     text, doc_id, doc_id % 10000, doc_id % 256)
+                   ELSE text END AS text FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{CP.PII_EMAIL}'))::BIGINT
+                       AS n_emails,
+                   len(regexp_extract_all(text, '{CP.PII_PHONE}'))::BIGINT
+                       AS n_phones,
+                   len(regexp_extract_all(text, '{CP.PII_IP}'))::BIGINT
+                       AS n_ips,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                       '{CP.PII_EMAIL}', '[EMAIL]', 'g'),
+                       '{CP.PII_PHONE}', '[PHONE]', 'g'),
+                       '{CP.PII_IP}', '[IP]', 'g')) AS redacted_md5
+            FROM planted""",
         "lang_id": f"""
             SELECT lang, predicted, count(*)::BIGINT AS n FROM (
               SELECT lang, {lang_case} AS predicted FROM (

@@ -1,0 +1,161 @@
+"""Corpus-hygiene operators for training-data pipelines: Gopher-style
+repetition signals, benchmark decontamination (n-gram overlap join), and
+PII detection/redaction.
+
+These extend the reference's process stage (`processors/cleaner.py` /
+`processors/quality_filter.py` remove boilerplate and low-quality records)
+with the three hygiene passes a 100 TB pretraining pipeline runs next:
+repetition filtering (Rae et al. 2021 "Gopher" §A1.1 repetition rules),
+eval-set decontamination (Brown et al. 2020 GPT-3 appendix C n-gram
+overlap), and PII scrubbing. Everything is native Spark expressions —
+explode + groupBy for the per-doc n-gram counting (hash-partitioned by
+doc id, no UDFs, no driver collects), a broadcast semi-join against the
+benchmark gram set for decontamination, and regexp chains for PII.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# n-gram sizes for the repetition signals (Gopher uses 2-grams for the
+# top-gram fraction and 5..10-grams for the duplicate-gram fraction) and
+# for decontamination (real pipelines use 8-13 word grams; the synthetic
+# word-soup corpus has a ~40-word vocabulary, so the entry query uses 4
+# to get a non-trivial hit set at test scale).
+TOP_GRAM_N = 2
+DUP_GRAM_N = 5
+DECONTAM_N = 4
+
+# PII patterns — kept to the Java-regex/RE2 common dialect so the DuckDB
+# oracle replays them verbatim.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def words_col(text) -> F.Column:
+    """Whitespace word split, matching the repo-wide SQL-replayable
+    convention (`_sql_words` in `__spark_entry__.py`)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def word_grams(words: F.Column, n: int) -> F.Column:
+    """All word n-grams of a word array as space-joined strings; empty
+    array when the doc has fewer than n words (sequence() would otherwise
+    count DOWN from 1 and fabricate grams)."""
+    if n == 1:
+        return words
+    idx = F.sequence(F.lit(1), F.size(words) - F.lit(n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
+def repetition_signals(df: DataFrame, id_col: str, text_col: str,
+                       top_n: int = TOP_GRAM_N,
+                       dup_n: int = DUP_GRAM_N) -> DataFrame:
+    """Per-document repetition signals (Gopher §A1.1 analog):
+
+    - ``n_words`` / ``n_distinct_words`` — duplicate-word mass
+      (``dup_word_frac`` = 1 - distinct/total);
+    - ``top2_gram`` / ``top2_cnt`` / ``top2_total`` — the most frequent
+      word ``top_n``-gram (ties broken lexicographically) and its
+      occurrence count over the doc's gram count: high ⇒ loopy text;
+    - ``dup5_hits`` / ``dup5_total`` — how many ``dup_n``-gram
+      occurrences belong to a gram seen more than once in the doc
+      (``dup_gram_frac`` = hits/total).
+
+    Counts are exact integers (hash-stable across engines); the derived
+    fractions are also emitted for filtering convenience. Distributed
+    shape: one explode + groupBy per gram size, keyed on (doc, gram) —
+    partition-local partial aggregation does the heavy lifting, and the
+    per-doc joins are equi-joins on the id. No UDFs, no collects.
+    """
+    did = F.col(id_col)
+    words = words_col(F.col(text_col))
+    base = df.select(
+        did.alias("doc_id"),
+        words.alias("w"),
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"))
+
+    g_top = (base.select("doc_id", F.explode(word_grams(F.col("w"), top_n))
+                         .alias("gram"))
+             .groupBy("doc_id", "gram").agg(F.count("*").alias("cnt")))
+    w_top = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("gram"))
+    top = (g_top.withColumn("_rn", F.row_number().over(w_top))
+           .where(F.col("_rn") == 1)
+           .select("doc_id", F.col("gram").alias("top2_gram"),
+                   F.col("cnt").alias("top2_cnt")))
+
+    g_dup = (base.select("doc_id", F.explode(word_grams(F.col("w"), dup_n))
+                         .alias("gram"))
+             .groupBy("doc_id", "gram").agg(F.count("*").alias("cnt")))
+    dup = (g_dup.groupBy("doc_id").agg(
+        F.sum("cnt").alias("dup5_total"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+        .alias("dup5_hits")))
+
+    out = (base.drop("w")
+           .join(top, "doc_id", "left")
+           .join(dup, "doc_id", "left")
+           .select(
+               "doc_id", "n_words", "n_distinct_words",
+               F.round(F.lit(1.0) - F.col("n_distinct_words")
+                       / F.greatest(F.col("n_words"), F.lit(1)), 6)
+               .alias("dup_word_frac"),
+               F.coalesce("top2_gram", F.lit("")).alias("top2_gram"),
+               F.coalesce("top2_cnt", F.lit(0)).cast("long")
+               .alias("top2_cnt"),
+               F.greatest(F.col("n_words") - F.lit(top_n - 1), F.lit(0))
+               .cast("long").alias("top2_total"),
+               F.coalesce("dup5_hits", F.lit(0)).cast("long")
+               .alias("dup5_hits"),
+               F.coalesce("dup5_total", F.lit(0)).cast("long")
+               .alias("dup5_total")))
+    return out
+
+
+def contamination_hits(docs: DataFrame, bench: DataFrame, id_col: str,
+                       text_col: str, n: int = DECONTAM_N) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C analog): flag every doc
+    sharing at least one word ``n``-gram with the benchmark corpus.
+    Returns (doc_id, n_hit_grams) for contaminated docs only, where
+    ``n_hit_grams`` counts DISTINCT benchmark grams present in the doc.
+
+    Scale shape: the benchmark gram set is the small side (eval suites
+    are ~10^5 rows vs 10^10 docs) — distinct it and broadcast; the doc
+    side explodes to (doc_id, gram) and semi-joins, so no shuffle of the
+    corpus. Dedup-before-join keeps the explode output narrow.
+    """
+    bench_grams = (bench.select(
+        F.explode(word_grams(words_col(F.col(text_col)), n)).alias("gram"))
+        .distinct())
+    doc_grams = (docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_grams(words_col(F.col(text_col)), n)).alias("gram"))
+        .distinct())
+    return (doc_grams.join(F.broadcast(bench_grams), "gram")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_hit_grams")))
+
+
+def pii_counts(text) -> list[F.Column]:
+    """PII occurrence counts (email / phone / IPv4) over the raw text."""
+    return [
+        F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), 0)).cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), 0)).cast("long")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_IP), 0)).cast("long")
+        .alias("n_ips"),
+    ]
+
+
+def pii_redact(text) -> F.Column:
+    """Redact PII in-place. Replacement order (email, phone, IP) is part
+    of the contract — the oracle replays the same chain."""
+    out = F.regexp_replace(text, PII_EMAIL, "[EMAIL]")
+    out = F.regexp_replace(out, PII_PHONE, "[PHONE]")
+    return F.regexp_replace(out, PII_IP, "[IP]")

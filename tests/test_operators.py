@@ -714,3 +714,63 @@ def test_rule_analysis_hints_first_match_wins(spark):
            .collect()}
     for q, hint in cases:
         assert got[q] == hint, q
+
+
+# ------------------------------------------------------------- corpus hygiene
+
+def test_repetition_signals_known_values(spark):
+    from ai_intel_web_scraper_spark.operators import corpus as CP
+    rows = [
+        (1, "a a a a"),                   # <5 words: no 5-grams
+        (2, "x y x y x y z"),             # loopy 2-grams, distinct 5-grams
+        (3, "p q r s t p q r s t"),       # one duplicated 5-gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in CP.repetition_signals(df, "doc_id", "text").collect()}
+    assert got[1]["n_words"] == 4 and got[1]["n_distinct_words"] == 1
+    assert got[1]["top2_gram"] == "a a" and got[1]["top2_cnt"] == 3
+    assert got[1]["top2_total"] == 3
+    assert got[1]["dup5_hits"] == 0 and got[1]["dup5_total"] == 0
+    assert abs(got[1]["dup_word_frac"] - 0.75) < 1e-9
+
+    assert got[2]["top2_gram"] == "x y" and got[2]["top2_cnt"] == 3
+    assert got[2]["dup5_hits"] == 0 and got[2]["dup5_total"] == 3
+
+    # 2-gram tie at cnt=2 -> lexicographically smallest wins
+    assert got[3]["top2_gram"] == "p q" and got[3]["top2_cnt"] == 2
+    # "p q r s t" occurs twice among the 6 5-gram occurrences
+    assert got[3]["dup5_hits"] == 2 and got[3]["dup5_total"] == 6
+
+
+def test_contamination_hits_planted_overlap(spark):
+    from ai_intel_web_scraper_spark.operators import corpus as CP
+    bench = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon",)], "text string")
+    docs = spark.createDataFrame([
+        # two distinct benchmark 4-grams present
+        (10, "zz alpha beta gamma delta epsilon yy"),
+        # the same benchmark 4-gram twice -> counts ONCE (distinct grams)
+        (11, "beta gamma delta epsilon mm beta gamma delta epsilon"),
+        (12, "no overlap with anything here at all"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r["n_hit_grams"]
+           for r in CP.contamination_hits(docs, bench, "doc_id", "text",
+                                          n=4).collect()}
+    assert got == {10: 2, 11: 1}
+
+
+def test_pii_counts_and_redaction(spark):
+    from ai_intel_web_scraper_spark.operators import corpus as CP
+    txt = ("mail bob.smith+x@corp.example.org or call 415-555-0123, "
+           "server at 10.20.30.40 stays")
+    df = spark.createDataFrame([(txt,), ("clean text only",)], "text string")
+    rows = (df.select("text", *CP.pii_counts(F.col("text")),
+                      CP.pii_redact(F.col("text")).alias("red"))
+            .orderBy(F.desc("n_emails")).collect())
+    hit, clean = rows
+    assert (hit["n_emails"], hit["n_phones"], hit["n_ips"]) == (1, 1, 1)
+    assert hit["red"] == ("mail [EMAIL] or call [PHONE], "
+                          "server at [IP] stays")
+    assert (clean["n_emails"], clean["n_phones"], clean["n_ips"]) == (0, 0, 0)
+    assert clean["red"] == "clean text only"
