@@ -48,6 +48,8 @@ EXTRA = [
     # round-3 additions
     "text_metrics", "metadata_sanitize", "audio_features",
     "query_analysis", "bpe_tokens", "bpe_chunks",
+    # late-r3 corpus-hygiene additions
+    "repetition_signals", "decontaminate", "pii_scrub",
 ]
 
 
