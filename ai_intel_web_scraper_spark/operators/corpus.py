@@ -15,8 +15,13 @@ benchmark gram set for decontamination, and regexp chains for PII.
 
 from __future__ import annotations
 
+import re
+from collections import Counter
+
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # n-gram sizes for the repetition signals (Gopher uses 2-grams for the
 # top-gram fraction and 5..10-grams for the duplicate-gram fraction) and
@@ -52,9 +57,74 @@ def word_grams(words: F.Column, n: int) -> F.Column:
         F.array().cast("array<string>"))
 
 
+_REP_SCHEMA = T.StructType([
+    T.StructField("n_words", T.LongType()),
+    T.StructField("n_distinct_words", T.LongType()),
+    T.StructField("top2_gram", T.StringType()),
+    T.StructField("top2_cnt", T.LongType()),
+    T.StructField("top2_total", T.LongType()),
+    T.StructField("dup5_hits", T.LongType()),
+    T.StructField("dup5_total", T.LongType()),
+])
+
+
+def _split_words(s: str) -> list[str]:
+    # parity with F.split(F.trim(text), r"\s+"): SQL trim strips ONLY
+    # spaces (CLAUDE.md gotcha), so strip(' ') — not str.strip()
+    return re.split(r"\s+", s.strip(" ")) if s is not None else [""]
+
+
 def repetition_signals(df: DataFrame, id_col: str, text_col: str,
                        top_n: int = TOP_GRAM_N,
                        dup_n: int = DUP_GRAM_N) -> DataFrame:
+    """Per-document repetition signals (Gopher §A1.1 analog), computed in
+    ONE vectorized Arrow UDF — a narrow map with NO shuffle. The signals
+    are pure per-row functions, so at 100 TB this must not repartition the
+    corpus; the explode+groupBy formulation (kept as
+    :func:`repetition_signals_exploded`, parity-tested bit-identical) pays
+    two corpus-wide shuffles for the same answer.
+
+    Output columns match :func:`repetition_signals_exploded` exactly:
+    integer counts (hash-stable) plus the derived ``dup_word_frac``.
+    """
+    @F.pandas_udf(_REP_SCHEMA)
+    def rep_udf(texts: pd.Series) -> pd.DataFrame:
+        out = []
+        for s in texts:
+            w = _split_words(s)
+            nw, nd = len(w), len(set(w))
+            g2 = [" ".join(w[i:i + top_n]) for i in range(nw - top_n + 1)]
+            if g2:
+                c2 = Counter(g2)
+                best_cnt = max(c2.values())
+                best = min(g for g, c in c2.items() if c == best_cnt)
+            else:
+                best, best_cnt = "", 0
+            g5 = Counter(" ".join(w[i:i + dup_n])
+                         for i in range(nw - dup_n + 1))
+            tot5 = sum(g5.values())
+            hits5 = sum(c for c in g5.values() if c > 1)
+            out.append((nw, nd, best, best_cnt, len(g2), hits5, tot5))
+        return pd.DataFrame(out, columns=[f.name for f in _REP_SCHEMA])
+
+    sig = F.col("_sig")
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      rep_udf(F.col(text_col)).alias("_sig"))
+            .select("doc_id", sig["n_words"].alias("n_words"),
+                    sig["n_distinct_words"].alias("n_distinct_words"),
+                    F.round(F.lit(1.0) - sig["n_distinct_words"]
+                            / F.greatest(sig["n_words"], F.lit(1)), 6)
+                    .alias("dup_word_frac"),
+                    sig["top2_gram"].alias("top2_gram"),
+                    sig["top2_cnt"].alias("top2_cnt"),
+                    sig["top2_total"].alias("top2_total"),
+                    sig["dup5_hits"].alias("dup5_hits"),
+                    sig["dup5_total"].alias("dup5_total")))
+
+
+def repetition_signals_exploded(df: DataFrame, id_col: str, text_col: str,
+                                top_n: int = TOP_GRAM_N,
+                                dup_n: int = DUP_GRAM_N) -> DataFrame:
     """Per-document repetition signals (Gopher §A1.1 analog):
 
     - ``n_words`` / ``n_distinct_words`` — duplicate-word mass
@@ -126,19 +196,21 @@ def contamination_hits(docs: DataFrame, bench: DataFrame, id_col: str,
 
     Scale shape: the benchmark gram set is the small side (eval suites
     are ~10^5 rows vs 10^10 docs) — distinct it and broadcast; the doc
-    side explodes to (doc_id, gram) and semi-joins, so no shuffle of the
-    corpus. Dedup-before-join keeps the explode output narrow.
+    side explodes to (doc_id, gram) and hits the broadcast join FIRST
+    (map-side, no shuffle of the corpus), so the only shuffle is the
+    per-doc distinct-count over the tiny matched set. Distinct-ing the
+    doc grams before the join would shuffle the whole corpus.
     """
     bench_grams = (bench.select(
         F.explode(word_grams(words_col(F.col(text_col)), n)).alias("gram"))
         .distinct())
-    doc_grams = (docs.select(
+    doc_grams = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_grams(words_col(F.col(text_col)), n)).alias("gram"))
-        .distinct())
     return (doc_grams.join(F.broadcast(bench_grams), "gram")
             .groupBy("doc_id")
-            .agg(F.count("*").cast("long").alias("n_hit_grams")))
+            .agg(F.count_distinct(F.col("gram")).cast("long")
+                 .alias("n_hit_grams")))
 
 
 def pii_counts(text) -> list[F.Column]:

@@ -774,3 +774,17 @@ def test_pii_counts_and_redaction(spark):
                           "server at [IP] stays")
     assert (clean["n_emails"], clean["n_phones"], clean["n_ips"]) == (0, 0, 0)
     assert clean["red"] == "clean text only"
+
+
+def test_repetition_signals_narrow_matches_exploded(spark, sf_dir):
+    """The shuffle-free Arrow-UDF path and the explode+groupBy path are
+    bit-identical on real corpus data (and on whitespace edge cases)."""
+    from ai_intel_web_scraper_spark.operators import corpus as CP
+    docs = _docs(spark, sf_dir).limit(200)
+    edge = spark.createDataFrame(
+        [(9001, " leading space"), (9002, "trailing "), (9003, "one"),
+         (9004, "a  b   a  b")], "doc_id long, text string")
+    both = docs.select("doc_id", "text").unionByName(edge)
+    a = CP.repetition_signals(both, "doc_id", "text")
+    b = CP.repetition_signals_exploded(both, "doc_id", "text")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
