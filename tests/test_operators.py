@@ -784,7 +784,18 @@ def test_repetition_signals_narrow_matches_exploded(spark, sf_dir):
     edge = spark.createDataFrame(
         [(9001, " leading space"), (9002, "trailing "), (9003, "one"),
          (9004, "a  b   a  b")], "doc_id long, text string")
-    both = docs.select("doc_id", "text").unionByName(edge)
+    # seeded random word-soups over a tiny vocab (forces heavy gram
+    # collisions) with mixed whitespace, tabs and repeats
+    import numpy as np
+    rng = np.random.RandomState(7)
+    vocab = ["a", "b", "cc", "ddd", "a", "b c"]  # "b c" makes multi-space runs
+    soups = [(10000 + i,
+              rng.choice(["", " ", "\t"]).item()
+              + rng.choice([" ", "  ", "\t "], size=1).item().join(
+                  rng.choice(vocab, size=rng.randint(0, 30)))
+              ) for i in range(30)]
+    rand = spark.createDataFrame(soups, "doc_id long, text string")
+    both = docs.select("doc_id", "text").unionByName(edge).unionByName(rand)
     a = CP.repetition_signals(both, "doc_id", "text")
     b = CP.repetition_signals_exploded(both, "doc_id", "text")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
