@@ -1528,6 +1528,15 @@ def q_pii_scrub(spark, sf_dir):
         F.md5(CP.pii_redact(F.col("text"))).alias("redacted_md5"))
 
 
+def q_lm_quality(spark, sf_dir):
+    """CCNet-style LM quality filter: score each document under the fixed
+    reference char-bigram LM (integer micro-nat log-probs — exact
+    cross-engine sums). The keep/discard threshold a pipeline applies is
+    score_micronats / n_bigrams; the driver checks the raw integers."""
+    docs = _t(spark, sf_dir, "documents")
+    return CP.lm_score(docs, "doc_id", "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks the FIRST 50 keys each round (CORRECTNESS_r{N}).
     # Rotation policy (SURVEY §2.7): never-checked / recently-fixed queries
@@ -1557,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,  # Gopher rules, new late-r3
         "decontaminate": q_decontaminate,            # n-gram overlap, late-r3
         "pii_scrub": q_pii_scrub,                    # PII redaction, late-r3
+        "lm_quality": q_lm_quality,                  # CCNet LM filter, late-r3
         # --- driver-green in r2, kept in-window ------------------------
         "pricing_summary": q_pricing_summary,
         "docs_keep_first": q_docs_keep_first,
@@ -1565,7 +1575,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "rrf_fusion": q_rrf_fusion,
         "topk_cosine": q_topk_cosine,
-        "prefix_dup_groups": q_prefix_dup_groups,
         "jaccard_top_pairs": q_jaccard_top_pairs,
         "user_quota": q_user_quota,
         "source_status": q_source_status,
@@ -1594,6 +1603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_stats": q_group_stats,      # corpus-hygiene queries (P12/P15/
         "bench_numbers": q_bench_numbers,  # P14 stay covered by global_budget,
                                            # source_status+cube_stats, pytest)
+        "prefix_dup_groups": q_prefix_dup_groups,  # rotated out for lm_quality
+                                           # (P7 stays via docs_keep_first)
         "paginated_preseed": q_paginated_preseed,
         "sentiment_counts": q_sentiment_counts,
         "length_quantiles": q_length_quantiles,
@@ -2020,6 +2031,23 @@ def oracle_sql() -> dict[str, str]:
                    WHERE len(w) >= 4))
             SELECT doc_id, count(*)::BIGINT AS n_hit_grams
             FROM dg JOIN bg USING (gram) GROUP BY doc_id""",
+        "lm_quality": (lambda probs_oov=CP.char_bigram_logprobs(): f"""
+            WITH probs AS (SELECT * FROM
+                 {_sql_values_table(sorted(probs_oov[0].items()),
+                                    ["bigram", "q"])}),
+            bg AS (SELECT doc_id,
+                          unnest(list_transform(range(1, length(text)),
+                                 i -> text[i:i+1])) AS bigram
+                   FROM documents WHERE length(text) >= 2),
+            s AS (SELECT doc_id, count(*) AS n,
+                         sum(CASE WHEN p.q IS NULL THEN 1 ELSE 0 END) AS oov,
+                         sum(coalesce(p.q, {probs_oov[1]})) AS score
+                  FROM bg LEFT JOIN probs p USING (bigram)
+                  GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(s.n, 0)::BIGINT AS n_bigrams,
+                   coalesce(s.oov, 0)::BIGINT AS oov_bigrams,
+                   coalesce(s.score, 0)::BIGINT AS score_micronats
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""")(),
         "pii_scrub": f"""
             WITH planted AS (SELECT doc_id,
                    CASE WHEN doc_id % 7 = 0 THEN printf(

@@ -213,6 +213,96 @@ def contamination_hits(docs: DataFrame, bench: DataFrame, id_col: str,
                  .alias("n_hit_grams")))
 
 
+# ------------------------------------------------- LM perplexity filter
+#
+# CCNet-style language-model quality filtering (Wenzek et al. 2020): score
+# each document under a char-bigram LM trained on a FIXED reference corpus
+# (CCNet trains KenLM on Wikipedia — the reference is external and
+# constant, never the corpus being scored). Log-probs are quantized to
+# integer micro-nats once, in Python, so both engines sum exact integers —
+# no cross-engine float/log divergence possible.
+
+LM_QUANT = 1_000_000  # 1 micro-nat
+
+# Deterministic stand-in for the external reference corpus (public
+# pangram-style sentences over the synthetic corpus' character set).
+LM_REF_CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "a fast query scans the table and joins the rows",
+    "sort merge join beats hash join when data is sorted",
+    "spark shuffles data between stages by partition key",
+    "small batches stream through the window in order",
+    "the filter pushes down to the scan and prunes columns",
+    "group by key then aggregate the values per group",
+    "a big sorted run spills to disk under memory pressure",
+]
+
+
+def char_bigram_logprobs(ref_texts: list[str] | None = None,
+                         quant: int = LM_QUANT) -> tuple[dict, int]:
+    """Train the reference char-bigram LM: add-one-smoothed bigram
+    probabilities over the reference texts, quantized to integer
+    micro-nats (floor). Returns (``{bigram: q_logprob}``, ``q_oov``) —
+    constants, computed once; the oracle inlines the same integers."""
+    import math
+    from collections import Counter
+
+    ref_texts = LM_REF_CORPUS if ref_texts is None else ref_texts
+    counts = Counter(t[i:i + 2] for t in ref_texts
+                     for i in range(len(t) - 1))
+    vocab = {c for t in ref_texts for c in t}
+    denom = sum(counts.values()) + len(vocab) ** 2
+    probs = {bg: math.floor(math.log((c + 1) / denom) * quant)
+             for bg, c in counts.items()}
+    q_oov = math.floor(math.log(1.0 / denom) * quant)
+    return probs, q_oov
+
+
+def lm_score(df: DataFrame, id_col: str, text_col: str,
+             probs: dict | None = None, q_oov: int | None = None) -> DataFrame:
+    """Per-document LM score under the reference char-bigram model, in one
+    vectorized Arrow UDF (narrow map, no shuffle — the model is a
+    constant-size broadcast, same shape as the IVF codebook). Emits exact
+    integers: ``n_bigrams``, ``oov_bigrams`` (bigrams unseen in the
+    reference), and ``score_micronats`` (sum of quantized log-probs; more
+    negative per bigram = less reference-like ⇒ the CCNet keep/discard
+    threshold is ``score_micronats / n_bigrams``)."""
+    if probs is None:
+        probs, q_oov = char_bigram_logprobs()
+
+    schema = T.StructType([
+        T.StructField("n_bigrams", T.LongType()),
+        T.StructField("oov_bigrams", T.LongType()),
+        T.StructField("score_micronats", T.LongType()),
+    ])
+
+    @F.pandas_udf(schema)
+    def score_udf(texts: pd.Series) -> pd.DataFrame:
+        out = []
+        for s in texts:
+            s = s or ""
+            n = max(len(s) - 1, 0)
+            oov = score = 0
+            for i in range(n):
+                q = probs.get(s[i:i + 2])
+                if q is None:
+                    oov += 1
+                    score += q_oov
+                else:
+                    score += q
+            out.append((n, oov, score))
+        return pd.DataFrame(out,
+                            columns=["n_bigrams", "oov_bigrams",
+                                     "score_micronats"])
+
+    sig = F.col("_lm")
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      score_udf(F.col(text_col)).alias("_lm"))
+            .select("doc_id", sig["n_bigrams"].alias("n_bigrams"),
+                    sig["oov_bigrams"].alias("oov_bigrams"),
+                    sig["score_micronats"].alias("score_micronats")))
+
+
 def pii_counts(text) -> list[F.Column]:
     """PII occurrence counts (email / phone / IPv4) over the raw text."""
     return [

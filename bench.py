@@ -49,7 +49,7 @@ EXTRA = [
     "text_metrics", "metadata_sanitize", "audio_features",
     "query_analysis", "bpe_tokens", "bpe_chunks",
     # late-r3 corpus-hygiene additions
-    "repetition_signals", "decontaminate", "pii_scrub",
+    "repetition_signals", "decontaminate", "pii_scrub", "lm_quality",
 ]
 
 

@@ -799,3 +799,26 @@ def test_repetition_signals_narrow_matches_exploded(spark, sf_dir):
     a = CP.repetition_signals(both, "doc_id", "text")
     b = CP.repetition_signals_exploded(both, "doc_id", "text")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_lm_score_known_values(spark):
+    """Closed-form check of the reference-LM scorer on a 2-char model."""
+    import math
+
+    from ai_intel_web_scraper_spark.operators import corpus as CP
+    probs, q_oov = CP.char_bigram_logprobs(["abab"])
+    # counts: ab=2, ba=1; vocab {a,b}; denom = 3 + 4
+    assert probs == {"ab": math.floor(math.log(3 / 7) * CP.LM_QUANT),
+                     "ba": math.floor(math.log(2 / 7) * CP.LM_QUANT)}
+    assert q_oov == math.floor(math.log(1 / 7) * CP.LM_QUANT)
+    df = spark.createDataFrame(
+        [(1, "aba"), (2, "ax"), (3, "z"), (4, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["oov_bigrams"],
+                         r["score_micronats"])
+           for r in CP.lm_score(df, "doc_id", "text", probs, q_oov)
+           .collect()}
+    assert got[1] == (2, 0, probs["ab"] + probs["ba"])
+    assert got[2] == (1, 1, q_oov)     # 'ax' unseen in the reference
+    assert got[3] == (0, 0, 0)         # too short for a bigram
+    assert got[4] == (0, 0, 0)
