@@ -73,6 +73,14 @@ def _sql_words(col: str = "text") -> str:
     return f"regexp_split_to_array(trim({col}), '\\s+')"
 
 
+def _sql_grams(n: int, arr: str = "w") -> str:
+    """DuckDB word-n-gram list over a word-array column (1-based inclusive
+    slices), generated from the operator-module constant so the oracle
+    can never desynchronize from the engine's n."""
+    return (f"list_transform(range(1, len({arr}) - {n - 2}), "
+            f"i -> array_to_string({arr}[i:i+{n - 1}], ' '))")
+
+
 # ---------------------------------------------------------------- queries
 
 def q_pricing_summary(spark, sf_dir):
@@ -1988,9 +1996,8 @@ def oracle_sql() -> dict[str, str]:
                          len(list_distinct(w))::BIGINT AS n_distinct_words
                   FROM base),
             g2 AS (SELECT doc_id,
-                          unnest(list_transform(range(1, len(w)),
-                                 i -> w[i] || ' ' || w[i+1])) AS gram
-                   FROM base WHERE len(w) >= 2),
+                          unnest({_sql_grams(CP.TOP_GRAM_N)}) AS gram
+                   FROM base WHERE len(w) >= {CP.TOP_GRAM_N}),
             c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2
                    GROUP BY doc_id, gram),
             t2 AS (SELECT doc_id, gram AS top2_gram, cnt AS top2_cnt FROM (
@@ -1998,9 +2005,8 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
                      FROM c2) WHERE rn = 1),
             g5 AS (SELECT doc_id,
-                          unnest(list_transform(range(1, len(w) - 3),
-                                 i -> array_to_string(w[i:i+4], ' '))) AS gram
-                   FROM base WHERE len(w) >= 5),
+                          unnest({_sql_grams(CP.DUP_GRAM_N)}) AS gram
+                   FROM base WHERE len(w) >= {CP.DUP_GRAM_N}),
             c5 AS (SELECT doc_id, gram, count(*) AS cnt FROM g5
                    GROUP BY doc_id, gram),
             d5 AS (SELECT doc_id, sum(cnt)::BIGINT AS dup5_total,
@@ -2010,25 +2016,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT b.doc_id, n_words, n_distinct_words,
                    coalesce(top2_gram, '') AS top2_gram,
                    coalesce(top2_cnt, 0)::BIGINT AS top2_cnt,
-                   greatest(n_words - 1, 0)::BIGINT AS top2_total,
+                   greatest(n_words - {CP.TOP_GRAM_N - 1}, 0)::BIGINT
+                       AS top2_total,
                    coalesce(dup5_hits, 0)::BIGINT AS dup5_hits,
                    coalesce(dup5_total, 0)::BIGINT AS dup5_total
             FROM b LEFT JOIN t2 ON b.doc_id = t2.doc_id
                    LEFT JOIN d5 ON b.doc_id = d5.doc_id""",
         "decontaminate": f"""
             WITH bg AS (SELECT DISTINCT gram FROM (
-                   SELECT unnest(list_transform(range(1, len(w) - 2),
-                          i -> array_to_string(w[i:i+3], ' '))) AS gram
+                   SELECT unnest({_sql_grams(CP.DECONTAM_N)}) AS gram
                    FROM (SELECT {_sql_words()} AS w FROM documents
                          WHERE doc_id % 50 = 0)
-                   WHERE len(w) >= 4)),
+                   WHERE len(w) >= {CP.DECONTAM_N})),
             dg AS (SELECT DISTINCT doc_id, gram FROM (
                    SELECT doc_id,
-                          unnest(list_transform(range(1, len(w) - 2),
-                          i -> array_to_string(w[i:i+3], ' '))) AS gram
+                          unnest({_sql_grams(CP.DECONTAM_N)}) AS gram
                    FROM (SELECT doc_id, {_sql_words()} AS w FROM documents
                          WHERE doc_id % 50 <> 0)
-                   WHERE len(w) >= 4))
+                   WHERE len(w) >= {CP.DECONTAM_N}))
             SELECT doc_id, count(*)::BIGINT AS n_hit_grams
             FROM dg JOIN bg USING (gram) GROUP BY doc_id""",
         "lm_quality": (lambda probs_oov=CP.char_bigram_logprobs(): f"""

@@ -15,6 +15,8 @@ benchmark gram set for decontamination, and regexp chains for PII.
 
 from __future__ import annotations
 
+import hashlib
+import math
 import re
 from collections import Counter
 
@@ -41,8 +43,10 @@ PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 def words_col(text) -> F.Column:
     """Whitespace word split, matching the repo-wide SQL-replayable
-    convention (`_sql_words` in `__spark_entry__.py`)."""
-    return F.split(F.trim(text), r"\s+")
+    convention (`_sql_words` in `__spark_entry__.py`). NULL text is
+    treated as empty text on every path (narrow UDF, exploded, oracle) so
+    the three stay bit-identical on nullable sources."""
+    return F.split(F.trim(F.coalesce(text, F.lit(""))), r"\s+")
 
 
 def word_grams(words: F.Column, n: int) -> F.Column:
@@ -68,10 +72,12 @@ _REP_SCHEMA = T.StructType([
 ])
 
 
-def _split_words(s: str) -> list[str]:
-    # parity with F.split(F.trim(text), r"\s+"): SQL trim strips ONLY
-    # spaces (CLAUDE.md gotcha), so strip(' ') — not str.strip()
-    return re.split(r"\s+", s.strip(" ")) if s is not None else [""]
+def _split_words(s: str | None) -> list[str]:
+    # parity with F.split(F.trim(coalesce(text, '')), r"\s+"): SQL trim
+    # strips ONLY spaces (CLAUDE.md gotcha) so strip(' ') not str.strip();
+    # re.ASCII matches Java/RE2 \s (ASCII-only) vs Python's Unicode \s,
+    # which would split NBSP/unicode whitespace the JVM side keeps
+    return re.split(r"\s+", (s or "").strip(" "), flags=re.ASCII)
 
 
 def repetition_signals(df: DataFrame, id_col: str, text_col: str,
@@ -187,6 +193,29 @@ def repetition_signals_exploded(df: DataFrame, id_col: str, text_col: str,
     return out
 
 
+def gram_hash_udf(n: int):
+    """text -> array of DISTINCT 64-bit word-n-gram hashes in one Arrow
+    pass (same rationale as `dedup.shingle_hash_udf`: the interpreted
+    transform/slice/concat_ws chain re-evaluates per row on the corpus
+    join side; one UDF emitting longs is ~10x cheaper and only fixed-size
+    hashes cross back). Case-preserving; blake2b-8 like the dedup
+    shingles — a collision can only ADD a contamination flag, which is
+    the safe direction for decontamination."""
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def fn(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            w = _split_words(t)
+            grams = {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+            out.append([
+                int.from_bytes(hashlib.blake2b(
+                    g.encode(), digest_size=8).digest(), "little",
+                    signed=True)
+                for g in sorted(grams)])
+        return pd.Series(out)
+    return fn
+
+
 def contamination_hits(docs: DataFrame, bench: DataFrame, id_col: str,
                        text_col: str, n: int = DECONTAM_N) -> DataFrame:
     """Benchmark decontamination (GPT-3 appendix C analog): flag every doc
@@ -194,23 +223,24 @@ def contamination_hits(docs: DataFrame, bench: DataFrame, id_col: str,
     Returns (doc_id, n_hit_grams) for contaminated docs only, where
     ``n_hit_grams`` counts DISTINCT benchmark grams present in the doc.
 
-    Scale shape: the benchmark gram set is the small side (eval suites
-    are ~10^5 rows vs 10^10 docs) — distinct it and broadcast; the doc
-    side explodes to (doc_id, gram) and hits the broadcast join FIRST
-    (map-side, no shuffle of the corpus), so the only shuffle is the
-    per-doc distinct-count over the tiny matched set. Distinct-ing the
-    doc grams before the join would shuffle the whole corpus.
+    Scale shape: both sides emit per-row DISTINCT gram hashes from one
+    Arrow UDF (no interpreted HOF chain, only longs leave Python); the
+    benchmark hash set is the small side (eval suites are ~10^5 rows vs
+    10^10 docs) — distinct it and broadcast. The doc side explodes and
+    hits the broadcast join FIRST (map-side, no shuffle of the corpus),
+    and because each doc's hash array is already distinct, the per-doc
+    count is a plain count — the only shuffle is over the tiny matched
+    set.
     """
+    grams = gram_hash_udf(n)
     bench_grams = (bench.select(
-        F.explode(word_grams(words_col(F.col(text_col)), n)).alias("gram"))
-        .distinct())
+        F.explode(grams(F.col(text_col))).alias("gram_h")).distinct())
     doc_grams = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_grams(words_col(F.col(text_col)), n)).alias("gram"))
-    return (doc_grams.join(F.broadcast(bench_grams), "gram")
+        F.explode(grams(F.col(text_col))).alias("gram_h"))
+    return (doc_grams.join(F.broadcast(bench_grams), "gram_h")
             .groupBy("doc_id")
-            .agg(F.count_distinct(F.col("gram")).cast("long")
-                 .alias("n_hit_grams")))
+            .agg(F.count("*").cast("long").alias("n_hit_grams")))
 
 
 # ------------------------------------------------- LM perplexity filter
@@ -244,9 +274,6 @@ def char_bigram_logprobs(ref_texts: list[str] | None = None,
     probabilities over the reference texts, quantized to integer
     micro-nats (floor). Returns (``{bigram: q_logprob}``, ``q_oov``) —
     constants, computed once; the oracle inlines the same integers."""
-    import math
-    from collections import Counter
-
     ref_texts = LM_REF_CORPUS if ref_texts is None else ref_texts
     counts = Counter(t[i:i + 2] for t in ref_texts
                      for i in range(len(t) - 1))
@@ -269,6 +296,9 @@ def lm_score(df: DataFrame, id_col: str, text_col: str,
     threshold is ``score_micronats / n_bigrams``)."""
     if probs is None:
         probs, q_oov = char_bigram_logprobs()
+    elif q_oov is None:
+        raise ValueError("lm_score: probs and q_oov must be passed "
+                         "together (both from char_bigram_logprobs)")
 
     schema = T.StructType([
         T.StructField("n_bigrams", T.LongType()),

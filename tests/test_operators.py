@@ -783,7 +783,8 @@ def test_repetition_signals_narrow_matches_exploded(spark, sf_dir):
     docs = _docs(spark, sf_dir).limit(200)
     edge = spark.createDataFrame(
         [(9001, " leading space"), (9002, "trailing "), (9003, "one"),
-         (9004, "a  b   a  b")], "doc_id long, text string")
+         (9004, "a  b   a  b"), (9005, None), (9006, "")],
+        "doc_id long, text string")
     # seeded random word-soups over a tiny vocab (forces heavy gram
     # collisions) with mixed whitespace, tabs and repeats
     import numpy as np
