@@ -1545,6 +1545,53 @@ def q_lm_quality(spark, sf_dir):
     return CP.lm_score(docs, "doc_id", "text")
 
 
+def q_hygiene_pipeline(spark, sf_dir):
+    """Corpus-hygiene lifecycle composite (the pretraining analog of the
+    reference's process stage, §3.2 / P10 accounting): exact dedup →
+    benchmark decontamination → repetition filter → reference-LM filter →
+    PII flag count, one DAG with per-stage record accounting. All keep/
+    drop rules are integer comparisons (CP constants) — exact both
+    engines."""
+    docs = _t(spark, sf_dir, "documents")
+    d1 = D.keep_first(
+        docs.withColumn("fp", X.fingerprint_col(F.col("text"))),
+        ["fp"], ["doc_id"]).drop("fp")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    flagged = CP.contamination_hits(
+        d1.where(F.col("doc_id") % 50 != 0), bench, "doc_id", "text",
+        n=CP.DECONTAM_N).select("doc_id")
+    d2 = d1.join(flagged, "doc_id", "left_anti")
+    rep = CP.repetition_signals(d2, "doc_id", "text")
+    keep_rep = rep.where(
+        ~(CP.REP_DUPWORD_DEN * (F.col("n_words") - F.col("n_distinct_words"))
+          >= CP.REP_DUPWORD_NUM * F.col("n_words"))
+        & ~(CP.REP_TOP2_DEN * F.col("top2_cnt") >= F.col("top2_total"))
+    ).select("doc_id")
+    d3 = d2.join(keep_rep, "doc_id", "left_semi")
+    lm = CP.lm_score(d3, "doc_id", "text")
+    keep_lm = lm.where(
+        F.col("score_micronats")
+        > F.col("n_bigrams") * F.lit(CP.LM_KEEP_MICRONATS)).select("doc_id")
+    d4 = d3.join(keep_lm, "doc_id", "left_semi")
+    # PII flag count over survivors, on the deterministically planted text
+    # (same planting rule as q_pii_scrub)
+    planted = d4.where(F.col("doc_id") % 7 == 0).select(
+        F.format_string("%s reach user%d@example.com", F.col("text"),
+                        F.col("doc_id")).alias("text"))
+    pii_docs = planted.where(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(CP.PII_EMAIL), 0))
+        > 0)
+    stages = [("1_raw", docs), ("2_exact_deduped", d1),
+              ("3_decontaminated", d2), ("4_repetition_kept", d3),
+              ("5_lm_kept", d4), ("6_pii_flagged", pii_docs)]
+    out = None
+    for name, df in stages:
+        c = df.agg(F.count("*").cast("long").alias("n")).select(
+            F.lit(name).alias("stage"), "n")
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks the FIRST 50 keys each round (CORRECTNESS_r{N}).
     # Rotation policy (SURVEY §2.7): never-checked / recently-fixed queries
@@ -1575,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,            # n-gram overlap, late-r3
         "pii_scrub": q_pii_scrub,                    # PII redaction, late-r3
         "lm_quality": q_lm_quality,                  # CCNet LM filter, late-r3
+        "hygiene_pipeline": q_hygiene_pipeline,      # composed family, late-r3
         # --- driver-green in r2, kept in-window ------------------------
         "pricing_summary": q_pricing_summary,
         "docs_keep_first": q_docs_keep_first,
@@ -1585,7 +1633,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine": q_topk_cosine,
         "jaccard_top_pairs": q_jaccard_top_pairs,
         "user_quota": q_user_quota,
-        "source_status": q_source_status,
         "token_window_chunks": q_token_window_chunks,
         "url_classify": q_url_classify,
         "html_extract": q_html_extract,
@@ -1613,6 +1660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                            # source_status+cube_stats, pytest)
         "prefix_dup_groups": q_prefix_dup_groups,  # rotated out for lm_quality
                                            # (P7 stays via docs_keep_first)
+        "source_status": q_source_status,  # rotated out for hygiene_pipeline
+                                           # (P15 stays via process_pipeline)
         "paginated_preseed": q_paginated_preseed,
         "sentiment_counts": q_sentiment_counts,
         "length_quantiles": q_length_quantiles,
@@ -2053,6 +2102,68 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(s.oov, 0)::BIGINT AS oov_bigrams,
                    coalesce(s.score, 0)::BIGINT AS score_micronats
             FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""")(),
+        "hygiene_pipeline": (lambda po=CP.char_bigram_logprobs(): f"""
+            WITH d1 AS (SELECT doc_id, text FROM (
+                   SELECT doc_id, text, row_number() OVER (
+                     PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn
+                   FROM documents) WHERE rn = 1),
+            bg AS (SELECT DISTINCT gram FROM (
+                   SELECT unnest({_sql_grams(CP.DECONTAM_N)}) AS gram
+                   FROM (SELECT {_sql_words()} AS w FROM documents
+                         WHERE doc_id % 50 = 0)
+                   WHERE len(w) >= {CP.DECONTAM_N})),
+            flagged AS (SELECT DISTINCT doc_id FROM (
+                   SELECT doc_id, unnest({_sql_grams(CP.DECONTAM_N)}) AS gram
+                   FROM (SELECT doc_id, {_sql_words()} AS w FROM d1
+                         WHERE doc_id % 50 <> 0)
+                   WHERE len(w) >= {CP.DECONTAM_N}) dg JOIN bg USING (gram)),
+            d2 AS (SELECT * FROM d1 WHERE doc_id NOT IN
+                   (SELECT doc_id FROM flagged)),
+            b2 AS (SELECT doc_id, {_sql_words()} AS w FROM d2),
+            r AS (SELECT doc_id, len(w)::BIGINT AS n_words,
+                         len(list_distinct(w))::BIGINT AS n_distinct
+                  FROM b2),
+            g2 AS (SELECT doc_id, unnest({_sql_grams(CP.TOP_GRAM_N)}) AS gram
+                   FROM b2 WHERE len(w) >= {CP.TOP_GRAM_N}),
+            c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2
+                   GROUP BY doc_id, gram),
+            t2 AS (SELECT doc_id, cnt AS top2_cnt FROM (
+                     SELECT doc_id, gram, cnt, row_number() OVER (
+                       PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+                     FROM c2) WHERE rn = 1),
+            keep_rep AS (SELECT r.doc_id
+                  FROM r LEFT JOIN t2 ON r.doc_id = t2.doc_id
+                  WHERE NOT ({CP.REP_DUPWORD_DEN} * (n_words - n_distinct)
+                             >= {CP.REP_DUPWORD_NUM} * n_words)
+                    AND NOT ({CP.REP_TOP2_DEN} * coalesce(top2_cnt, 0)
+                             >= greatest(n_words - {CP.TOP_GRAM_N - 1}, 0))),
+            d3 AS (SELECT * FROM d2 WHERE doc_id IN
+                   (SELECT doc_id FROM keep_rep)),
+            probs AS (SELECT * FROM
+                 {_sql_values_table(sorted(po[0].items()), ["bigram", "q"])}),
+            bgc AS (SELECT doc_id,
+                          unnest(list_transform(range(1, length(text)),
+                                 i -> text[i:i+1])) AS bigram
+                    FROM d3 WHERE length(text) >= 2),
+            s AS (SELECT doc_id, count(*) AS n,
+                         sum(coalesce(p.q, {po[1]})) AS score
+                  FROM bgc LEFT JOIN probs p USING (bigram)
+                  GROUP BY doc_id),
+            keep_lm AS (SELECT d3.doc_id FROM d3 LEFT JOIN s USING (doc_id)
+                  WHERE coalesce(score, 0)
+                        > coalesce(n, 0) * ({CP.LM_KEEP_MICRONATS})),
+            d4 AS (SELECT * FROM d3 WHERE doc_id IN
+                   (SELECT doc_id FROM keep_lm)),
+            pii AS (SELECT count(*)::BIGINT AS n FROM d4
+                    WHERE doc_id % 7 = 0 AND len(regexp_extract_all(
+                      printf('%s reach user%d@example.com', text, doc_id),
+                      '{CP.PII_EMAIL}')) > 0)
+            SELECT '1_raw' AS stage, count(*)::BIGINT AS n FROM documents
+            UNION ALL SELECT '2_exact_deduped', count(*)::BIGINT FROM d1
+            UNION ALL SELECT '3_decontaminated', count(*)::BIGINT FROM d2
+            UNION ALL SELECT '4_repetition_kept', count(*)::BIGINT FROM d3
+            UNION ALL SELECT '5_lm_kept', count(*)::BIGINT FROM d4
+            UNION ALL SELECT '6_pii_flagged', n FROM pii""")(),
         "pii_scrub": f"""
             WITH planted AS (SELECT doc_id,
                    CASE WHEN doc_id % 7 = 0 THEN printf(

@@ -34,6 +34,14 @@ TOP_GRAM_N = 2
 DUP_GRAM_N = 5
 DECONTAM_N = 4
 
+# Hygiene-pipeline keep/drop thresholds (integer-ratio rules so both
+# engines compare exact integers; values sit near the synthetic corpus'
+# p95-p99 so each stage does non-trivial work at test scale):
+# drop when DEN*(n_words - n_distinct_words) >= NUM*n_words ...
+REP_DUPWORD_NUM, REP_DUPWORD_DEN = 7, 10     # dup-word mass >= 0.7
+REP_TOP2_DEN = 10                            # top-2-gram ratio >= 0.1
+LM_KEEP_MICRONATS = -5_815_000               # drop when score <= n * this
+
 # PII patterns — kept to the Java-regex/RE2 common dialect so the DuckDB
 # oracle replays them verbatim.
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

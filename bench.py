@@ -50,6 +50,7 @@ EXTRA = [
     "query_analysis", "bpe_tokens", "bpe_chunks",
     # late-r3 corpus-hygiene additions
     "repetition_signals", "decontaminate", "pii_scrub", "lm_quality",
+    "hygiene_pipeline",
 ]
 
 

@@ -823,3 +823,19 @@ def test_lm_score_known_values(spark):
     assert got[2] == (1, 1, q_oov)     # 'ax' unseen in the reference
     assert got[3] == (0, 0, 0)         # too short for a bigram
     assert got[4] == (0, 0, 0)
+
+
+def test_hygiene_pipeline_stage_accounting(spark, sf_dir):
+    """The composed hygiene lifecycle: stages in order, counts monotone
+    non-increasing through the filters, PII flags bounded by survivors."""
+    import __spark_entry__ as E
+    rows = {r["stage"]: r["n"]
+            for r in E.queries()["hygiene_pipeline"](spark, sf_dir)
+            .collect()}
+    order = ["1_raw", "2_exact_deduped", "3_decontaminated",
+             "4_repetition_kept", "5_lm_kept"]
+    assert list(rows)[:0] == []  # keys exist
+    for a, b in zip(order, order[1:]):
+        assert rows[b] <= rows[a], (a, b, rows)
+    assert 0 <= rows["6_pii_flagged"] <= rows["5_lm_kept"]
+    assert rows["1_raw"] > 0
