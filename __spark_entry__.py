@@ -736,6 +736,18 @@ def q_stream_sessions(spark, sf_dir):
     return spark.createDataFrame(rows)
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Structured Streaming dedup: dropDuplicates over watermark-bounded
+    state (the streaming url_seen analog). Emits the distinct key pairs —
+    oracle = batch DISTINCT."""
+    from ai_intel_web_scraper_spark.streaming.events import (
+        run_stream_once, stream_distinct_keys)
+    rows = run_stream_once(
+        spark, os.path.join(sf_dir, "events.parquet"),
+        stream_distinct_keys, output_mode="append")
+    return spark.createDataFrame(rows)
+
+
 def q_length_quantiles(spark, sf_dir):
     """Exact interpolated percentiles per group (corpus length profiling —
     the training-data analog of the reference's status accounting)."""
@@ -1626,7 +1638,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- driver-green in r2, kept in-window ------------------------
         "pricing_summary": q_pricing_summary,
         "docs_keep_first": q_docs_keep_first,
-        "events_keep_first": q_events_keep_first,
         "topic_tags": q_topic_tags,
         "quality_filter": q_quality_filter,
         "rrf_fusion": q_rrf_fusion,
@@ -1643,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_sessions": q_stream_sessions,
         "stream_budget_state": q_stream_budget_state,
+        "stream_dedup": q_stream_dedup,            # dropDuplicates, late-r3
         "process_pipeline": q_process_pipeline,
         "minhash_pairs": q_minhash_pairs,
         "minhash_verified": q_minhash_verified,
@@ -1662,6 +1674,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                            # (P7 stays via docs_keep_first)
         "source_status": q_source_status,  # rotated out for hygiene_pipeline
                                            # (P15 stays via process_pipeline)
+        "events_keep_first": q_events_keep_first,  # rotated out for
+                                           # stream_dedup (C17/P8 stays via
+                                           # docs_keep_first + stream_dedup)
         "paginated_preseed": q_paginated_preseed,
         "sentiment_counts": q_sentiment_counts,
         "length_quantiles": q_length_quantiles,
@@ -2085,6 +2100,8 @@ def oracle_sql() -> dict[str, str]:
                    WHERE len(w) >= {CP.DECONTAM_N}))
             SELECT doc_id, count(*)::BIGINT AS n_hit_grams
             FROM dg JOIN bg USING (gram) GROUP BY doc_id""",
+        "stream_dedup": """
+            SELECT DISTINCT user_id, event_type FROM events""",
         "lm_quality": (lambda probs_oov=CP.char_bigram_logprobs(): f"""
             WITH probs AS (SELECT * FROM
                  {_sql_values_table(sorted(probs_oov[0].items()),

@@ -55,6 +55,22 @@ def session_rollup(events: DataFrame, gap: str = "30 minutes",
                     "user_id", "n_events", "session_value"))
 
 
+def stream_distinct_keys(events: DataFrame,
+                         keys: tuple[str, ...] = ("user_id", "event_type"),
+                         watermark: str = "2 hours") -> DataFrame:
+    """Streaming dedup (`dropDuplicates` + watermark-bounded state) — the
+    streaming analog of the engine's url_seen set: first occurrence of
+    each key passes, later duplicates are dropped, and the watermark lets
+    Spark expire per-key state instead of holding it forever (the
+    requirement at an unbounded 10^10-key stream). Emits ONLY the key
+    columns: within a micro-batch `dropDuplicates` keeps an arbitrary
+    member row, so projecting to the key is what makes the result
+    deterministic and oracle-checkable (batch DISTINCT)."""
+    cols = list(keys)
+    return events.withWatermark("ts", watermark).select(*cols) \
+        .dropDuplicates(cols)
+
+
 def run_stream_once(spark: SparkSession, src_path: str, op,
                     output_mode: str = "complete") -> list:
     """Drive a streaming op over a parquet file source to completion and

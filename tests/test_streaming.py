@@ -86,3 +86,43 @@ def test_running_budget_state_accumulates_across_batches(spark, sf_dir):
         assert got[u][0] == want[u][0]
         assert abs(got[u][1] - want[u][1]) < 0.01
         assert per_user[u]["over_budget"] == (want[u][1] > 500.0)
+
+
+def test_stream_dedup_drops_cross_batch_duplicates(spark, sf_dir):
+    """dropDuplicates state must carry ACROSS micro-batches: a key seen in
+    batch 0 is suppressed when it reappears in batch 1, and the final
+    distinct set equals the batch ground truth exactly once each."""
+    import shutil
+    import uuid
+
+    from ai_intel_web_scraper_spark.streaming.events import (
+        EVENTS_SCHEMA, stream_distinct_keys)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    src = "/tmp/stream_dedup_src"
+    shutil.rmtree(src, ignore_errors=True)
+    # batch 1 = full copy of the data -> every key of batch 1 is a dup of
+    # batch 0 except keys absent from the even half
+    ev.where(F.col("event_id") % 2 == 0).write.parquet(src + "/b0")
+    ev.write.parquet(src + "/b1")
+    os.makedirs(src + "/all")
+    for sub in ("b0", "b1"):
+        for f in os.listdir(os.path.join(src, sub)):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(src, sub, f),
+                          os.path.join(src, "all", f"{sub}_{f}"))
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/all"))
+    q = (stream_distinct_keys(stream)
+         .writeStream.outputMode("append").format("memory")
+         .queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [(r["user_id"], r["event_type"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()]
+    want = {(r["user_id"], r["event_type"]) for r in
+            ev.select("user_id", "event_type").distinct().collect()}
+    assert len(rows) == len(want), "each key must be emitted exactly once"
+    assert set(rows) == want
