@@ -17,7 +17,7 @@ import os
 from collections.abc import Callable
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_intel_web_scraper_spark.operators import chunking as C
@@ -1561,47 +1561,60 @@ def q_hygiene_pipeline(spark, sf_dir):
     """Corpus-hygiene lifecycle composite (the pretraining analog of the
     reference's process stage, §3.2 / P10 accounting): exact dedup →
     benchmark decontamination → repetition filter → reference-LM filter →
-    PII flag count, one DAG with per-stage record accounting. All keep/
-    drop rules are integer comparisons (CP constants) — exact both
-    engines."""
+    PII flag count, with per-stage record accounting. All keep/drop rules
+    are integer comparisons (CP constants) — exact both engines.
+
+    SINGLE-PASS shape: each per-doc signal (fingerprint rank,
+    contamination flag, repetition counts, LM score — all pure per-doc
+    functions) is computed ONCE over the corpus and folded into a
+    ``dropped_at`` terminal-stage label; the stage counts are one
+    aggregate + stack. The naive formulation (a count branch per stage)
+    re-executes the window + join + both Arrow UDFs up to 5x."""
     docs = _t(spark, sf_dir, "documents")
-    d1 = D.keep_first(
-        docs.withColumn("fp", X.fingerprint_col(F.col("text"))),
-        ["fp"], ["doc_id"]).drop("fp")
     bench = docs.where(F.col("doc_id") % 50 == 0)
     flagged = CP.contamination_hits(
-        d1.where(F.col("doc_id") % 50 != 0), bench, "doc_id", "text",
-        n=CP.DECONTAM_N).select("doc_id")
-    d2 = d1.join(flagged, "doc_id", "left_anti")
-    rep = CP.repetition_signals(d2, "doc_id", "text")
-    keep_rep = rep.where(
-        ~(CP.REP_DUPWORD_DEN * (F.col("n_words") - F.col("n_distinct_words"))
-          >= CP.REP_DUPWORD_NUM * F.col("n_words"))
-        & ~(CP.REP_TOP2_DEN * F.col("top2_cnt") >= F.col("top2_total"))
-    ).select("doc_id")
-    d3 = d2.join(keep_rep, "doc_id", "left_semi")
-    lm = CP.lm_score(d3, "doc_id", "text")
-    keep_lm = lm.where(
-        F.col("score_micronats")
-        > F.col("n_bigrams") * F.lit(CP.LM_KEEP_MICRONATS)).select("doc_id")
-    d4 = d3.join(keep_lm, "doc_id", "left_semi")
-    # PII flag count over survivors, on the deterministically planted text
-    # (same planting rule as q_pii_scrub)
-    planted = d4.where(F.col("doc_id") % 7 == 0).select(
+        docs.where(F.col("doc_id") % 50 != 0), bench, "doc_id", "text",
+        n=CP.DECONTAM_N).select("doc_id", F.lit(True).alias("_cont"))
+    rep = CP.repetition_signals(docs, "doc_id", "text")
+    lm = CP.lm_score(docs, "doc_id", "text")
+    # same modulo-7 planting rule as q_pii_scrub, email clause only
+    planted_email_hits = F.size(F.regexp_extract_all(
         F.format_string("%s reach user%d@example.com", F.col("text"),
-                        F.col("doc_id")).alias("text"))
-    pii_docs = planted.where(
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(CP.PII_EMAIL), 0))
-        > 0)
-    stages = [("1_raw", docs), ("2_exact_deduped", d1),
-              ("3_decontaminated", d2), ("4_repetition_kept", d3),
-              ("5_lm_kept", d4), ("6_pii_flagged", pii_docs)]
-    out = None
-    for name, df in stages:
-        c = df.agg(F.count("*").cast("long").alias("n")).select(
-            F.lit(name).alias("stage"), "n")
-        out = c if out is None else out.unionByName(c)
-    return out
+                        F.col("doc_id")), F.lit(CP.PII_EMAIL), 0))
+    labeled = (
+        docs.select("doc_id", "text")
+        .withColumn("_fp", X.fingerprint_col(F.col("text")))
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy("_fp").orderBy("doc_id")))
+        .join(flagged, "doc_id", "left")
+        .join(rep.select("doc_id", "n_words", "n_distinct_words",
+                         "top2_cnt", "top2_total"), "doc_id")
+        .join(lm.select("doc_id", "n_bigrams", "score_micronats"), "doc_id")
+        .withColumn("dropped_at", F.when(F.col("_rn") > 1, 1)
+            .when(F.col("_cont"), 2)
+            .when((CP.REP_DUPWORD_DEN
+                   * (F.col("n_words") - F.col("n_distinct_words"))
+                   >= CP.REP_DUPWORD_NUM * F.col("n_words"))
+                  | (CP.REP_TOP2_DEN * F.col("top2_cnt")
+                     >= F.col("top2_total")), 3)
+            .when(F.col("score_micronats")
+                  <= F.col("n_bigrams") * F.lit(CP.LM_KEEP_MICRONATS), 4)))
+
+    def survives(stage):
+        return F.col("dropped_at").isNull() | (F.col("dropped_at") > stage)
+
+    agg = labeled.agg(
+        F.count("*").cast("long").alias("n1"),
+        F.sum(survives(1).cast("long")).alias("n2"),
+        F.sum(survives(2).cast("long")).alias("n3"),
+        F.sum(survives(3).cast("long")).alias("n4"),
+        F.sum(survives(4).cast("long")).alias("n5"),
+        F.sum((F.col("dropped_at").isNull() & (F.col("doc_id") % 7 == 0)
+               & (planted_email_hits > 0)).cast("long")).alias("n6"))
+    return agg.select(F.expr(
+        "stack(6, '1_raw', n1, '2_exact_deduped', n2,"
+        " '3_decontaminated', n3, '4_repetition_kept', n4,"
+        " '5_lm_kept', n5, '6_pii_flagged', n6) AS (stage, n)"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

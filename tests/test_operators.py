@@ -834,7 +834,7 @@ def test_hygiene_pipeline_stage_accounting(spark, sf_dir):
             .collect()}
     order = ["1_raw", "2_exact_deduped", "3_decontaminated",
              "4_repetition_kept", "5_lm_kept"]
-    assert list(rows)[:0] == []  # keys exist
+    assert set(rows) == set(order) | {"6_pii_flagged"}
     for a, b in zip(order, order[1:]):
         assert rows[b] <= rows[a], (a, b, rows)
     assert 0 <= rows["6_pii_flagged"] <= rows["5_lm_kept"]

@@ -98,8 +98,7 @@ def test_stream_dedup_drops_cross_batch_duplicates(spark, sf_dir):
     from ai_intel_web_scraper_spark.streaming.events import (
         EVENTS_SCHEMA, stream_distinct_keys)
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    src = "/tmp/stream_dedup_src"
-    shutil.rmtree(src, ignore_errors=True)
+    src = f"/tmp/stream_dedup_src_{uuid.uuid4().hex[:8]}"
     # batch 1 = full copy of the data -> every key of batch 1 is a dup of
     # batch 0 except keys absent from the even half
     ev.where(F.col("event_id") % 2 == 0).write.parquet(src + "/b0")
@@ -120,9 +119,13 @@ def test_stream_dedup_drops_cross_batch_duplicates(spark, sf_dir):
         q.processAllAvailable()
     finally:
         q.stop()
-    rows = [(r["user_id"], r["event_type"])
-            for r in spark.sql(f"SELECT * FROM {name}").collect()]
-    want = {(r["user_id"], r["event_type"]) for r in
-            ev.select("user_id", "event_type").distinct().collect()}
-    assert len(rows) == len(want), "each key must be emitted exactly once"
-    assert set(rows) == want
+    try:
+        rows = [(r["user_id"], r["event_type"])
+                for r in spark.sql(f"SELECT * FROM {name}").collect()]
+        want = {(r["user_id"], r["event_type"]) for r in
+                ev.select("user_id", "event_type").distinct().collect()}
+        assert len(rows) == len(want), "each key emitted exactly once"
+        assert set(rows) == want
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(src, ignore_errors=True)
