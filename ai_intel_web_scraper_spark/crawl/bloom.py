@@ -135,6 +135,10 @@ def bloom_probe_udf(spark, blob: bytes):
         return pd.Series(shards.maybe_contains(
             bucket.to_numpy(), url_hash.to_numpy()))
 
+    # expose the handle so the caller can unpersist after the round —
+    # otherwise every round's blob version stays pinned in block-manager
+    # memory for the life of the session
+    maybe_seen.blob_broadcast = bc
     return maybe_seen
 
 
@@ -467,12 +471,18 @@ def _cuckoo_rows_to_filters(raws, n_buckets: int,
             for i, s in zip(*occ):
                 # re-insert via the standard path to preserve invariants
                 # ({i, alt(i)} is closed under alt, so i's partner is valid)
-                cf._insert_one(cf.shards[bucket], int(arr[i, s]), int(i),
-                               int(cf._alt_index(
-                                   np.array([i]),
-                                   np.array([arr[i, s]],
-                                            dtype=np.uint16))[0]),
-                               np.random.default_rng(bucket + 991))
+                ok = cf._insert_one(
+                    cf.shards[bucket], int(arr[i, s]), int(i),
+                    int(cf._alt_index(
+                        np.array([i]),
+                        np.array([arr[i, s]], dtype=np.uint16))[0]),
+                    np.random.default_rng(bucket + 991))
+                if not ok:
+                    # a silent drop would be a false NEGATIVE (seen URL
+                    # probes 'definitely new' and bypasses the anti-join)
+                    # — fail loudly like add_many does on a full filter
+                    raise RuntimeError(
+                        "cuckoo shard fold overflow; resize required")
     return by_width
 
 

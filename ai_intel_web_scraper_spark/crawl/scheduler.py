@@ -36,6 +36,7 @@ Crawl semantics contract: see semantics.py (shared with the oracle).
 
 from __future__ import annotations
 
+import json
 import time
 from dataclasses import dataclass
 
@@ -112,7 +113,8 @@ def resolve_udf(link: pd.Series, base: pd.Series) -> pd.DataFrame:
 def politeness_rank(frontier: DataFrame, quota_cfg: DataFrame,
                     order_cols: list, n_salt: int,
                     round_no: int, round_seconds: float,
-                    max_quota: int | None = None) -> DataFrame:
+                    max_quota: int | None = None,
+                    broadcast_quota: bool = True) -> DataFrame:
     """The frontier-scheduling core (SURVEY C1/C8/C9): two-phase salted
     per-host quota ranking.
 
@@ -130,7 +132,10 @@ def politeness_rank(frontier: DataFrame, quota_cfg: DataFrame,
     |frontier| to ~n_hosts * n_salt * max_quota rows."""
     if max_quota is None:
         max_quota = int(quota_cfg.agg(F.max("quota")).first()[0] or 0)
-    cand = frontier.join(F.broadcast(quota_cfg), "host")
+    # broadcast_quota=False when the host table must not transit the
+    # driver (dataframe host-state mode) — Catalyst/AQE picks the strategy
+    cand = frontier.join(
+        F.broadcast(quota_cfg) if broadcast_quota else quota_cfg, "host")
     w1 = (Window.partitionBy("host", F.pmod(F.abs("url_hash"), F.lit(n_salt)))
           .orderBy(*order_cols))
     survivors = (cand.withColumn("rn1", F.row_number().over(w1))
@@ -205,6 +210,53 @@ class CrawlEngine:
     def _bucket(self, c):  # |url_hash| % n_buckets, sign-safe
         return F.pmod(F.abs(c), F.lit(self.cfg.n_buckets)).cast("int")
 
+    def _maybe_bcast(self, df: DataFrame) -> DataFrame:
+        """Broadcast-hint host-derived frames ONLY in pandas host-state
+        mode (driver-held, known-small). In dataframe mode the whole point
+        is that the host set never transits the driver — forcing
+        F.broadcast would collect it there, so leave the strategy to
+        Catalyst/AQE (which still auto-broadcasts under the threshold from
+        file stats, and shuffle-joins at 10^8-host scale)."""
+        if self.cfg.host_state_mode == "pandas":
+            return F.broadcast(df)
+        return df
+
+    def _seen(self) -> DataFrame:
+        """url_seen with the bucket RECOMPUTED from url_hash under the
+        CURRENT n_buckets. Stored bucket values were written under the
+        sizing of the round that appended them — trusting them after an
+        n_buckets change breaks both the anti-join key and the shard
+        cogroup (seen URLs would be refetched)."""
+        return (self.store.read("url_seen")
+                .select(self._bucket("url_hash").alias("bucket"),
+                        "url_hash", "url"))
+
+    # Sidecar validity marker: the url_seen sidecar (bloom blob, bloom
+    # shard rows, or cuckoo shard rows) is only trustworthy if the LAST
+    # commit maintained it — rounds run in another mode, or with probing
+    # disabled, append url_seen without touching the inactive
+    # representations, and an out-of-date sidecar's false "definitely new"
+    # verdicts would bypass the exact anti-join. The marker records which
+    # representation was maintained, at which bucketing, by which round;
+    # any mismatch forces a rebuild from url_seen (always correct).
+    def _sidecar_valid(self, repr_key: str) -> bool:
+        raw = self.store.read_blob("sidecar_meta")
+        if raw is None:
+            return False
+        try:
+            meta = json.loads(raw)
+        except ValueError:
+            return False
+        snap = self.store.snapshot() or {}
+        return (meta.get("repr") == repr_key
+                and meta.get("n_buckets") == self.cfg.n_buckets
+                and meta.get("round") == snap.get("round"))
+
+    def _stage_sidecar_meta(self, repr_key: str, round_no: int) -> None:
+        self.store.stage_blob("sidecar_meta", json.dumps(
+            {"repr": repr_key, "n_buckets": self.cfg.n_buckets,
+             "round": round_no}).encode())
+
     def _host_state_pdf(self):
         """host_state as driver-side pandas. The table on disk stays the
         source of truth (snapshot-versioned); the driver caches it because
@@ -226,7 +278,7 @@ class CrawlEngine:
         """Join host config and tag rows rejected by exclude patterns
         (SURVEY C6, substring containment per docs_scraper.py:171-176) or
         robots disallow path-prefixes (SURVEY C18, graft addition)."""
-        out = (df.join(F.broadcast(cfg), "host", "left")
+        out = (df.join(self._maybe_bcast(cfg), "host", "left")
                .withColumn("_path", F.regexp_replace("url", r"^https?://[^/]*", "")))
         return (out.withColumn(
             "reject",
@@ -317,6 +369,7 @@ class CrawlEngine:
                                               self.cfg.n_buckets)
                 self._bloom_add(bloom, frontier)
                 self.store.stage_blob("bloom", bloom.to_bytes())
+            self._stage_sidecar_meta(self.cfg.bloom_mode, 0)
         self.store.commit(round_no=0, metrics={"round": 0, "event": "bootstrap"})
 
     def _shard_partials(self, df: DataFrame) -> DataFrame:
@@ -437,7 +490,8 @@ class CrawlEngine:
                                  "discovery_seq")
         ranked = politeness_rank(
             narrow, quota_cfg, order_cols, cfg.n_salt, round_no,
-            cfg.round_seconds, max_quota=max_quota)
+            cfg.round_seconds, max_quota=max_quota,
+            broadcast_quota=(cfg.host_state_mode == "pandas"))
         ranked_keys = ranked.select("url_hash", "discovery_seq",
                                     "crawl_delay", "fetch_slot", "fetch_ts")
         # the ranked set is quota-bounded (<= sum of host quotas rows): when
@@ -484,8 +538,8 @@ class CrawlEngine:
 
         # -- expansion (SURVEY C10): explode -> resolve -> filter -> dedupe -
         parents = (success
-                   .join(F.broadcast(self._host_cfg(["host", "max_depth"])
-                                     .withColumnRenamed("max_depth", "md")),
+                   .join(self._maybe_bcast(self._host_cfg(["host", "max_depth"])
+                                           .withColumnRenamed("max_depth", "md")),
                          "host")
                    .where(F.col("depth") < F.col("md"))
                    .select(F.col("url").alias("parent_url"),
@@ -530,20 +584,25 @@ class CrawlEngine:
                           and cfg.bloom_mode in ("partitioned", "cuckoo"))
         is_cuckoo = cfg.bloom_mode == "cuckoo"
         sidecar_tbl = "cuckoo_shards" if is_cuckoo else "bloom_shards"
+        repr_key = cfg.bloom_mode if cfg.use_bloom else None
         shards_df = None
         rebuilt_shards = None
         bloom_bytes = None
         bloom = None
+        probed_cached = None
+        probe_udf_handle = None
         if use_part_bloom:
             # executor-resident sidecar: per-bucket shard rows cogrouped
             # against the candidate buckets — each task receives only its
             # buckets' bitmaps, once, and the driver never holds the set
             snap_tables = (self.store.snapshot() or {}).get("tables", {})
-            if snap_tables.get(sidecar_tbl):
+            if snap_tables.get(sidecar_tbl) and self._sidecar_valid(repr_key):
                 shards_df = self.store.read(sidecar_tbl)
-            else:  # mode switch / fresh enable: rebuild from url_seen,
-                # still executor-side (staged with this round's update)
-                seen = self.store.read("url_seen")
+            else:  # mode switch / stale (rounds ran in another mode or
+                # with probing off) / n_buckets change / fresh enable:
+                # rebuild from url_seen, still executor-side (staged with
+                # this round's update)
+                seen = self._seen()
                 shards_df = (self._cuckoo_shard_rows(seen) if is_cuckoo
                              else self._shard_partials(seen)).persist()
                 rebuilt_shards = shards_df  # released at end of round
@@ -555,35 +614,43 @@ class CrawlEngine:
                 + [T.StructField("maybe", T.BooleanType())])
             probe = (cuckoo_probe_fn(out_cols, cfg.n_buckets) if is_cuckoo
                      else partitioned_probe_fn(out_cols))
+            # persist: both the definite-new and to-confirm branches read
+            # this frame — uncached, the cogrouped shard probe (the most
+            # expensive per-round stage at scale) would run twice
             probed = (deduped.groupBy("bucket")
                       .cogroup(shards_df.groupBy("bucket"))
-                      .applyInPandas(probe, schema=out_schema))
+                      .applyInPandas(probe, schema=out_schema)).persist()
+            probed_cached = probed
             definite_new = probed.where(~F.col("maybe")).drop("maybe")
             to_confirm = probed.where(F.col("maybe")).drop("maybe")
             confirmed = to_confirm.join(
-                self.store.read("url_seen").select("bucket", "url_hash", "url"),
-                ["bucket", "url_hash", "url"], "left_anti")
+                self._seen(), ["bucket", "url_hash", "url"], "left_anti")
             new_urls = definite_new.unionByName(confirmed).persist()
         else:
             bloom_bytes = self.store.read_blob("bloom")
+            if bloom_bytes is not None and not self._sidecar_valid("broadcast"):
+                # stale (rounds ran in another mode / with probing off /
+                # n_buckets changed): do not probe it AND do not keep
+                # maintaining it — a maintained-but-gappy blob would look
+                # fresh to a later re-enable. Rebuild (below) or drop.
+                bloom_bytes = None
             if cfg.use_bloom and bloom_bytes is None:
                 rebuilt = BloomShards.sized_for(cfg.expected_urls,
                                                 cfg.n_buckets)
                 self._bloom_add(rebuilt,
-                                self.store.read("url_seen")
-                                .select("bucket", "url_hash"))
+                                self._seen().select("bucket", "url_hash"))
                 bloom_bytes = rebuilt.to_bytes()
             if bloom_bytes is not None and cfg.use_bloom:
                 bloom = BloomShards.from_bytes(bloom_bytes)
                 maybe_seen = bloom_probe_udf(sp, bloom_bytes)
+                probe_udf_handle = maybe_seen
                 probed = deduped.withColumn(
-                    "maybe", maybe_seen("bucket", "url_hash"))
+                    "maybe", maybe_seen("bucket", "url_hash")).persist()
+                probed_cached = probed
                 definite_new = probed.where(~F.col("maybe")).drop("maybe")
                 to_confirm = probed.where(F.col("maybe")).drop("maybe")
                 confirmed = to_confirm.join(
-                    self.store.read("url_seen")
-                    .select("bucket", "url_hash", "url"),
-                    ["bucket", "url_hash", "url"], "left_anti")
+                    self._seen(), ["bucket", "url_hash", "url"], "left_anti")
                 new_urls = definite_new.unionByName(confirmed)
             else:
                 # probing disabled — but keep maintaining an existing
@@ -591,15 +658,13 @@ class CrawlEngine:
                 bloom = (BloomShards.from_bytes(bloom_bytes)
                          if bloom_bytes is not None else None)
                 new_urls = deduped.join(
-                    self.store.read("url_seen")
-                    .select("bucket", "url_hash", "url"),
-                    ["bucket", "url_hash", "url"], "left_anti")
+                    self._seen(), ["bucket", "url_hash", "url"], "left_anti")
             new_urls = new_urls.persist()
 
         # -- next frontier: unscheduled + retries + new (anti-join, no skew) -
         alive_hosts = quota_cfg.select("host")
         unscheduled = (frontier
-                       .join(F.broadcast(alive_hosts), "host", "left_semi")
+                       .join(self._maybe_bcast(alive_hosts), "host", "left_semi")
                        .join(scheduled.select("url_hash", "url"),
                              ["url_hash", "url"], "left_anti"))
         retry_rows = retries.select("url", "url_hash", "bucket", "host", "depth",
@@ -628,11 +693,28 @@ class CrawlEngine:
         if self.pages is not None:
             pages = self.pages.select("image_id", "caption", "w", "h", "fmt",
                                       "phash", "bytes")
-            fetched_rows = (pages.join(F.broadcast(fetched_cols), "image_id")
-                            .select("url", "host", "depth", "round",
-                                    "discovery_seq", "fetch_slot", "fetch_ts",
-                                    "image_id", "caption", "w", "h", "fmt",
-                                    "phash", "bytes"))
+            # inner join for the matched payloads (fetched_cols is the
+            # quota-bounded small side), then re-attach any success whose
+            # image_id is NULL or absent from pages with a null payload —
+            # an inner join alone would silently DROP those fetches, while
+            # the oracle records every success (parity + data loss)
+            matched = (pages.join(F.broadcast(fetched_cols), "image_id")
+                       .select("url", "host", "depth", "round",
+                               "discovery_seq", "fetch_slot", "fetch_ts",
+                               "image_id", "caption", "w", "h", "fmt",
+                               "phash", "bytes"))
+            unmatched = (fetched_cols.join(
+                F.broadcast(matched.select("image_id")), "image_id",
+                "left_anti")
+                .select("url", "host", "depth", "round", "discovery_seq",
+                        "fetch_slot", "fetch_ts", "image_id",
+                        F.lit(None).cast("string").alias("caption"),
+                        F.lit(None).cast("int").alias("w"),
+                        F.lit(None).cast("int").alias("h"),
+                        F.lit(None).cast("string").alias("fmt"),
+                        F.lit(None).cast("long").alias("phash"),
+                        F.lit(None).cast("binary").alias("bytes")))
+            fetched_rows = matched.unionByName(unmatched)
         else:
             fetched_rows = fetched_cols.select(
                 "*", F.lit(None).cast("string").alias("caption"),
@@ -748,9 +830,11 @@ class CrawlEngine:
                           .applyInPandas(or_merge_shards_fn(),
                                          schema="bucket int, bitmap binary"))
             self.store.stage_write(sidecar_tbl, merged, "replace")
+            self._stage_sidecar_meta(repr_key, round_no)
         elif bloom is not None:
             self._bloom_add(bloom, new_urls)
             self.store.stage_blob("bloom", bloom.to_bytes())
+            self._stage_sidecar_meta("broadcast", round_no)
         frontier_size = self.store.staged_row_count("frontier")
         wall_ms = (time.time() - t0) * 1000.0
         metrics = {
@@ -778,8 +862,14 @@ class CrawlEngine:
         fetch.unpersist()
         policed.unpersist()
         new_urls.unpersist()
+        if probed_cached is not None:
+            probed_cached.unpersist()
         if rebuilt_shards is not None:  # mode-switch rebuild path only
             rebuilt_shards.unpersist()
+        if probe_udf_handle is not None:
+            # release this round's sidecar-blob broadcast — otherwise each
+            # round's version stays pinned in block-manager memory
+            probe_udf_handle.blob_broadcast.unpersist()
         return metrics
 
     # ------------------------------------------------------------ driver loop

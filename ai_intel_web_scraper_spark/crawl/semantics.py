@@ -35,8 +35,10 @@ oracle implements the same rule:
     the parent URL, canonicalized (drop fragment+query, rstrip '/'), then
     filtered: same host as parent, not matching an exclude substring, not
     disallowed by robots (path-prefix match; graft addition — absent in the
-    reference), then de-duplicated keep-first (min discovery_seq) within the
-    round and anti-joined against url_seen. Survivors enter url_seen AND the
+    reference), then de-duplicated keep-first (min ``(depth,
+    discovery_seq)`` — NOT seq alone: discovery_seq is not monotone in
+    depth, and both implementations take the shallowest row, tie-broken by
+    seq) within the round and anti-joined against url_seen. Survivors enter url_seen AND the
     frontier (add-before-enqueue).
 6.  **crawl ordering** (what parity tests compare): successful fetches
     sorted by ``(round, depth, discovery_seq)``.

@@ -153,6 +153,58 @@ def test_bloom_toggle_across_resume_never_refetches(spark, tmp_path):
     assert fetched.count() == 7  # the whole chain, each exactly once
 
 
+@pytest.mark.parametrize("mode_seq", [
+    ("partitioned", None, "partitioned"),   # probing-off rounds between
+    ("broadcast", "partitioned", "broadcast"),  # mode switch and back
+    ("partitioned", "cuckoo", "partitioned"),
+])
+def test_sidecar_mode_switches_never_refetch(spark, tmp_path, mode_seq):
+    """Resuming under a different bloom_mode (or after probing-disabled
+    rounds) must NOT trust the now-stale inactive sidecar: URLs first seen
+    by the intervening rounds would probe 'definitely new' and be fetched
+    twice. The validity marker forces a rebuild from url_seen instead."""
+    chain = {f"{BASE}/p/{i}": [f"{BASE}/p/{i+1}"] for i in range(6)}
+    chain[f"{BASE}/p/6"] = [f"{BASE}/p/0"]  # cycle back: refetch bait
+    fx = _mini_fixtures(str(tmp_path / "fx"),
+                        seeds=[(0, f"{BASE}/p/0", 0.5)],
+                        pages=chain, max_pages=50, max_depth=10)
+    wh = str(tmp_path / "wh")
+    for i, mode in enumerate(mode_seq):
+        cfg = CrawlConfig(write_payload=False, expected_urls=1024,
+                          use_bloom=mode is not None,
+                          bloom_mode=mode or "partitioned")
+        eng = CrawlEngine(spark, fx, wh, cfg)
+        eng.run(max_rounds=2 if i < len(mode_seq) - 1 else None)
+    fetched = eng.store.read("fetched")
+    assert fetched.count() == fetched.select("url").distinct().count()
+    assert fetched.count() == 7  # the whole chain, each exactly once
+
+
+def test_n_buckets_resize_resume_never_refetches(spark, tmp_path):
+    """Resuming the same warehouse with a DIFFERENT n_buckets must not
+    refetch seen URLs: stored url_seen.bucket values and sidecar shard
+    bucketing from the old sizing are invalid under the new modulus, so
+    both the anti-join key (recomputed bucket) and the sidecar (marker
+    mismatch -> rebuild) must adapt."""
+    chain = {f"{BASE}/p/{i}": [f"{BASE}/p/{i+1}"] for i in range(6)}
+    chain[f"{BASE}/p/6"] = [f"{BASE}/p/0"]
+    fx = _mini_fixtures(str(tmp_path / "fx"),
+                        seeds=[(0, f"{BASE}/p/0", 0.5)],
+                        pages=chain, max_pages=50, max_depth=10)
+    for mode in ("partitioned", "broadcast"):
+        wh = str(tmp_path / f"wh_{mode}")
+        CrawlEngine(spark, fx, wh, CrawlConfig(
+            write_payload=False, expected_urls=1024, n_buckets=16,
+            bloom_mode=mode)).run(max_rounds=2)
+        eng = CrawlEngine(spark, fx, wh, CrawlConfig(
+            write_payload=False, expected_urls=1024, n_buckets=64,
+            bloom_mode=mode))
+        eng.run()
+        fetched = eng.store.read("fetched")
+        assert fetched.count() == fetched.select("url").distinct().count(), mode
+        assert fetched.count() == 7, mode
+
+
 @pytest.mark.parametrize("seed,n_hosts,pages,dup", [
     (101, 7, 200, 0.0),
     (202, 3, 90, 0.3),
@@ -205,10 +257,13 @@ def test_partitioned_bloom_mode_is_bit_identical(spark, fixtures, tmp_path):
     # the cuckoo sidecar (north-rule alternative; cogrouped single-owner
     # insert instead of OR-merge) must also be bit-identical
     assert results["broadcast"] == results["cuckoo"]
-    # and the executor-resident runs never staged a blob (driver sidecar)
+    # and the executor-resident runs never staged a SIDECAR blob (the
+    # few-byte sidecar_meta validity marker is metadata, not the filter)
     for mode in ("partitioned", "cuckoo"):
         blob_dir = os.path.join(str(tmp_path / f"wh_{mode}"), "blobs")
-        assert not os.listdir(blob_dir)
+        non_meta = [f for f in os.listdir(blob_dir)
+                    if not f.startswith("sidecar_meta")]
+        assert not non_meta
 
 
 def test_counting_bloom_executor_merge_path(spark):
@@ -407,3 +462,30 @@ def test_cuckoo_shard_upsert_and_probe_mixed_widths():
     out = cuckoo_probe_fn(["url_hash", "bucket"], 16)(cand, row2)
     assert out["maybe"].to_numpy()[:300].all()      # no false negatives
     assert out["maybe"].to_numpy()[300:].mean() < 0.05  # sane FPR
+
+
+def test_cuckoo_shard_fold_overflow_raises_not_drops():
+    """Folding duplicate same-width shard rows into a full filter must
+    raise (like add_many on a full filter), never silently drop a
+    fingerprint — a dropped fingerprint is a false NEGATIVE that lets a
+    seen URL bypass the exact anti-join."""
+    import numpy as np
+    import pytest as _pt
+
+    from ai_intel_web_scraper_spark.crawl.bloom import (
+        CuckooShards, _cuckoo_rows_to_filters)
+    n = 1 << 2  # 4 buckets x 4 slots = 16 entries per shard
+    a = np.arange(1, 17, dtype=np.uint16).reshape(n, CuckooShards.SLOTS)
+    b = np.arange(101, 117, dtype=np.uint16).reshape(n, CuckooShards.SLOTS)
+    with _pt.raises(RuntimeError, match="overflow"):
+        _cuckoo_rows_to_filters([a.tobytes(), b.tobytes()],
+                                n_buckets=1, bucket=0)
+    # a non-overflowing fold (first row half empty) still succeeds
+    half = a.copy()
+    half[:, 2:] = 0
+    sparse = np.zeros_like(b)
+    sparse[0, 0] = 999
+    got = _cuckoo_rows_to_filters([half.tobytes(), sparse.tobytes()],
+                                  n_buckets=1, bucket=0)
+    assert list(got) == [2]  # slots_log2 = log2(4)
+    assert 999 in got[2].shards[0]  # the sparse row's fp was folded in
