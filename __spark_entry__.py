@@ -24,6 +24,7 @@ from ai_intel_web_scraper_spark.operators import chunking as C
 from ai_intel_web_scraper_spark.operators import corpus as CP
 from ai_intel_web_scraper_spark.operators import dedup as D
 from ai_intel_web_scraper_spark.operators import export as EXP
+from ai_intel_web_scraper_spark.operators import packing as PK
 from ai_intel_web_scraper_spark.operators import queryanalysis as QA
 from ai_intel_web_scraper_spark.operators import ranking as R
 from ai_intel_web_scraper_spark.operators import stats as S
@@ -1617,6 +1618,29 @@ def q_hygiene_pipeline(spark, sf_dir):
         " '5_lm_kept', n5, '6_pii_flagged', n6) AS (stage, n)"))
 
 
+def q_pack_shards(spark, sf_dir):
+    """Dataset-assembly addition (late r3): deterministic global shuffle +
+    concat-and-split sequence packing into fixed-token-budget training
+    shards. Per-doc (start_offset, shard_id, offset_in_shard, n_spans) —
+    all exact integers; the two-level distributed prefix sum must equal
+    the oracle's single global window."""
+    docs = _t(spark, sf_dir, "documents")
+    return PK.pack_shards(docs, "doc_id", "text")
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Dataset-assembly addition (late r3): hash-thresholded domain-
+    mixture downsampling toward the module's target source weights.
+    Emits integer (n_before, n_kept) per source — the kept counts pin the
+    exact per-row threshold decisions cross-engine."""
+    docs = _t(spark, sf_dir, "documents")
+    sampled = PK.mixture_sample(docs, "doc_id", "source")
+    return (sampled.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_before"),
+                 F.sum(F.col("kept").cast("long")).alias("n_kept"))
+            .orderBy("source"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks the FIRST 50 keys each round (CORRECTNESS_r{N}).
     # Rotation policy (SURVEY §2.7): never-checked / recently-fixed queries
@@ -1648,13 +1672,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,                    # PII redaction, late-r3
         "lm_quality": q_lm_quality,                  # CCNet LM filter, late-r3
         "hygiene_pipeline": q_hygiene_pipeline,      # composed family, late-r3
+        "pack_shards": q_pack_shards,                # shard packing, late-r3
+        "mixture_sample": q_mixture_sample,          # domain mixture, late-r3
         # --- driver-green in r2, kept in-window ------------------------
         "pricing_summary": q_pricing_summary,
         "docs_keep_first": q_docs_keep_first,
         "topic_tags": q_topic_tags,
         "quality_filter": q_quality_filter,
         "rrf_fusion": q_rrf_fusion,
-        "topk_cosine": q_topk_cosine,
         "jaccard_top_pairs": q_jaccard_top_pairs,
         "user_quota": q_user_quota,
         "token_window_chunks": q_token_window_chunks,
@@ -1669,13 +1694,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_budget_state": q_stream_budget_state,
         "stream_dedup": q_stream_dedup,            # dropDuplicates, late-r3
         "process_pipeline": q_process_pipeline,
-        "minhash_pairs": q_minhash_pairs,
         "minhash_verified": q_minhash_verified,
         "minhash_greedy": q_minhash_greedy,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         # --- past the 50-query window: stable r2 greens -----------------
+        "topk_cosine": q_topk_cosine,      # rotated out for pack_shards
+                                           # (S10/R4 stays via ann_ivf_topk's
+                                           # exact re-rank + rrf_fusion)
+        "minhash_pairs": q_minhash_pairs,  # rotated out for mixture_sample
+                                           # (P9 band join stays exercised
+                                           # inside minhash_verified/greedy)
         "topic_fanout": q_topic_fanout,    # rotated out in r3 for R5
         "sql_top_events": q_sql_top_events,  # rotated out in r3 for BPE
         "nation_coverage": q_nation_coverage,  # rotated out for bpe_chunks
@@ -2212,6 +2242,58 @@ def oracle_sql() -> dict[str, str]:
                        '{CP.PII_PHONE}', '[PHONE]', 'g'),
                        '{CP.PII_IP}', '[IP]', 'g')) AS redacted_md5
             FROM planted""",
+        # pack_shards: the oracle recomputes the packing with ONE global
+        # window (the semantics); the engine's two-level bucketed prefix
+        # sum must land on identical offsets. The md5-derived shuffle key
+        # replays verbatim; every output column is an exact integer.
+        "pack_shards": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text,
+                         '{X.TOKEN_REGEX}'))::BIGINT AS n_tokens,
+                     ('0x' || substring(md5('{PK.PACK_SEED}:'
+                          || doc_id::VARCHAR), 1, 15))::BIGINT AS k
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     (sum(n_tokens) OVER (ORDER BY k, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - n_tokens)::BIGINT AS start_offset
+              FROM t)
+            SELECT doc_id, n_tokens, start_offset,
+                   (start_offset // {PK.SHARD_TOKEN_BUDGET})::BIGINT
+                       AS shard_id,
+                   (start_offset % {PK.SHARD_TOKEN_BUDGET})::BIGINT
+                       AS offset_in_shard,
+                   (greatest(start_offset + n_tokens - 1, start_offset)
+                      // {PK.SHARD_TOKEN_BUDGET}
+                    - start_offset // {PK.SHARD_TOKEN_BUDGET}
+                    + 1)::BIGINT AS n_spans
+            FROM c""",
+        # mixture_sample: integer products stay exact; the ONE long/long
+        # division per rate and the key/2^60 fraction are correctly-
+        # rounded doubles in both engines, so the per-row keep decisions
+        # (and hence the integer kept counts) match exactly.
+        "mixture_sample": f"""
+            WITH c AS (SELECT source, count(*)::BIGINT AS n_before
+                       FROM documents GROUP BY source),
+            t AS (SELECT sum(n_before)::BIGINT AS total FROM c),
+            w AS (SELECT * FROM
+                  {_sql_values_table(sorted(PK.MIX_WEIGHTS.items()),
+                                     ["source", "wnum"])}),
+            r AS (SELECT c.source, c.n_before,
+                         least(1.0, ({PK.MIX_FRAC_NUM} * wnum * total)
+                               / ({PK.MIX_WEIGHT_DEN * PK.MIX_FRAC_DEN}
+                                  * n_before)) AS rate
+                  FROM c CROSS JOIN t JOIN w USING (source))
+            SELECT r.source, r.n_before,
+                   sum(CASE WHEN ('0x' || substring(md5('{PK.MIX_SEED}:'
+                          || d.doc_id::VARCHAR), 1, 15))::BIGINT
+                          / {float(1 << PK.KEY_BITS)!r} < r.rate
+                       THEN 1 ELSE 0 END)::BIGINT AS n_kept
+            FROM documents d JOIN r ON d.source = r.source
+            GROUP BY r.source, r.n_before
+            ORDER BY r.source""",
         "lang_id": f"""
             SELECT lang, predicted, count(*)::BIGINT AS n FROM (
               SELECT lang, {lang_case} AS predicted FROM (

@@ -1,0 +1,148 @@
+"""Training-shard packing and deterministic mixture sampling — the two
+dataset-assembly steps a pretraining pipeline runs AFTER hygiene
+(`operators/corpus.py`) and dedup (`operators/dedup.py`): a deterministic
+global shuffle + concat-and-split sequence packing into fixed-token-budget
+shards (the standard LLM pretraining layout: tokenize, concatenate in a
+seeded order, split every `budget` tokens), and hash-thresholded
+domain-mixture downsampling toward target source weights (the DoReMi /
+The-Pile-style mixture step).
+
+The reference pipeline stops at per-record storage (`main.py` process →
+vectorize); these operators extend it to the shard-assembly stage the
+SURVEY's training-data brief calls for.
+
+Scale notes (100 TB):
+- The global token prefix-sum is TWO-LEVEL: a per-bucket running sum
+  (hash-bucketed window, fully parallel) plus a bucket-prefix frame of
+  `n_buckets` rows (~one row per core) that alone crosses a
+  single-partition window. No corpus-sized single-partition window
+  exists; the expensive window shuffles once on the bucket key.
+- Bucket ranges partition the 60-bit key space in ORDER (`key DIV step`),
+  so bucket-major order == global key order; integer DIV keeps boundary
+  keys exact where a double divide would round past 2^53.
+- The mixture sampler's keep rule is a pure per-row comparison against a
+  per-source rate joined in from a source-cardinality-sized broadcast
+  frame; no per-row Python, no driver collects.
+- Determinism: the shuffle key is md5-derived (not xxhash64) so the
+  DuckDB oracle replays it verbatim; every emitted column is an exact
+  integer, and the sampling rate is a single long/long IEEE division both
+  engines round identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import token_count_col
+
+KEY_BITS = 60                    # 15 hex digits of md5 -> non-negative long
+PACK_SEED = "pack-v1"
+MIX_SEED = "mix-v1"
+SHARD_TOKEN_BUDGET = 512         # test-scale; production = ctx_len * seqs/shard
+
+# Target mixture weights: source "src<i>" gets weight (i % 4 + 1) / 50
+# (20 sources, weights sum to 1). The sampled corpus keeps
+# MIX_FRAC_NUM/MIX_FRAC_DEN of the input token BUDGET in expectation, so
+# per-source keep rate r_s = min(1, w_s * frac * total / count_s).
+MIX_WEIGHTS = {f"src{i}": i % 4 + 1 for i in range(20)}
+MIX_WEIGHT_DEN = sum(MIX_WEIGHTS.values())
+MIX_FRAC_NUM, MIX_FRAC_DEN = 3, 5
+
+
+def shuffle_key_col(col: F.Column, seed: str) -> F.Column:
+    """Seeded deterministic 60-bit shuffle key: first 15 hex digits of
+    md5("<seed>:<value>") as a non-negative long. DuckDB replays it as
+    ('0x' || substring(md5('<seed>:' || v::VARCHAR), 1, 15))::BIGINT."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), col.cast("string"))), 1, 15),
+        16, 10).cast("long")
+
+
+def pack_shards(docs: DataFrame, id_col: str, text_col: str,
+                budget: int = SHARD_TOKEN_BUDGET, seed: str = PACK_SEED,
+                n_buckets: int | None = None) -> DataFrame:
+    """Concat-and-split sequence packing: order documents by a seeded
+    hash key (the deterministic global shuffle), lay their token streams
+    end-to-end, and cut a shard every `budget` tokens. Emits one row per
+    document: (id, n_tokens, start_offset, shard_id, offset_in_shard,
+    n_spans) where shard_id is the shard the document STARTS in and
+    n_spans counts how many shards its tokens touch (documents may split
+    across a shard boundary — the standard pretraining layout).
+
+    Token counts use the repo-wide BPE-ish regex proxy
+    (`text.token_count_col`); swap in `functions/bpe.py` budgets for
+    tiktoken fidelity the same way `bpe_chunks` does."""
+    sp = docs.sparkSession
+    if n_buckets is None:
+        n_buckets = max(8, sp.sparkContext.defaultParallelism)
+    step = -((1 << KEY_BITS) // -n_buckets)  # ceil-div: last bucket short
+    toks = docs.select(
+        F.col(id_col),
+        token_count_col(F.col(text_col)).cast("long").alias("n_tokens"),
+        shuffle_key_col(F.col(id_col), seed).alias("_key"),
+    ).withColumn("_bucket", F.expr(f"_key DIV {step}"))
+    # level 1: running sum inside each ordered key-range bucket (parallel)
+    w_in = (Window.partitionBy("_bucket").orderBy("_key", id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    toks = toks.withColumn("_cum_in", F.sum("n_tokens").over(w_in))
+    # level 2: exclusive prefix over the n_buckets-row totals frame (tiny
+    # by construction — the one deliberate single-partition window)
+    w_pre = (Window.orderBy("_bucket")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    bpre = (toks.groupBy("_bucket").agg(F.sum("n_tokens").alias("_btok"))
+            .withColumn("_bpre", F.coalesce(F.sum("_btok").over(w_pre),
+                                            F.lit(0).cast("long")))
+            .select("_bucket", "_bpre"))
+    return (toks.join(F.broadcast(bpre), "_bucket")
+            .withColumn("start_offset",
+                        F.col("_bpre") + F.col("_cum_in") - F.col("n_tokens"))
+            .withColumn("shard_id", F.expr(f"start_offset DIV {budget}"))
+            .withColumn("offset_in_shard",
+                        F.col("start_offset") % F.lit(budget))
+            .withColumn("n_spans", F.expr(
+                f"greatest(start_offset + n_tokens - 1, start_offset) "
+                f"DIV {budget}") - F.col("shard_id") + F.lit(1))
+            .select(id_col, "n_tokens", "start_offset", "shard_id",
+                    "offset_in_shard", "n_spans"))
+
+
+def mixture_rates(docs: DataFrame, source_col: str,
+                  weights: dict[str, int] | None = None) -> DataFrame:
+    """Per-source keep rates toward the target mixture:
+    rate_s = min(1, (frac_num * w_num_s * total) /
+                    (weight_den * frac_den * count_s)).
+    Integer products stay exact longs; ONE long/long division produces
+    the double, so Spark and DuckDB compute bit-identical rates. Returns
+    (source, n_before, rate)."""
+    weights = MIX_WEIGHTS if weights is None else weights
+    weight_den = sum(weights.values())
+    sp = docs.sparkSession
+    wdf = sp.createDataFrame(sorted(weights.items()),
+                             schema=f"{source_col} string, _wnum int")
+    counts = docs.groupBy(source_col).agg(
+        F.count("*").cast("long").alias("n_before"))
+    total = counts.agg(F.sum("n_before").alias("_total"))
+    return (counts.crossJoin(F.broadcast(total))
+            .join(F.broadcast(wdf), source_col)
+            .withColumn("rate", F.least(
+                F.lit(1.0),
+                (F.lit(MIX_FRAC_NUM) * F.col("_wnum").cast("long")
+                 * F.col("_total"))
+                / (F.lit(weight_den * MIX_FRAC_DEN) * F.col("n_before"))))
+            .select(source_col, "n_before", "rate"))
+
+
+def mixture_sample(docs: DataFrame, id_col: str, source_col: str,
+                   weights: dict[str, int] | None = None,
+                   seed: str = MIX_SEED) -> DataFrame:
+    """Deterministic domain-mixture downsampling: keep a row iff its
+    seeded hash fraction u = key/2^60 falls below its source's rate.
+    Sources absent from the weight table are dropped (weight 0). Adds a
+    boolean `kept` column; callers filter or account on it."""
+    rates = mixture_rates(docs, source_col, weights)
+    u = shuffle_key_col(F.col(id_col), seed) / F.lit(float(1 << KEY_BITS))
+    return (docs.join(F.broadcast(rates.select(source_col, "rate")),
+                      source_col)
+            .withColumn("kept", u < F.col("rate")))

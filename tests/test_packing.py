@@ -1,0 +1,103 @@
+"""Dataset-assembly operators (`operators/packing.py`): shard packing
+invariants, the two-level-prefix-sum ≡ single-window identity, and the
+deterministic mixture sampler's rate/threshold contract."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_intel_web_scraper_spark.operators import packing as PK
+
+
+def _py_key(seed: str, value) -> int:
+    return int(hashlib.md5(f"{seed}:{value}".encode()).hexdigest()[:15], 16)
+
+
+def test_shuffle_key_matches_python_md5(spark):
+    df = spark.createDataFrame([(i,) for i in (0, 1, 7, 123456789)],
+                               "doc_id long")
+    got = {r["doc_id"]: r["k"] for r in df.select(
+        "doc_id",
+        PK.shuffle_key_col(F.col("doc_id"), "s").alias("k")).collect()}
+    for i, k in got.items():
+        assert k == _py_key("s", i)
+        assert 0 <= k < 1 << PK.KEY_BITS
+
+
+@pytest.fixture(scope="module")
+def packed(spark, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    rows = PK.pack_shards(docs, "doc_id", "text", budget=256).collect()
+    return sorted(rows, key=lambda r: r["start_offset"])
+
+
+def test_pack_offsets_contiguous_in_key_order(packed):
+    # Concat-and-split: sorted by start_offset, each document begins
+    # exactly where the previous one ended, starting at 0 — and that
+    # order IS the seeded key order.
+    assert packed[0]["start_offset"] == 0
+    off = 0
+    for r in packed:
+        assert r["start_offset"] == off
+        off += r["n_tokens"]
+    keys = [(_py_key(PK.PACK_SEED, r["doc_id"]), r["doc_id"]) for r in packed]
+    assert keys == sorted(keys)
+
+
+def test_pack_shard_geometry(packed):
+    for r in packed:
+        assert r["shard_id"] == r["start_offset"] // 256
+        assert r["offset_in_shard"] == r["start_offset"] % 256
+        end = max(r["start_offset"] + r["n_tokens"] - 1, r["start_offset"])
+        assert r["n_spans"] == end // 256 - r["shard_id"] + 1
+        assert r["n_spans"] >= 1
+    # the budget is small enough that some docs must straddle a boundary
+    assert any(r["n_spans"] > 1 for r in packed)
+
+
+def test_pack_two_level_equals_single_bucket(spark, sf_dir):
+    # The distributed shape (many ordered key-range buckets + bucket
+    # prefix) must be value-identical to the degenerate single-bucket
+    # run, which IS the plain global window definition.
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    many = PK.pack_shards(docs, "doc_id", "text", n_buckets=13)
+    one = PK.pack_shards(docs, "doc_id", "text", n_buckets=1)
+    assert many.exceptAll(one).isEmpty() and one.exceptAll(many).isEmpty()
+
+
+def test_mixture_rates_formula_and_cap(spark):
+    # 3 sources, weights {a:1, b:2} (c unweighted -> dropped); frac 3/5.
+    rows = [(f"d{i}", src) for src, n in (("a", 8), ("b", 2), ("c", 5))
+            for i in range(n)]
+    docs = spark.createDataFrame(
+        [(f"{s}-{j}", s) for j, (_, s) in enumerate(rows)],
+        "doc_id string, source string")
+    rates = {r["source"]: r for r in PK.mixture_rates(
+        docs, "source", weights={"a": 1, "b": 2}).collect()}
+    assert set(rates) == {"a", "b"}
+    # rate_a = min(1, (3*1*15)/(3*5*8)) = 45/120; rate_b = 90/30 -> capped
+    assert rates["a"]["rate"] == pytest.approx(45 / 120, abs=0)
+    assert rates["b"]["rate"] == 1.0
+
+
+def test_mixture_sample_threshold_matches_python(spark, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    got = PK.mixture_sample(docs, "doc_id", "source").collect()
+    n = len(got)
+    counts = {}
+    for r in got:
+        counts[r["source"]] = counts.get(r["source"], 0) + 1
+    for r in got:
+        w = PK.MIX_WEIGHTS[r["source"]]
+        rate = min(1.0, (PK.MIX_FRAC_NUM * w * n)
+                   / (PK.MIX_WEIGHT_DEN * PK.MIX_FRAC_DEN
+                      * counts[r["source"]]))
+        u = _py_key(PK.MIX_SEED, r["doc_id"]) / float(1 << PK.KEY_BITS)
+        assert r["kept"] == (u < rate), r["doc_id"]
+    # weights differ across sources, so both outcomes must occur
+    kept = sum(1 for r in got if r["kept"])
+    assert 0 < kept < n
