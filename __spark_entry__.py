@@ -1641,6 +1641,16 @@ def q_mixture_sample(spark, sf_dir):
             .orderBy("source"))
 
 
+def q_shard_spans(spark, sf_dir):
+    """Dataset-assembly addition (late r3): per-(document, shard) token-
+    span manifest — pack_shards exploded so each shard a document
+    touches gets one row with exact in-shard offsets (the slice list a
+    training loader consumes). Native sequence->explode, narrow over
+    the packed frame; oracle replays with generate_series."""
+    docs = _t(spark, sf_dir, "documents")
+    return PK.shard_spans(PK.pack_shards(docs, "doc_id", "text"), "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks the FIRST 50 keys each round (CORRECTNESS_r{N}).
     # Rotation policy (SURVEY §2.7): never-checked / recently-fixed queries
@@ -1682,7 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,
         "jaccard_top_pairs": q_jaccard_top_pairs,
         "user_quota": q_user_quota,
-        "token_window_chunks": q_token_window_chunks,
+        "shard_spans": q_shard_spans,                # span manifest, late-r3
         "url_classify": q_url_classify,
         "html_extract": q_html_extract,
         "reddit_source": q_reddit_source,
@@ -1706,6 +1716,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,  # rotated out for mixture_sample
                                            # (P9 band join stays exercised
                                            # inside minhash_verified/greedy)
+        "token_window_chunks": q_token_window_chunks,  # rotated out for
+                                           # shard_spans (V5 stays exercised
+                                           # via bpe_chunks' stride loop)
         "topic_fanout": q_topic_fanout,    # rotated out in r3 for R5
         "sql_top_events": q_sql_top_events,  # rotated out in r3 for BPE
         "nation_coverage": q_nation_coverage,  # rotated out for bpe_chunks
@@ -2270,6 +2283,45 @@ def oracle_sql() -> dict[str, str]:
                     - start_offset // {PK.SHARD_TOKEN_BUDGET}
                     + 1)::BIGINT AS n_spans
             FROM c""",
+        # shard_spans: same packing CTE, exploded per touched shard via
+        # generate_series; clamps are pure integer min/max so every span
+        # column is exact. The zero-token bookkeeping row (span_index 0,
+        # span_tokens 0) is kept on both sides.
+        "shard_spans": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text,
+                         '{X.TOKEN_REGEX}'))::BIGINT AS n_tokens,
+                     ('0x' || substring(md5('{PK.PACK_SEED}:'
+                          || doc_id::VARCHAR), 1, 15))::BIGINT AS k
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     (sum(n_tokens) OVER (ORDER BY k, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - n_tokens)::BIGINT AS start_offset
+              FROM t),
+            e AS (
+              SELECT doc_id, n_tokens, start_offset,
+                     start_offset // {PK.SHARD_TOKEN_BUDGET} AS first_shard,
+                     unnest(generate_series(
+                        start_offset // {PK.SHARD_TOKEN_BUDGET},
+                        greatest(start_offset + n_tokens - 1, start_offset)
+                          // {PK.SHARD_TOKEN_BUDGET})) AS s
+              FROM c),
+            sp AS (
+              SELECT doc_id, s::BIGINT AS shard_id,
+                     (s - first_shard)::BIGINT AS span_index,
+                     (greatest(s * {PK.SHARD_TOKEN_BUDGET}, start_offset)
+                      - s * {PK.SHARD_TOKEN_BUDGET})::BIGINT
+                         AS span_start_in_shard,
+                     (least((s + 1) * {PK.SHARD_TOKEN_BUDGET},
+                            start_offset + n_tokens)
+                      - greatest(s * {PK.SHARD_TOKEN_BUDGET},
+                                 start_offset))::BIGINT AS span_tokens
+              FROM e)
+            SELECT * FROM sp
+            WHERE span_tokens > 0 OR span_index = 0""",
         # mixture_sample: integer products stay exact; the ONE long/long
         # division per rate and the key/2^60 fraction are correctly-
         # rounded doubles in both engines, so the per-row keep decisions

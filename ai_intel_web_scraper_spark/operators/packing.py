@@ -108,6 +108,36 @@ def pack_shards(docs: DataFrame, id_col: str, text_col: str,
                     "offset_in_shard", "n_spans"))
 
 
+def shard_spans(packed: DataFrame, id_col: str,
+                budget: int = SHARD_TOKEN_BUDGET) -> DataFrame:
+    """Explode `pack_shards` output into the per-(document, shard) span
+    manifest a training loader consumes: one row per shard a document's
+    tokens touch, with exact in-shard offsets. `span_index` counts the
+    document's spans (0 = the shard it starts in); `span_start_in_shard`
+    / `span_tokens` delimit the slice inside that shard. Sum of
+    span_tokens per document == n_tokens; sum per shard == budget for
+    every full shard.
+
+    Pure native exprs (`sequence` -> explode + min/max clamps) — the
+    explode fan-out is bounded by ceil(n_tokens/budget) per doc and
+    stays a narrow map over the packed frame (no extra shuffle)."""
+    b = F.lit(budget)
+    start, n = F.col("start_offset"), F.col("n_tokens")
+    spans = packed.withColumn(
+        "shard", F.explode(F.sequence(
+            F.col("shard_id"), F.col("shard_id") + F.col("n_spans") - 1)))
+    lo = F.greatest(F.col("shard") * b, start)
+    hi = F.least((F.col("shard") + 1) * b, start + n)
+    return (spans.select(
+        id_col,
+        F.col("shard").alias("shard_id"),
+        (F.col("shard") - F.col("shard_id")).alias("span_index"),
+        (lo - F.col("shard") * b).alias("span_start_in_shard"),
+        (hi - lo).alias("span_tokens"))
+        # zero-token docs keep their single bookkeeping row (hi==lo)
+        .where((F.col("span_tokens") > 0) | (F.col("span_index") == 0)))
+
+
 def mixture_rates(docs: DataFrame, source_col: str,
                   weights: dict[str, int] | None = None) -> DataFrame:
     """Per-source keep rates toward the target mixture:

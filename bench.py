@@ -51,6 +51,8 @@ EXTRA = [
     # late-r3 corpus-hygiene additions
     "repetition_signals", "decontaminate", "pii_scrub", "lm_quality",
     "hygiene_pipeline",
+    # late-r3 dataset-assembly additions
+    "pack_shards", "mixture_sample", "shard_spans",
 ]
 
 

@@ -69,6 +69,34 @@ def test_pack_two_level_equals_single_bucket(spark, sf_dir):
     assert many.exceptAll(one).isEmpty() and one.exceptAll(many).isEmpty()
 
 
+def test_shard_spans_conservation_and_geometry(spark, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    packed = PK.pack_shards(docs, "doc_id", "text", budget=256)
+    spans = PK.shard_spans(packed, "doc_id", budget=256).collect()
+    by_doc, by_shard = {}, {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        by_shard[r["shard_id"]] = (by_shard.get(r["shard_id"], 0)
+                                   + r["span_tokens"])
+    pk = {r["doc_id"]: r for r in packed.collect()}
+    assert set(by_doc) == set(pk)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r["span_index"])
+        # per-doc conservation + contiguous span indexes from 0
+        assert sum(r["span_tokens"] for r in rs) == pk[doc_id]["n_tokens"]
+        assert [r["span_index"] for r in rs] == list(range(len(rs)))
+        assert rs[0]["shard_id"] == pk[doc_id]["shard_id"]
+        assert rs[0]["span_start_in_shard"] == pk[doc_id]["offset_in_shard"]
+        # non-first spans start at the shard head
+        assert all(r["span_start_in_shard"] == 0 for r in rs[1:])
+    # every shard except the last is filled to exactly the budget
+    last = max(by_shard)
+    assert all(n == 256 for s, n in by_shard.items() if s != last)
+    assert 0 < by_shard[last] <= 256
+    # the small budget forces real multi-span docs
+    assert any(len(rs) > 1 for rs in by_doc.values())
+
+
 def test_mixture_rates_formula_and_cap(spark):
     # 3 sources, weights {a:1, b:2} (c unweighted -> dropped); frac 3/5.
     rows = [(f"d{i}", src) for src, n in (("a", 8), ("b", 2), ("c", 5))
