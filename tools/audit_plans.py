@@ -70,6 +70,19 @@ AUDIT = {
                   "!ArrowEvalPython", "!MapInPandas"],
     "lm_quality": ["ArrowEvalPython",           # constant LM broadcast into
                    "!Exchange"],                # one Arrow batch, no shuffle
+    # dataset assembly (late r3): the corpus-sized window must carry the
+    # _bucket partition spec (the two-level prefix sum — only the
+    # n_buckets-row totals frame crosses a single partition, then joins
+    # back broadcast); everything is native exprs, no Python stage
+    "pack_shards": [r"windowspecdefinition\(_bucket", "BroadcastHashJoin",
+                    r"ReadSchema: struct<doc_id:bigint,text:string",
+                    "!ArrowEvalPython", "!MapInPandas"],
+    "shard_spans": [r"Generate explode\(sequence",    # native span fan-out
+                    "!ArrowEvalPython", "!MapInPandas"],
+    "mixture_sample": ["BroadcastHashJoin",           # rates broadcast in
+                       "partial_count",               # map-side agg
+                       r"PushedFilters: \[IsNotNull\(source\)",
+                       "!ArrowEvalPython", "!MapInPandas"],
     # composed hygiene lifecycle (single-pass labeling): fingerprint-rank
     # window (no group limit — every row keeps its label), broadcast
     # contamination join, Arrow signal UDFs — never a BatchEvalPython
