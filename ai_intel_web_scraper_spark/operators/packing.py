@@ -120,18 +120,28 @@ def shard_spans(packed: DataFrame, id_col: str,
 
     Pure native exprs (`sequence` -> explode + min/max clamps) — the
     explode fan-out is bounded by ceil(n_tokens/budget) per doc and
-    stays a narrow map over the packed frame (no extra shuffle)."""
+    stays a narrow map over the packed frame (no extra shuffle).
+
+    Only the budget-independent packed columns (start_offset, n_tokens)
+    are consumed — the shard geometry is re-derived under THIS budget,
+    so passing a budget different from the one `pack_shards` used
+    cannot produce inconsistent spans (the re-derived first shard is
+    definitionally start_offset DIV budget)."""
     b = F.lit(budget)
     start, n = F.col("start_offset"), F.col("n_tokens")
-    spans = packed.withColumn(
-        "shard", F.explode(F.sequence(
-            F.col("shard_id"), F.col("shard_id") + F.col("n_spans") - 1)))
+    spans = (packed
+             .withColumn("_first", F.expr(f"start_offset DIV {budget}"))
+             .withColumn("_last", F.expr(
+                 f"greatest(start_offset + n_tokens - 1, start_offset)"
+                 f" DIV {budget}"))
+             .withColumn("shard", F.explode(
+                 F.sequence(F.col("_first"), F.col("_last")))))
     lo = F.greatest(F.col("shard") * b, start)
     hi = F.least((F.col("shard") + 1) * b, start + n)
     return (spans.select(
         id_col,
         F.col("shard").alias("shard_id"),
-        (F.col("shard") - F.col("shard_id")).alias("span_index"),
+        (F.col("shard") - F.col("_first")).alias("span_index"),
         (lo - F.col("shard") * b).alias("span_start_in_shard"),
         (hi - lo).alias("span_tokens"))
         # zero-token docs keep their single bookkeeping row (hi==lo)

@@ -32,7 +32,11 @@ def test_shuffle_key_matches_python_md5(spark):
 def packed(spark, sf_dir):
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     rows = PK.pack_shards(docs, "doc_id", "text", budget=256).collect()
-    return sorted(rows, key=lambda r: r["start_offset"])
+    # sort key includes the shuffle key so zero-token docs (which tie on
+    # start_offset with their successor) order deterministically
+    return sorted(rows, key=lambda r: (r["start_offset"],
+                                       _py_key(PK.PACK_SEED, r["doc_id"]),
+                                       r["doc_id"]))
 
 
 def test_pack_offsets_contiguous_in_key_order(packed):
@@ -95,6 +99,29 @@ def test_shard_spans_conservation_and_geometry(spark, sf_dir):
     assert 0 < by_shard[last] <= 256
     # the small budget forces real multi-span docs
     assert any(len(rs) > 1 for rs in by_doc.values())
+
+
+def test_shard_spans_budget_independent_of_packed_geometry(spark):
+    # shard_spans re-derives the geometry from (start_offset, n_tokens)
+    # under ITS budget — it must not read the packed frame's shard_id /
+    # offset_in_shard / n_spans columns, so a caller re-slicing the same
+    # packing under a different budget gets the correct new manifest.
+    docs = spark.createDataFrame(
+        [(i, "tok " * (40 * (i + 1))) for i in range(6)],
+        "doc_id long, text string")
+    packed = PK.pack_shards(docs, "doc_id", "text", budget=256)
+    resliced = {(r["doc_id"], r["span_index"]): r
+                for r in PK.shard_spans(packed, "doc_id",
+                                        budget=64).collect()}
+    direct = {(r["doc_id"], r["span_index"]): r
+              for r in PK.shard_spans(
+                  PK.pack_shards(docs, "doc_id", "text", budget=64),
+                  "doc_id", budget=64).collect()}
+    assert resliced.keys() == direct.keys()
+    for k, r in resliced.items():
+        for c in ("shard_id", "span_start_in_shard", "span_tokens"):
+            assert r[c] == direct[k][c], (k, c)
+        assert r["span_tokens"] >= 0
 
 
 def test_mixture_rates_formula_and_cap(spark):

@@ -24,12 +24,19 @@ SUBMIT = shutil.which("spark-submit")
 
 def _run_job(zip_path, workdir, fx, wh, extra=()):
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    # Submit a COPY of job.py that lives inside the clean workdir: Python
+    # puts the submitted script's directory at sys.path[0], so submitting
+    # ROOT/job.py would let driver-side imports silently resolve from the
+    # checkout instead of the zip.
+    job_copy = os.path.join(workdir, "job.py")
+    if not os.path.exists(job_copy):
+        shutil.copyfile(os.path.join(ROOT, "job.py"), job_copy)
     cmd = [SUBMIT, "--master", "local[4]",
            "--conf", "spark.sql.shuffle.partitions=8",
            "--conf", "spark.ui.enabled=false",
            "--conf", f"spark.local.dir={workdir}/spark-local",
            "--py-files", zip_path,
-           os.path.join(ROOT, "job.py"),
+           job_copy,
            "--fixtures", fx, "--warehouse", wh,
            "--n-buckets", "8", "--expected-urls", str(1 << 14),
            *extra]
