@@ -69,7 +69,16 @@ def url_path(url: str) -> str:
 
 
 def url_hash64(url: str) -> int:
-    """Signed 64-bit stable hash of a canonical URL string."""
+    """Signed 64-bit stable hash of a canonical URL string.
+
+    Deliberate deviation from the blueprint's "murmur3": Spark's native
+    murmur3 (`F.hash`) is 32-bit — at 10^10 URLs the birthday bound makes
+    32-bit collisions certain (~10^19 pairs), and the url_seen anti-join
+    keys on this hash. blake2b/8-byte gives a stable 64-bit digest with
+    identical results from stdlib Python (oracle side) and the vectorized
+    Arrow UDF (engine side), with no third-party dependency; the filter
+    sidecars probe the same value, so canonicalize → hash → probe keeps
+    the blueprint's shape at 64-bit width."""
     d = hashlib.blake2b(url.encode("utf-8"), digest_size=8).digest()
     return struct.unpack("<q", d)[0]
 

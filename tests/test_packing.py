@@ -124,6 +124,41 @@ def test_shard_spans_budget_independent_of_packed_geometry(spark):
         assert r["span_tokens"] >= 0
 
 
+def test_pack_property_based_vs_python_oracle(spark):
+    """Property test: on arbitrary token-count multisets — including
+    adversarial runs of zero-token docs and budget-straddling giants —
+    the distributed packing equals a 10-line Python oracle that sorts by
+    the seeded key and runs one cumulative sum."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=700),
+                    min_size=1, max_size=60),
+           st.sampled_from([1, 7, 256]))
+    def check(counts, budget):
+        # doc text with exactly `c` tokens under the repo token regex
+        docs = spark.createDataFrame(
+            [(i, "t " * c) for i, c in enumerate(counts)],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r for r in PK.pack_shards(
+            docs, "doc_id", "text", budget=budget, n_buckets=5).collect()}
+        order = sorted(range(len(counts)),
+                       key=lambda i: (_py_key(PK.PACK_SEED, i), i))
+        off = 0
+        for i in order:
+            r = got[i]
+            assert r["n_tokens"] == counts[i]
+            assert r["start_offset"] == off
+            assert r["shard_id"] == off // budget
+            assert r["offset_in_shard"] == off % budget
+            end = max(off + counts[i] - 1, off)
+            assert r["n_spans"] == end // budget - off // budget + 1
+            off += counts[i]
+
+    check()
+
+
 def test_mixture_rates_formula_and_cap(spark):
     # 3 sources, weights {a:1, b:2} (c unweighted -> dropped); frac 3/5.
     rows = [(f"d{i}", src) for src, n in (("a", 8), ("b", 2), ("c", 5))
