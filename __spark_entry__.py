@@ -1651,6 +1651,38 @@ def q_shard_spans(spark, sf_dir):
     return PK.shard_spans(PK.pack_shards(docs, "doc_id", "text"), "doc_id")
 
 
+def q_pack_curriculum(spark, sf_dir):
+    """Dataset-assembly addition (late r3): curriculum-stratified shard
+    packing — token-count quality bands pack strata-major (all band-0
+    tokens before any band-1), seeded-shuffled within each band, via the
+    composite `stratum << 60 | key`. Same two-level prefix-sum
+    machinery and exact-integer outputs as pack_shards."""
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.withColumn(
+        "stratum",
+        PK.curriculum_stratum_col(X.token_count_col(F.col("text"))
+                                  .cast("long")))
+    return PK.pack_shards(docs, "doc_id", "text",
+                          strata_col="stratum", n_strata=3)
+
+
+def q_mixture_tokens(spark, sf_dir):
+    """Dataset-assembly addition (late r3): token-weighted domain
+    mixture (the DoReMi convention — rates target token mass, not doc
+    counts). Emits exact integer per-source (tok_before, tok_kept,
+    n_kept)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_toks", X.token_count_col(F.col("text")).cast("long"))
+    sampled = PK.mixture_sample(docs, "doc_id", "source",
+                                tokens_col="n_toks")
+    return (sampled.groupBy("source")
+            .agg(F.sum("n_toks").alias("tok_before"),
+                 F.sum(F.when(F.col("kept"), F.col("n_toks"))
+                       .otherwise(F.lit(0))).alias("tok_kept"),
+                 F.sum(F.col("kept").cast("long")).alias("n_kept"))
+            .orderBy("source"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks the FIRST 50 keys each round (CORRECTNESS_r{N}).
     # Rotation policy (SURVEY §2.7): never-checked / recently-fixed queries
@@ -1710,6 +1742,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         # --- past the 50-query window: stable r2 greens -----------------
+        "pack_curriculum": q_pack_curriculum,  # late-r3 additions, SQL-checked
+        "mixture_tokens": q_mixture_tokens,    # by the repo gate; rotate into
+                                               # the driver window in r4
         "topk_cosine": q_topk_cosine,      # rotated out for pack_shards
                                            # (S10/R4 stays via ann_ivf_topk's
                                            # exact re-rank + rrf_fusion)
@@ -2346,6 +2381,73 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN r ON d.source = r.source
             GROUP BY r.source, r.n_before
             ORDER BY r.source""",
+        # pack_curriculum: same single-global-window oracle as pack_shards
+        # but ordered by the composite curriculum key
+        # stratum * 2^60 + md5-key — checks the engine's strata-major /
+        # shuffled-within layout lands on identical exact-integer offsets.
+        "pack_curriculum": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text,
+                         '{X.TOKEN_REGEX}'))::BIGINT AS n_tokens,
+                     ('0x' || substring(md5('{PK.PACK_SEED}:'
+                          || doc_id::VARCHAR), 1, 15))::BIGINT AS k
+              FROM documents),
+            s AS (
+              SELECT doc_id, n_tokens,
+                     (CASE WHEN n_tokens >= {PK.CURR_BANDS[0]} THEN 0
+                           WHEN n_tokens >= {PK.CURR_BANDS[1]} THEN 1
+                           ELSE 2 END)::BIGINT * {1 << PK.KEY_BITS} + k
+                         AS ck
+              FROM t),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     (sum(n_tokens) OVER (ORDER BY ck, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - n_tokens)::BIGINT AS start_offset
+              FROM s)
+            SELECT doc_id, n_tokens, start_offset,
+                   (start_offset // {PK.SHARD_TOKEN_BUDGET})::BIGINT
+                       AS shard_id,
+                   (start_offset % {PK.SHARD_TOKEN_BUDGET})::BIGINT
+                       AS offset_in_shard,
+                   (greatest(start_offset + n_tokens - 1, start_offset)
+                      // {PK.SHARD_TOKEN_BUDGET}
+                    - start_offset // {PK.SHARD_TOKEN_BUDGET}
+                    + 1)::BIGINT AS n_spans
+            FROM c""",
+        # mixture_tokens: token-weighted rates (n_before = per-source
+        # token mass) with the same exact-integer-products / one-double-
+        # divide contract; outputs are integer token sums and counts so
+        # the cross-engine hash is exact.
+        "mixture_tokens": f"""
+            WITH d AS (
+              SELECT doc_id, source,
+                     len(regexp_extract_all(text,
+                         '{X.TOKEN_REGEX}'))::BIGINT AS n_toks
+              FROM documents),
+            c AS (SELECT source, sum(n_toks)::BIGINT AS n_before
+                  FROM d GROUP BY source),
+            t AS (SELECT sum(n_before)::BIGINT AS total FROM c),
+            w AS (SELECT * FROM
+                  {_sql_values_table(sorted(PK.MIX_WEIGHTS.items()),
+                                     ["source", "wnum"])}),
+            r AS (SELECT c.source, c.n_before,
+                         least(1.0, ({PK.MIX_FRAC_NUM} * wnum * total)
+                               / ({PK.MIX_WEIGHT_DEN * PK.MIX_FRAC_DEN}
+                                  * n_before)) AS rate
+                  FROM c CROSS JOIN t JOIN w USING (source)),
+            k AS (SELECT d.doc_id, d.source, d.n_toks,
+                         ('0x' || substring(md5('{PK.MIX_SEED}:'
+                              || d.doc_id::VARCHAR), 1, 15))::BIGINT
+                           / {float(1 << PK.KEY_BITS)!r} < r.rate AS kept
+                  FROM d JOIN r ON d.source = r.source)
+            SELECT source,
+                   sum(n_toks)::BIGINT AS tok_before,
+                   sum(CASE WHEN kept THEN n_toks ELSE 0 END)::BIGINT
+                       AS tok_kept,
+                   sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept
+            FROM k GROUP BY source ORDER BY source""",
         "lang_id": f"""
             SELECT lang, predicted, count(*)::BIGINT AS n FROM (
               SELECT lang, {lang_case} AS predicted FROM (

@@ -49,6 +49,19 @@ MIX_WEIGHTS = {f"src{i}": i % 4 + 1 for i in range(20)}
 MIX_WEIGHT_DEN = sum(MIX_WEIGHTS.values())
 MIX_FRAC_NUM, MIX_FRAC_DEN = 3, 5
 
+# Curriculum bands for stratified packing: token count >= CURR_BANDS[0]
+# -> stratum 0 (long/high-signal docs first), >= CURR_BANDS[1] -> 1,
+# else 2. Thresholds are module constants so driver SQL generates from
+# them.
+CURR_BANDS = (200, 50)
+
+
+def curriculum_stratum_col(n_tokens: F.Column) -> F.Column:
+    """Integer curriculum stratum in [0, 3) from an exact token count."""
+    return (F.when(n_tokens >= CURR_BANDS[0], F.lit(0))
+            .when(n_tokens >= CURR_BANDS[1], F.lit(1))
+            .otherwise(F.lit(2)).cast("long"))
+
 
 def shuffle_key_col(col: F.Column, seed: str) -> F.Column:
     """Seeded deterministic 60-bit shuffle key: first 15 hex digits of
@@ -62,7 +75,9 @@ def shuffle_key_col(col: F.Column, seed: str) -> F.Column:
 
 def pack_shards(docs: DataFrame, id_col: str, text_col: str,
                 budget: int = SHARD_TOKEN_BUDGET, seed: str = PACK_SEED,
-                n_buckets: int | None = None) -> DataFrame:
+                n_buckets: int | None = None,
+                strata_col: str | None = None,
+                n_strata: int = 1) -> DataFrame:
     """Concat-and-split sequence packing: order documents by a seeded
     hash key (the deterministic global shuffle), lay their token streams
     end-to-end, and cut a shard every `budget` tokens. Emits one row per
@@ -71,17 +86,33 @@ def pack_shards(docs: DataFrame, id_col: str, text_col: str,
     n_spans counts how many shards its tokens touch (documents may split
     across a shard boundary — the standard pretraining layout).
 
+    Curriculum mode: pass `strata_col` (integer values in [0, n_strata))
+    to order strata-major, seeded-key within — the quality-band /
+    annealing-phase layout (all stratum-0 tokens pack before any
+    stratum-1 tokens, each stratum internally shuffled). Implemented as
+    a composite key `stratum << KEY_BITS | key`, so the SAME two-level
+    prefix-sum machinery covers both modes; n_strata * 2^60 must stay
+    within a signed long, i.e. n_strata <= 7.
+
     Token counts use the repo-wide BPE-ish regex proxy
     (`text.token_count_col`); swap in `functions/bpe.py` budgets for
     tiktoken fidelity the same way `bpe_chunks` does."""
     sp = docs.sparkSession
     if n_buckets is None:
         n_buckets = max(8, sp.sparkContext.defaultParallelism)
-    step = -((1 << KEY_BITS) // -n_buckets)  # ceil-div: last bucket short
+    if not 1 <= n_strata <= 7:
+        raise ValueError("n_strata must be in [1, 7] (composite key must "
+                         "fit a signed 64-bit long)")
+    key = shuffle_key_col(F.col(id_col), seed)
+    if strata_col is not None:
+        key = (F.col(strata_col).cast("long") * F.lit(1 << KEY_BITS)
+               + key)
+    keyspace = n_strata << KEY_BITS
+    step = -(keyspace // -n_buckets)         # ceil-div: last bucket short
     toks = docs.select(
         F.col(id_col),
         token_count_col(F.col(text_col)).cast("long").alias("n_tokens"),
-        shuffle_key_col(F.col(id_col), seed).alias("_key"),
+        key.alias("_key"),
     ).withColumn("_bucket", F.expr(f"_key DIV {step}"))
     # level 1: running sum inside each ordered key-range bucket (parallel)
     w_in = (Window.partitionBy("_bucket").orderBy("_key", id_col)
@@ -149,20 +180,29 @@ def shard_spans(packed: DataFrame, id_col: str,
 
 
 def mixture_rates(docs: DataFrame, source_col: str,
-                  weights: dict[str, int] | None = None) -> DataFrame:
+                  weights: dict[str, int] | None = None,
+                  tokens_col: str | None = None) -> DataFrame:
     """Per-source keep rates toward the target mixture:
     rate_s = min(1, (frac_num * w_num_s * total) /
                     (weight_den * frac_den * count_s)).
     Integer products stay exact longs; ONE long/long division produces
     the double, so Spark and DuckDB compute bit-identical rates. Returns
-    (source, n_before, rate)."""
+    (source, n_before, rate).
+
+    `count_s` is the per-source DOCUMENT count by default; pass
+    `tokens_col` (an exact integer per-doc token count) to weight the
+    mixture by TOKEN mass instead — the DoReMi/Pile convention, where a
+    source of few huge documents is downsampled like a source of many
+    small ones."""
     weights = MIX_WEIGHTS if weights is None else weights
     weight_den = sum(weights.values())
     sp = docs.sparkSession
     wdf = sp.createDataFrame(sorted(weights.items()),
                              schema=f"{source_col} string, _wnum int")
+    mass = (F.count("*") if tokens_col is None
+            else F.sum(F.col(tokens_col)))
     counts = docs.groupBy(source_col).agg(
-        F.count("*").cast("long").alias("n_before"))
+        mass.cast("long").alias("n_before"))
     total = counts.agg(F.sum("n_before").alias("_total"))
     return (counts.crossJoin(F.broadcast(total))
             .join(F.broadcast(wdf), source_col)
@@ -176,12 +216,15 @@ def mixture_rates(docs: DataFrame, source_col: str,
 
 def mixture_sample(docs: DataFrame, id_col: str, source_col: str,
                    weights: dict[str, int] | None = None,
-                   seed: str = MIX_SEED) -> DataFrame:
+                   seed: str = MIX_SEED,
+                   tokens_col: str | None = None) -> DataFrame:
     """Deterministic domain-mixture downsampling: keep a row iff its
     seeded hash fraction u = key/2^60 falls below its source's rate.
     Sources absent from the weight table are dropped (weight 0). Adds a
-    boolean `kept` column; callers filter or account on it."""
-    rates = mixture_rates(docs, source_col, weights)
+    boolean `kept` column; callers filter or account on it. With
+    `tokens_col`, rates target the token-mass mixture (see
+    mixture_rates) while the keep decision stays per-document."""
+    rates = mixture_rates(docs, source_col, weights, tokens_col=tokens_col)
     u = shuffle_key_col(F.col(id_col), seed) / F.lit(float(1 << KEY_BITS))
     return (docs.join(F.broadcast(rates.select(source_col, "rate")),
                       source_col)

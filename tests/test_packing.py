@@ -159,6 +159,88 @@ def test_pack_property_based_vs_python_oracle(spark):
     check()
 
 
+def test_pack_curriculum_strata_major_shuffled_within(spark):
+    # Strata-major: every stratum-0 token packs before any stratum-1
+    # token; within a stratum the order is the seeded key order (not
+    # doc_id order). Offsets stay globally contiguous across the strata
+    # boundary — one stream, not three.
+    docs = spark.createDataFrame(
+        [(i, "t " * c) for i, c in enumerate(
+            [300, 10, 80, 250, 5, 60, 220, 75, 12])],
+        "doc_id long, text string")
+    counts = {i: c for i, c in enumerate([300, 10, 80, 250, 5, 60, 220, 75, 12])}
+    strat = {i: 0 if c >= PK.CURR_BANDS[0] else 1 if c >= PK.CURR_BANDS[1]
+             else 2 for i, c in counts.items()}
+    docs = docs.withColumn(
+        "st", PK.curriculum_stratum_col(
+            F.length(F.col("text")) / 2))  # "t " pairs -> exact count
+    rows = PK.pack_shards(docs, "doc_id", "text", budget=128,
+                          strata_col="st", n_strata=3, n_buckets=5).collect()
+    order = sorted(rows, key=lambda r: r["start_offset"])
+    # contiguous from 0
+    off = 0
+    for r in order:
+        assert r["start_offset"] == off
+        off += r["n_tokens"]
+    # strata-major, key order within
+    seen = [(strat[r["doc_id"]],
+             _py_key(PK.PACK_SEED, r["doc_id"]), r["doc_id"])
+            for r in order]
+    assert seen == sorted(seen)
+    # within-stratum order differs from doc_id order for some stratum
+    # (sanity: the seeded shuffle did something)
+    by_strat = {}
+    for s, _, i in seen:
+        by_strat.setdefault(s, []).append(i)
+    assert any(ids != sorted(ids) for ids in by_strat.values())
+
+
+def test_pack_curriculum_two_level_equals_single_bucket(spark, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    from ai_intel_web_scraper_spark.operators.text import token_count_col
+    docs = docs.withColumn(
+        "st", PK.curriculum_stratum_col(token_count_col(F.col("text"))
+                                        .cast("long")))
+    many = PK.pack_shards(docs, "doc_id", "text", n_buckets=13,
+                          strata_col="st", n_strata=3)
+    one = PK.pack_shards(docs, "doc_id", "text", n_buckets=1,
+                         strata_col="st", n_strata=3)
+    assert many.exceptAll(one).isEmpty() and one.exceptAll(many).isEmpty()
+
+
+def test_pack_n_strata_bounds(spark):
+    docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        PK.pack_shards(docs, "doc_id", "text", n_strata=8)
+    with pytest.raises(ValueError):
+        PK.pack_shards(docs, "doc_id", "text", n_strata=0)
+
+
+def test_mixture_rates_token_weighted(spark):
+    # Two sources, equal weights, but source a holds 9x the token mass in
+    # 1/3 the documents: token weighting must set n_before to token mass
+    # and cut a's rate accordingly while the keep decision stays per-doc.
+    rows = ([(f"a-{i}", "a", 900) for i in range(2)]
+            + [(f"b-{i}", "b", 33) for i in range(6)])
+    docs = spark.createDataFrame(rows,
+                                 "doc_id string, source string, nt long")
+    rates = {r["source"]: r for r in PK.mixture_rates(
+        docs, "source", weights={"a": 1, "b": 1},
+        tokens_col="nt").collect()}
+    total = 2 * 900 + 6 * 33
+    assert rates["a"]["n_before"] == 1800
+    assert rates["b"]["n_before"] == 198
+    assert rates["a"]["rate"] == pytest.approx(
+        (PK.MIX_FRAC_NUM * 1 * total) / (2 * PK.MIX_FRAC_DEN * 1800), abs=0)
+    assert rates["b"]["rate"] == 1.0  # scarce source capped
+    got = PK.mixture_sample(docs, "doc_id", "source",
+                            weights={"a": 1, "b": 1},
+                            tokens_col="nt").collect()
+    for r in got:
+        u = _py_key(PK.MIX_SEED, r["doc_id"]) / float(1 << PK.KEY_BITS)
+        assert r["kept"] == (u < rates[r["source"]]["rate"])
+
+
 def test_mixture_rates_formula_and_cap(spark):
     # 3 sources, weights {a:1, b:2} (c unweighted -> dropped); frac 3/5.
     rows = [(f"d{i}", src) for src, n in (("a", 8), ("b", 2), ("c", 5))
