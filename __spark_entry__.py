@@ -1618,6 +1618,24 @@ def q_hygiene_pipeline(spark, sf_dir):
         " '5_lm_kept', n5, '6_pii_flagged', n6) AS (stage, n)"))
 
 
+def q_dup_spans(spark, sf_dir):
+    """Corpus-hygiene addition (late r3): exact-substring duplicate-span
+    detection — Lee et al. 2021 ExactSubstr analog via positional n-gram
+    seeding + island merge (`operators/corpus.py:duplicate_spans`).
+    Reference ships no corpus-level dedup beyond record identity
+    (`processors/deduplicator.py` URL/id rules); this is the
+    training-data extension SURVEY §2.7 calls for. Emits per-doc exact
+    integers (span count, duplicated word mass, longest run)."""
+    docs = _t(spark, sf_dir, "documents")
+    spans = CP.duplicate_spans(docs, "doc_id", "text")
+    return (spans.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_dup_spans"),
+                 F.sum(F.col("span_end") - F.col("span_start"))
+                 .cast("long").alias("dup_words"),
+                 F.max(F.col("span_end") - F.col("span_start"))
+                 .cast("long").alias("max_span")))
+
+
 def q_pack_shards(spark, sf_dir):
     """Dataset-assembly addition (late r3): deterministic global shuffle +
     concat-and-split sequence packing into fixed-token-budget training
@@ -1744,7 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the 50-query window: stable r2 greens -----------------
         "pack_curriculum": q_pack_curriculum,  # late-r3 additions, SQL-checked
         "mixture_tokens": q_mixture_tokens,    # by the repo gate; rotate into
-                                               # the driver window in r4
+        "dup_spans": q_dup_spans,              # the driver window in r4
         "topk_cosine": q_topk_cosine,      # rotated out for pack_shards
                                            # (S10/R4 stays via ann_ivf_topk's
                                            # exact re-rank + rrf_fusion)
@@ -2448,6 +2466,41 @@ def oracle_sql() -> dict[str, str]:
                        AS tok_kept,
                    sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept
             FROM k GROUP BY source ORDER BY source""",
+        # dup_spans: DuckDB recomputes the positional-gram seeding (same
+        # md5-60bit hash, replayed verbatim), the >=min_count duplicate
+        # set, and the gap<=n island merge — an independent SQL statement
+        # of the Lee-et-al ExactSubstr semantics. Every output column is
+        # an exact integer.
+        "dup_spans": f"""
+            WITH d AS (SELECT doc_id, {_sql_words()} AS w FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(generate_series(1,
+                             len(w) - {CP.DUPSPAN_N - 1})) AS pos1, w
+                  FROM d WHERE len(w) >= {CP.DUPSPAN_N}),
+            h AS (SELECT doc_id, pos1 - 1 AS pos,
+                         ('0x' || substring(md5(array_to_string(
+                             w[pos1:pos1 + {CP.DUPSPAN_N - 1}], ' ')),
+                             1, 15))::BIGINT AS gh
+                  FROM g),
+            p AS (SELECT doc_id, pos FROM h
+                  WHERE gh IN (SELECT gh FROM h GROUP BY gh
+                               HAVING count(*) >= {CP.DUPSPAN_MIN_COUNT})),
+            s AS (SELECT doc_id, pos,
+                         CASE WHEN pos - lag(pos) OVER (
+                                  PARTITION BY doc_id ORDER BY pos)
+                                  <= {CP.DUPSPAN_N} THEN 0 ELSE 1 END AS brk
+                  FROM p),
+            i AS (SELECT doc_id, pos,
+                         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+                             AS isl
+                  FROM s),
+            sp AS (SELECT doc_id, min(pos) AS span_start,
+                          max(pos) + {CP.DUPSPAN_N} AS span_end
+                   FROM i GROUP BY doc_id, isl)
+            SELECT doc_id, count(*)::BIGINT AS n_dup_spans,
+                   sum(span_end - span_start)::BIGINT AS dup_words,
+                   max(span_end - span_start)::BIGINT AS max_span
+            FROM sp GROUP BY doc_id""",
         "lang_id": f"""
             SELECT lang, predicted, count(*)::BIGINT AS n FROM (
               SELECT lang, {lang_case} AS predicted FROM (

@@ -359,3 +359,118 @@ def pii_redact(text) -> F.Column:
     out = F.regexp_replace(text, PII_EMAIL, "[EMAIL]")
     out = F.regexp_replace(out, PII_PHONE, "[PHONE]")
     return F.regexp_replace(out, PII_IP, "[IP]")
+
+
+# ----------------------------- exact-substring duplicate spans
+#
+# Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+# Better") ExactSubstr analog: find every maximal text span whose word
+# n-grams all occur >= min_count times corpus-wide, i.e. runs of text
+# duplicated verbatim somewhere else (cross- OR within-document). Their
+# suffix-array formulation is single-machine; the distributed shape here
+# is positional-n-gram seeding: a duplicated run of L >= n words shows up
+# as L-n+1 consecutive duplicated n-gram starts, so merging consecutive
+# duplicated positions (gap <= n) reconstructs the maximal span.
+#
+# Scale shape (100 TB): one Arrow UDF emits positional 60-bit gram hashes
+# (only longs leave Python); the duplicate-hash set comes from a partial-
+# aggregated groupBy on the hash alone (8-byte rows shuffle, never text);
+# positions rejoin it with a shuffle semi-join (the dup set is corpus-
+# sized in the worst case, so no broadcast assumption); the island merge
+# is a per-doc window after one shuffle on doc_id. The md5-60bit hash is
+# the repo's DuckDB-replayable scheme, so cross-engine parity is exact
+# even under (cosmically unlikely) collisions.
+
+DUPSPAN_N = 10          # words; Lee et al. use 50 BPE tokens — the
+                        # synthetic corpus' planted dup runs are shorter,
+                        # so test scale seeds on 10-word grams
+DUPSPAN_MIN_COUNT = 2
+
+
+def gram_pos_hash_udf(n: int):
+    """text -> POSITIONAL word-n-gram hash array (element i = the gram
+    starting at word offset i), 60-bit md5-derived so DuckDB replays each
+    hash verbatim as ('0x' || substring(md5(gram), 1, 15))::BIGINT."""
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def fn(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            w = _split_words(t)
+            out.append([
+                int(hashlib.md5(" ".join(w[i:i + n]).encode())
+                    .hexdigest()[:15], 16)
+                for i in range(len(w) - n + 1)])
+        return pd.Series(out)
+    return fn
+
+
+def duplicate_spans(docs: DataFrame, id_col: str, text_col: str,
+                    n: int = DUPSPAN_N,
+                    min_count: int = DUPSPAN_MIN_COUNT) -> DataFrame:
+    """Maximal duplicated spans per document: (doc_id, span_start,
+    span_end) in 0-based word offsets, end exclusive. A span is maximal —
+    consecutive duplicated gram starts with gaps <= n are merged, so each
+    row is one verbatim-duplicated run of >= n words."""
+    g = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(gram_pos_hash_udf(n)(F.col(text_col)))
+        .alias("pos", "gh"))
+    dup = (g.groupBy("gh").agg(F.count("*").alias("_c"))
+           .where(F.col("_c") >= min_count).select("gh"))
+    hits = g.join(dup, "gh", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    isl = (hits
+           .withColumn("_brk", F.when(
+               F.col("pos") - F.lag("pos").over(w) <= n, F.lit(0))
+               .otherwise(F.lit(1)))
+           .withColumn("_isl", F.sum("_brk").over(w_cum)))
+    return (isl.groupBy("doc_id", "_isl")
+            .agg(F.min("pos").cast("long").alias("span_start"),
+                 (F.max("pos") + F.lit(n)).cast("long").alias("span_end"))
+            .select("doc_id", "span_start", "span_end"))
+
+
+_STRIP_SCHEMA = T.StructType([
+    T.StructField("text_clean", T.StringType()),
+    T.StructField("n_removed_words", T.LongType()),
+])
+
+
+def strip_duplicate_spans(docs: DataFrame, id_col: str, text_col: str,
+                          n: int = DUPSPAN_N,
+                          min_count: int = DUPSPAN_MIN_COUNT) -> DataFrame:
+    """Materialize the dedup: remove every duplicated span's words from
+    the text (all copies are removed, as in Lee et al.). Returns
+    (doc_id, text_clean, n_removed_words) for ALL docs — untouched docs
+    pass through with n_removed_words = 0.
+
+    The cut itself is one Arrow UDF over (text, collected spans) — a
+    narrow map after the per-doc span collect; span lists are tiny
+    relative to text so the join stays cheap."""
+    spans = duplicate_spans(docs, id_col, text_col, n, min_count)
+    per = (spans.groupBy("doc_id")
+           .agg(F.collect_list(
+               F.array("span_start", "span_end")).alias("_spans")))
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(text_col).alias("_text"))
+    j = base.join(per, "doc_id", "left")
+
+    @F.pandas_udf(_STRIP_SCHEMA)
+    def strip_udf(text: pd.Series, spans: pd.Series) -> pd.DataFrame:
+        out = []
+        for t, sp in zip(text, spans):
+            w = _split_words(t)
+            drop = set()
+            for s in (sp if sp is not None else []):
+                drop.update(range(int(s[0]), min(int(s[1]), len(w))))
+            kept = [x for i, x in enumerate(w) if i not in drop]
+            out.append((" ".join(kept), len(drop)))
+        return pd.DataFrame(out, columns=[f.name for f in _STRIP_SCHEMA])
+
+    sig = F.col("_out")
+    return (j.select("doc_id",
+                     strip_udf(F.col("_text"), F.col("_spans"))
+                     .alias("_out"))
+            .select("doc_id", sig["text_clean"].alias("text_clean"),
+                    sig["n_removed_words"].alias("n_removed_words")))

@@ -839,3 +839,71 @@ def test_hygiene_pipeline_stage_accounting(spark, sf_dir):
         assert rows[b] <= rows[a], (a, b, rows)
     assert 0 <= rows["6_pii_flagged"] <= rows["5_lm_kept"]
     assert rows["1_raw"] > 0
+
+
+def test_duplicate_spans_planted_runs(spark):
+    from ai_intel_web_scraper_spark.operators import corpus as CP
+    # 40-word vocab word soup, unique per doc except: docs 0 and 1 share
+    # a verbatim 25-word run (cross-doc dup); doc 2 repeats its own
+    # 15-word run twice (within-doc dup); doc 3 is clean.
+    shared = " ".join(f"s{i}" for i in range(25))
+    loop = " ".join(f"l{i}" for i in range(15))
+    docs = spark.createDataFrame([
+        (0, f"a0 a1 a2 {shared} a3 a4 a5"),
+        (1, f"b0 b1 {shared} b2 b3 b4 b5 b6"),
+        (2, f"c0 {loop} c1 c2 {loop} c3"),
+        (3, " ".join(f"d{i}" for i in range(40))),
+    ], "doc_id long, text string")
+    spans = {}
+    for r in CP.duplicate_spans(docs, "doc_id", "text", n=10).collect():
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"]))
+    assert 3 not in spans
+    # cross-doc: the shared 25-word run — positional grams seed at its
+    # start; the merged span covers exactly the run (start offset 3 / 2,
+    # last gram start = start+15, end = start+15+10)
+    assert spans[0] == [(3, 28)]
+    assert spans[1] == [(2, 27)]
+    # within-doc: two copies of the 15-word run, both recovered
+    assert spans[2] == [(1, 16), (18, 33)]
+
+
+def test_duplicate_spans_merges_overlapping_and_adjacent(spark):
+    from ai_intel_web_scraper_spark.operators import corpus as CP
+    # one doc contains the SAME 10-gram three times back-to-back plus a
+    # separated fourth copy: consecutive starts (gap <= n) merge into one
+    # maximal span; the distant copy stays its own span.
+    unit = " ".join(f"u{i}" for i in range(10))
+    filler = " ".join(f"f{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(0, f"{unit} {unit} {unit} {filler} {unit}")],
+        "doc_id long, text string")
+    got = sorted((r["span_start"], r["span_end"]) for r in
+                 CP.duplicate_spans(docs, "doc_id", "text", n=10).collect())
+    assert got == [(0, 30), (60, 70)]
+
+
+def test_strip_duplicate_spans_removes_all_copies(spark):
+    from ai_intel_web_scraper_spark.operators import corpus as CP
+    shared = " ".join(f"s{i}" for i in range(12))
+    docs = spark.createDataFrame([
+        (0, f"a0 a1 {shared} a2"),
+        (1, f"b0 {shared} b1 b2"),
+        (2, "plain unique words only here"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in CP.strip_duplicate_spans(
+        docs, "doc_id", "text", n=10).collect()}
+    assert got[0]["text_clean"] == "a0 a1 a2"
+    assert got[0]["n_removed_words"] == 12
+    assert got[1]["text_clean"] == "b0 b1 b2"
+    assert got[1]["n_removed_words"] == 12
+    # untouched docs pass through verbatim with 0 removed
+    assert got[2]["text_clean"] == "plain unique words only here"
+    assert got[2]["n_removed_words"] == 0
+    # idempotence: stripping the stripped corpus is a no-op
+    stripped = spark.createDataFrame(
+        [(k, v["text_clean"]) for k, v in got.items()],
+        "doc_id long, text string")
+    again = {r["doc_id"]: r for r in CP.strip_duplicate_spans(
+        stripped, "doc_id", "text", n=10).collect()}
+    assert all(r["n_removed_words"] == 0 for r in again.values())
