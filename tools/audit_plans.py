@@ -83,6 +83,21 @@ AUDIT = {
                        "partial_count",               # map-side agg
                        r"PushedFilters: \[IsNotNull\(source\)",
                        "!ArrowEvalPython", "!MapInPandas"],
+    # curriculum packing reuses the two-level machinery verbatim — same
+    # asserts as pack_shards (the stratum only changes the key expr)
+    "pack_curriculum": [r"windowspecdefinition\(_bucket",
+                        "BroadcastHashJoin",
+                        "!ArrowEvalPython", "!MapInPandas"],
+    # token-weighted mixture: token counts are a native regexp projection
+    # folded into the map-side partial agg; rates still broadcast in
+    "mixture_tokens": ["BroadcastHashJoin", "partial_sum",
+                       "!ArrowEvalPython", "!MapInPandas"],
+    # exact-substring dup spans: positional gram hashes from one Arrow
+    # pass + posexplode; duplicate set via hash-only partial agg; the
+    # corpus rejoins it with a semi-join (no broadcast assumption); the
+    # island merge is a per-doc window
+    "dup_spans": ["ArrowEvalPython", "Generate", "partial_count",
+                  "LeftSemi", "windowspecdefinition\\(doc_id"],
     # composed hygiene lifecycle (single-pass labeling): fingerprint-rank
     # window (no group limit — every row keeps its label), broadcast
     # contamination join, Arrow signal UDFs — never a BatchEvalPython
