@@ -28,6 +28,7 @@ from ai_intel_web_scraper_spark.operators import packing as PK
 from ai_intel_web_scraper_spark.operators import queryanalysis as QA
 from ai_intel_web_scraper_spark.operators import ranking as R
 from ai_intel_web_scraper_spark.operators import stats as S
+from ai_intel_web_scraper_spark.operators import temporal as TM
 from ai_intel_web_scraper_spark.operators import text as X
 from ai_intel_web_scraper_spark.operators import urlrules as _UR
 from ai_intel_web_scraper_spark.operators import vectors as V
@@ -1636,6 +1637,40 @@ def q_dup_spans(spark, sf_dir):
                  .cast("long").alias("max_span")))
 
 
+def q_asof_clicks(spark, sf_dir):
+    """Temporal addition (late r3): backward as-of join — each click
+    attaches the same user's most recent at-or-before view
+    (`operators/temporal.py:asof_join`, the union-tag one-shuffle shape).
+    The oracle is DuckDB's NATIVE `ASOF LEFT JOIN` — an independent
+    formulation of the semantics. Gap emitted as exact integer
+    microseconds; unmatched clicks keep NULLs."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    views = ev.where(F.col("event_type") == "view")
+    j = TM.asof_join(clicks, views, "user_id", "ts", "ts", ["event_id"])
+    return j.select(
+        "event_id", "user_id",
+        F.col("asof.event_id").alias("view_event_id"),
+        (TM.ts_us(F.col("ts")) - TM.ts_us(F.col("asof._rts")))
+        .cast("long").alias("gap_us"))
+
+
+def q_range_windows(spark, sf_dir):
+    """Temporal addition (late r3): interval/range join — events against
+    40 overlapping maintenance windows via the bucketed equi-join shape
+    (`operators/temporal.py:range_interval_join`; the naive BETWEEN
+    theta-join plans as BroadcastNestedLoopJoin). Oracle = DuckDB's plain
+    BETWEEN join. Money goes through integer cents (CLAUDE.md rule)."""
+    ev = _t(spark, sf_dir, "events")
+    w = TM.maintenance_windows(spark)
+    j = TM.range_interval_join(ev, w, "ts", "start_us", "end_us")
+    return (j.groupBy("window_id")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.countDistinct("user_id").cast("long").alias("n_users"),
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                 .alias("value_cents")))
+
+
 def q_pack_shards(spark, sf_dir):
     """Dataset-assembly addition (late r3): deterministic global shuffle +
     concat-and-split sequence packing into fixed-token-budget training
@@ -1763,6 +1798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_curriculum": q_pack_curriculum,  # late-r3 additions, SQL-checked
         "mixture_tokens": q_mixture_tokens,    # by the repo gate; rotate into
         "dup_spans": q_dup_spans,              # the driver window in r4
+        "asof_clicks": q_asof_clicks,
+        "range_windows": q_range_windows,
         "topk_cosine": q_topk_cosine,      # rotated out for pack_shards
                                            # (S10/R4 stays via ann_ivf_topk's
                                            # exact re-rank + rrf_fusion)
@@ -2501,6 +2538,37 @@ def oracle_sql() -> dict[str, str]:
                    sum(span_end - span_start)::BIGINT AS dup_words,
                    max(span_end - span_start)::BIGINT AS max_span
             FROM sp GROUP BY doc_id""",
+        # asof_clicks: DuckDB's NATIVE ASOF LEFT JOIN — an independent
+        # implementation of the backward as-of semantics the engine
+        # builds from the union-tag window. Gap in exact integer us.
+        "asof_clicks": """
+            WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+                 v AS (SELECT * FROM events WHERE event_type = 'view')
+            SELECT c.event_id, c.user_id,
+                   v.event_id AS view_event_id,
+                   (epoch_us(c.ts) - epoch_us(v.ts))::BIGINT AS gap_us
+            FROM c ASOF LEFT JOIN v
+              ON c.user_id = v.user_id AND c.ts >= v.ts""",
+        # range_windows: plain BETWEEN theta-join — independent of the
+        # engine's bucketed equi-join + residual-filter shape. Window
+        # bounds re-derived from the same integer constants.
+        "range_windows": f"""
+            WITH w AS (
+              SELECT i::BIGINT AS window_id,
+                     ({TM.WIN_BASE_US} + i * {TM.WIN_STEP_US})::BIGINT
+                         AS start_us,
+                     ({TM.WIN_BASE_US} + i * {TM.WIN_STEP_US}
+                      + (6 + (i % 5) * 9) * {TM.HOUR_US})::BIGINT
+                         AS end_us
+              FROM generate_series(0, {TM.WIN_N - 1}) AS t(i))
+            SELECT w.window_id, count(*)::BIGINT AS n_events,
+                   count(DISTINCT e.user_id)::BIGINT AS n_users,
+                   sum(round(e.value * 100)::BIGINT)::BIGINT
+                       AS value_cents
+            FROM events e JOIN w
+              ON epoch_us(e.ts) >= w.start_us
+             AND epoch_us(e.ts) < w.end_us
+            GROUP BY w.window_id""",
         "lang_id": f"""
             SELECT lang, predicted, count(*)::BIGINT AS n FROM (
               SELECT lang, {lang_case} AS predicted FROM (

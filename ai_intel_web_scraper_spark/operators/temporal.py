@@ -1,0 +1,131 @@
+"""Temporal join operators Spark lacks natively: as-of join (most recent
+right row at-or-before each left row per key) and interval/range join
+(facts against [start, end) windows), both in shapes that survive 100 TB.
+
+The reference has no temporal joins at all (its pipeline is batch
+record-at-a-time; `pipeline.py` joins only on identity keys) — these are
+the standard analytics extensions the SURVEY's training-data brief calls
+for, and the brief names both operators explicitly.
+
+Scale shapes:
+- `asof_join` is the union-tag trick: tag right rows 0 and left rows 1,
+  union, ONE shuffle on the key, one ordered window pass with
+  `last(right_struct, ignorenulls)` — O(n log n) per key partition,
+  no per-row range probe, no join blowup. The naive formulation
+  (theta-join `l.ts >= r.ts` + groupBy max) is a quadratic
+  BroadcastNestedLoopJoin at scale; this one never materializes a
+  candidate pair.
+- `range_interval_join` buckets the time axis: each interval explodes
+  into the fixed-size buckets it covers (fan-out = interval length /
+  bucket), facts compute their single bucket, and the join is a plain
+  equi-join on the bucket id plus a residual `[start, end)` filter.
+  Catalyst would otherwise plan a BETWEEN theta-join as
+  BroadcastNestedLoopJoin (a full cross product per partition). Each
+  (fact, interval) pair meets in exactly one bucket — the fact's own —
+  so no post-join dedup is needed.
+
+Both emit integer microsecond epochs for every derived value, so the
+DuckDB oracle (native ASOF JOIN / plain BETWEEN join — genuinely
+independent formulations) hashes exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Interval fan-out bucket width. 6h against the ~6-42h synthetic windows
+# bounds the per-interval explosion at 8 rows; production sizing follows
+# the same rule (bucket ≈ median interval length keeps fan-out O(1)).
+RANGE_BUCKET_US = 6 * 3600 * 1_000_000
+
+
+# Deterministic maintenance-window fixture for the driver query: 40
+# overlapping windows stepping 18h from 2024-01-01 UTC, lengths 6-42h
+# (longer than the step, so windows overlap and facts multi-match).
+# Pure-integer arithmetic both engines replay from these constants.
+WIN_N = 40
+WIN_BASE_US = 1_704_067_200 * 1_000_000      # 2024-01-01T00:00:00Z
+WIN_STEP_US = 18 * 3600 * 1_000_000
+HOUR_US = 3600 * 1_000_000
+
+
+def ts_us(c: F.Column) -> F.Column:
+    """Timestamp -> exact integer epoch microseconds. The parquet fixtures
+    surface as TIMESTAMP_NTZ; under the repo's UTC session the NTZ->TZ
+    cast is value-preserving, and the result equals DuckDB's
+    epoch_us(naive ts) exactly."""
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def maintenance_windows(spark, n: int = WIN_N) -> DataFrame:
+    """(window_id, start_us, end_us) interval fixture, all exact longs."""
+    return spark.range(n).select(
+        F.col("id").alias("window_id"),
+        (F.lit(WIN_BASE_US) + F.col("id") * F.lit(WIN_STEP_US))
+        .alias("start_us"),
+        (F.lit(WIN_BASE_US) + F.col("id") * F.lit(WIN_STEP_US)
+         + (F.lit(6) + (F.col("id") % 5) * F.lit(9)) * F.lit(HOUR_US))
+        .alias("end_us"))
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str, right_ts: str,
+              right_cols: list[str],
+              tolerance_us: int | None = None) -> DataFrame:
+    """Backward as-of join: for each left row, attach the right row with
+    the greatest `right_ts` <= `left_ts` sharing the key `on` (DuckDB
+    `ASOF LEFT JOIN ... ON l.k = r.k AND l.ts >= r.ts` semantics).
+
+    Returns every left column plus an `asof` struct of
+    (`_rts` = matched right timestamp, *right_cols), NULL when no right
+    row precedes the left row. Contract (same as DuckDB's): (key,
+    right_ts) pairs must be unique on the right side — with ties the
+    matched row among the tied set is unspecified.
+
+    `tolerance_us` additionally voids matches older than the given
+    microsecond gap (pandas `merge_asof(tolerance=...)` analog)."""
+    rstruct = F.struct(
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c) for c in right_cols]).alias("_r")
+    r = right.select(F.col(on).alias("_k"),
+                     F.col(right_ts).alias("_ts"),
+                     F.lit(0).alias("_tag"), rstruct)
+    lstruct = F.struct(*[F.col(c) for c in left.columns]).alias("_l")
+    l = left.select(F.col(on).alias("_k"), F.col(left_ts).alias("_ts"),
+                    F.lit(1).alias("_tag"), lstruct)
+    r = r.withColumn("_l", F.lit(None).cast(l.schema["_l"].dataType))
+    l = l.withColumn("_r", F.lit(None).cast(r.schema["_r"].dataType))
+    # right rows sort before left rows at equal ts (tag 0 < 1), so an
+    # exactly-simultaneous right row IS matched (non-strict <=)
+    w = (Window.partitionBy("_k").orderBy("_ts", "_tag")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    m = (r.unionByName(l.select(*r.columns))
+         .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+         .where(F.col("_tag") == 1))
+    if tolerance_us is not None:
+        gap = ts_us(F.col("_ts")) - ts_us(F.col("_m._rts"))
+        m = m.withColumn("_m", F.when(gap <= F.lit(tolerance_us),
+                                      F.col("_m")))
+    return m.select("_l.*", F.col("_m").alias("asof"))
+
+
+def range_interval_join(facts: DataFrame, intervals: DataFrame,
+                        ts_col: str, start_us_col: str, end_us_col: str,
+                        bucket_us: int = RANGE_BUCKET_US) -> DataFrame:
+    """Inner join of fact rows onto every interval containing them:
+    `start_us <= unix_micros(ts) < end_us` (half-open). Interval bounds
+    are integer epoch microseconds; empty intervals (end <= start) match
+    nothing. Output = all interval columns + all fact columns."""
+    f = facts.withColumn(
+        "_b", F.expr(f"unix_micros(cast({ts_col} as timestamp))"
+                     f" DIV {bucket_us}"))
+    i = (intervals
+         .where(F.col(end_us_col) > F.col(start_us_col))
+         .withColumn("_b", F.explode(F.sequence(
+             F.expr(f"{start_us_col} DIV {bucket_us}"),
+             F.expr(f"({end_us_col} - 1) DIV {bucket_us}")))))
+    t = ts_us(F.col(ts_col))
+    return (f.join(i, "_b")
+            .where((t >= F.col(start_us_col)) & (t < F.col(end_us_col)))
+            .drop("_b"))

@@ -98,6 +98,16 @@ AUDIT = {
     # island merge is a per-doc window
     "dup_spans": ["ArrowEvalPython", "Generate", "partial_count",
                   "LeftSemi", "windowspecdefinition\\(doc_id"],
+    # as-of join: union-tag shape — one union, one window over the key,
+    # NEVER a nested-loop theta-join; pure native exprs
+    "asof_clicks": ["Union", r"windowspecdefinition\(_k",
+                    "!BroadcastNestedLoopJoin", "!CartesianProduct",
+                    "!ArrowEvalPython", "!MapInPandas"],
+    # interval join: bucketed equi-join (interval explode + hash join +
+    # residual filter) — the BETWEEN theta-join would be a nested loop
+    "range_windows": [r"Generate explode\(sequence", "partial_count",
+                      "!BroadcastNestedLoopJoin", "!CartesianProduct",
+                      "!ArrowEvalPython", "!MapInPandas"],
     # composed hygiene lifecycle (single-pass labeling): fingerprint-rank
     # window (no group limit — every row keeps its label), broadcast
     # contamination join, Arrow signal UDFs — never a BatchEvalPython
