@@ -24,6 +24,7 @@ from ai_intel_web_scraper_spark.operators import chunking as C
 from ai_intel_web_scraper_spark.operators import corpus as CP
 from ai_intel_web_scraper_spark.operators import dedup as D
 from ai_intel_web_scraper_spark.operators import export as EXP
+from ai_intel_web_scraper_spark.operators import graph as G
 from ai_intel_web_scraper_spark.operators import packing as PK
 from ai_intel_web_scraper_spark.operators import queryanalysis as QA
 from ai_intel_web_scraper_spark.operators import ranking as R
@@ -955,6 +956,36 @@ def _sql_lit_cell(v) -> str:
     return "'" + str(v).replace("'", "''") + "'"
 
 
+def _pagerank_sql() -> str:
+    """Generate the pagerank oracle: the SAME integer recurrence as the
+    engine, unrolled into PR_ITERS CTEs. Everything is 64-bit integer
+    (quantized ranks, one `//` per edge contribution, integer damping
+    blend), so an iterative algorithm becomes fully hash-checkable."""
+    N, K, SCALE = G.PR_N, G.PR_ITERS, G.PR_SCALE
+    NUM, DEN = G.PR_DAMP_NUM, G.PR_DAMP_DEN
+    base = (DEN - NUM) * SCALE // (DEN * N)
+    parts = [
+        f"nodes AS (SELECT i::BIGINT AS node "
+        f"FROM generate_series(0, {N - 1}) t(i))",
+        f"edges AS (SELECT i::BIGINT AS src, "
+        f"((i*13 + 7*(k+1) + k*k) % {N})::BIGINT AS dst "
+        f"FROM generate_series(0, {N - 1}) t(i), "
+        f"generate_series(0, 3) u(k) WHERE k <= i % 3)",
+        "deg AS (SELECT src, count(*)::BIGINT AS outdeg "
+        "FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, {SCALE // N}::BIGINT AS r FROM nodes)",
+    ]
+    for it in range(K):
+        parts.append(
+            f"r{it + 1} AS (SELECT n.node, "
+            f"({base} + ({NUM} * coalesce(s.c, 0)) // {DEN})::BIGINT AS r "
+            f"FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst AS node, sum(r.r // d.outdeg)::BIGINT AS c "
+            f"FROM edges e JOIN r{it} r ON r.node = e.src "
+            f"JOIN deg d ON d.src = e.src GROUP BY e.dst) s USING (node))")
+    return "WITH " + ",\n".join(parts) + f"\nSELECT node, r FROM r{K}"
+
+
 def _sql_values_table(rows: list[tuple], cols: list[str]) -> str:
     """`(VALUES ...) t(cols)` literal relation for planted-expectation
     oracles (same trick as embedding_neardup's pair mapping)."""
@@ -1671,6 +1702,16 @@ def q_range_windows(spark, sf_dir):
                  .alias("value_cents")))
 
 
+def q_pagerank(spark, sf_dir):
+    """Graph addition (late r3): integer-quantized PageRank over the
+    deterministic synthetic link graph (`operators/graph.py`) — the
+    crawl-frontier authority signal. 8 Pregel-style iterations, every
+    step exact 64-bit integer arithmetic, so the DuckDB oracle (the SAME
+    recurrence as 8 unrolled CTEs) hash-matches every node's rank —
+    an iterative algorithm with a full value check, not rows-only."""
+    return G.pagerank(G.link_graph(spark), G.PR_N)
+
+
 def q_pack_shards(spark, sf_dir):
     """Dataset-assembly addition (late r3): deterministic global shuffle +
     concat-and-split sequence packing into fixed-token-budget training
@@ -1800,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,              # the driver window in r4
         "asof_clicks": q_asof_clicks,
         "range_windows": q_range_windows,
+        "pagerank_hosts": q_pagerank,
         "topk_cosine": q_topk_cosine,      # rotated out for pack_shards
                                            # (S10/R4 stays via ann_ivf_topk's
                                            # exact re-rank + rrf_fusion)
@@ -2569,6 +2611,10 @@ def oracle_sql() -> dict[str, str]:
               ON epoch_us(e.ts) >= w.start_us
              AND epoch_us(e.ts) < w.end_us
             GROUP BY w.window_id""",
+        # pagerank_hosts: same integer recurrence, K unrolled CTEs (see
+        # _pagerank_sql) — full per-node rank hash check of an
+        # iterative algorithm.
+        "pagerank_hosts": _pagerank_sql(),
         "lang_id": f"""
             SELECT lang, predicted, count(*)::BIGINT AS n FROM (
               SELECT lang, {lang_case} AS predicted FROM (

@@ -1,0 +1,60 @@
+"""Integer PageRank (`operators/graph.py`): exact parity with a pure-
+Python recompute of the same integer recurrence, plus the frontier
+top-k view."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from ai_intel_web_scraper_spark.operators import graph as G
+
+
+def _py_pagerank(edges, n, iters):
+    base = ((G.PR_DAMP_DEN - G.PR_DAMP_NUM) * G.PR_SCALE
+            // (G.PR_DAMP_DEN * n))
+    outdeg = defaultdict(int)
+    for s, _ in edges:
+        outdeg[s] += 1
+    r = {v: G.PR_SCALE // n for v in range(n)}
+    for _ in range(iters):
+        s = defaultdict(int)
+        for u, v in edges:
+            s[v] += r[u] // outdeg[u]
+        r = {v: base + (G.PR_DAMP_NUM * s.get(v, 0)) // G.PR_DAMP_DEN
+             for v in range(n)}
+    return r
+
+
+def _gen_edges(n):
+    return [(i, (i * 13 + 7 * (k + 1) + k * k) % n)
+            for i in range(n) for k in range(i % 3 + 1)]
+
+
+def test_pagerank_matches_python_recurrence_exactly(spark):
+    n = 60
+    got = {r["node"]: r["r"] for r in G.pagerank(
+        G.link_graph(spark, n), n, iters=5).collect()}
+    assert got == _py_pagerank(_gen_edges(n), n, 5)
+
+
+def test_pagerank_mass_and_spread(spark):
+    n = G.PR_N
+    rows = G.pagerank(G.link_graph(spark, n), n).collect()
+    assert len(rows) == n
+    total = sum(r["r"] for r in rows)
+    # integer DIVs only leak mass downward, never create it
+    assert 0.9 * G.PR_SCALE < total <= G.PR_SCALE
+    assert len({r["r"] for r in rows}) > 10  # ranks actually spread
+    base = ((G.PR_DAMP_DEN - G.PR_DAMP_NUM) * G.PR_SCALE
+            // (G.PR_DAMP_DEN * n))
+    assert all(r["r"] >= base for r in rows)
+
+
+def test_toprank_matches_full_sort(spark):
+    n = 80
+    full = sorted(((r["r"], r["node"]) for r in G.pagerank(
+        G.link_graph(spark, n), n, iters=4).collect()),
+        key=lambda t: (-t[0], t[1]))
+    top = G.toprank_hosts(G.link_graph(spark, n), n, k=7, iters=4).collect()
+    assert [(r["pos"], r["node"], r["r"]) for r in top] == [
+        (i + 1, node, rank) for i, (rank, node) in enumerate(full[:7])]

@@ -108,6 +108,10 @@ AUDIT = {
     "range_windows": [r"Generate explode\(sequence", "partial_count",
                       "!BroadcastNestedLoopJoin", "!CartesianProduct",
                       "!ArrowEvalPython", "!MapInPandas"],
+    # integer PageRank: Pregel step = edges⋈ranks + partial-agg groupBy;
+    # pure native integer exprs, no Python stage anywhere in the loop
+    "pagerank_hosts": ["partial_sum", "!ArrowEvalPython", "!MapInPandas",
+                       "!CartesianProduct"],
     # composed hygiene lifecycle (single-pass labeling): fingerprint-rank
     # window (no group limit — every row keeps its label), broadcast
     # contamination join, Arrow signal UDFs — never a BatchEvalPython
