@@ -903,6 +903,17 @@ def q_embedding_neardup(spark, sf_dir):
             .select("id_a", "id_b"))
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): coarse-cluster
+    the embedding table, order each cluster by centroid similarity, drop
+    points with a too-similar predecessor — one cluster-local self-join,
+    no all-pairs scan. Output is (vec_id, cluster, kept): integers and a
+    boolean only, so the driver never hashes a float; the oracle replays
+    the codebook, the 9-dp assignment argmax, and the 6-dp pairwise
+    cosine rule from the embeddings view itself (no literals)."""
+    return V.semdedup(_t(spark, sf_dir, "embeddings"))
+
+
 def q_recursive_chunks(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return C.recursive_chunks(docs, "doc_id", "text", prefix_cols=["source"])
@@ -1842,6 +1853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_clicks": q_asof_clicks,
         "range_windows": q_range_windows,
         "pagerank_hosts": q_pagerank,
+        "semdedup": q_semdedup,            # this-session additions (SQL-
+
         "topk_cosine": q_topk_cosine,      # rotated out for pack_shards
                                            # (S10/R4 stays via ann_ivf_topk's
                                            # exact re-rank + rrf_fusion)
@@ -2873,6 +2886,36 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": """
             SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
             FROM embeddings""",
+        "semdedup": f"""
+            WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            cents AS (
+              SELECT row_number() OVER (ORDER BY id) - 1 AS ci, v AS cv
+              FROM (SELECT id, v FROM e ORDER BY id
+                    LIMIT {V.SEMDEDUP_CENTROIDS})),
+            assign AS (
+              SELECT id, v, ci AS cl, s AS cs FROM (
+                SELECT id, v, ci,
+                       round(list_dot_product(v, cv)
+                             / (sqrt(list_dot_product(v, v))
+                                * sqrt(list_dot_product(cv, cv))), 9) AS s,
+                       row_number() OVER (PARTITION BY id ORDER BY
+                         round(list_dot_product(v, cv)
+                               / (sqrt(list_dot_product(v, v))
+                                  * sqrt(list_dot_product(cv, cv))), 9)
+                         DESC, ci ASC) AS rk
+                FROM e CROSS JOIN cents) WHERE rk = 1),
+            dropped AS (
+              SELECT DISTINCT r.id FROM assign l JOIN assign r
+              ON l.cl = r.cl
+                 AND (l.cs > r.cs OR (l.cs = r.cs AND l.id < r.id))
+                 AND round(list_dot_product(l.v, r.v)
+                           / (sqrt(list_dot_product(l.v, l.v))
+                              * sqrt(list_dot_product(r.v, r.v))), 6)
+                     >= CAST({V.SEMDEDUP_THRESHOLD!r} AS DOUBLE))
+            SELECT a.id AS vec_id, a.cl::INT AS cluster,
+                   (d.id IS NULL) AS kept
+            FROM assign a LEFT JOIN dropped d ON a.id = d.id""",
         "cursor_source": "SELECT doc_id, n_chars FROM documents",
         "image_roundtrip": """
             SELECT doc_id::VARCHAR AS image_id,

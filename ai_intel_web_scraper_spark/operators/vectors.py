@@ -87,21 +87,41 @@ IVF_CENTROIDS = 8
 IVF_PROBE = 2
 
 
+def codebook(embeddings: DataFrame, n_centroids: int,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic coarse codebook: the first n_centroids rows by id
+    (a data-sample stand-in for a trained k-means codebook — only this
+    constant-size list ever crosses the driver)."""
+    rows = (embeddings.orderBy(id_col).limit(n_centroids)
+            .select(vec_col).collect())
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def assignment_cols(cents: list[list[float]], vec_col: str):
+    """(cluster, centroid_sim) expressions for a coarse-quantizer argmax:
+    native array-of-structs max over per-centroid cosines. Scores are
+    rounded to 9 dp before the argmax so the assignment is stable across
+    engines/summation orders; ties break toward the smaller centroid id
+    (the struct max compares s first, then -i)."""
+    arr = F.array(*[
+        F.struct(F.round(cosine_col(vec_col, c), 9).alias("s"),
+                 F.lit(-i).alias("ni"))
+        for i, c in enumerate(cents)])
+    best = F.array_max(arr)
+    return (-best["ni"]).cast("int"), best["s"]
+
+
 def ivf_topk(embeddings: DataFrame, query: list[float], k: int,
              n_centroids: int = IVF_CENTROIDS, n_probe: int = IVF_PROBE,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF-style ANN: coarse quantizer -> probe the n_probe nearest
-    inverted lists -> exact cosine re-rank within them. The codebook here
-    is a deterministic data sample (the first n_centroids rows by id)
-    standing in for a trained k-means codebook — the mechanics are exactly
-    the production IVF shape: assignment is a native argmax over codebook
-    cosines (at scale the cluster id is the partition/cluster key, so the
-    probe is partition pruning), and only a constant-size codebook ever
-    crosses the driver. Scores are rounded to 9 dp before the argmax so
-    the assignment is stable across engines/summation orders."""
+    inverted lists -> exact cosine re-rank within them. Assignment is a
+    native argmax over codebook cosines (at scale the cluster id is the
+    partition/cluster key, so the probe is partition pruning), and only a
+    constant-size codebook ever crosses the driver."""
     import math
-    cents = (embeddings.orderBy(id_col).limit(n_centroids)
-             .select(id_col, vec_col).collect())
+    cents = codebook(embeddings, n_centroids, id_col, vec_col)
 
     def cos(a, b):
         num = sum(x * y for x, y in zip(a, b))
@@ -109,18 +129,10 @@ def ivf_topk(embeddings: DataFrame, query: list[float], k: int,
         nb = math.sqrt(sum(y * y for y in b)) or 1.0
         return num / (na * nb)
 
-    ranked = sorted(
-        ((round(cos(query, [float(x) for x in r[vec_col]]), 9), i)
-         for i, r in enumerate(cents)), key=lambda t: (-t[0], t[1]))
+    ranked = sorted(((round(cos(query, c), 9), i)
+                     for i, c in enumerate(cents)), key=lambda t: (-t[0], t[1]))
     probe = [i for _, i in ranked[:n_probe]]
-    arr = F.array(*[
-        F.struct(
-            F.round(cosine_col(vec_col,
-                               [float(x) for x in cents[i][vec_col]]), 9)
-            .alias("s"),
-            F.lit(-i).alias("ni"))
-        for i in range(len(cents))])
-    cluster = -F.array_max(arr)["ni"]
+    cluster, _ = assignment_cols(cents, vec_col)
     cand = (embeddings.withColumn("_cluster", cluster)
             .where(F.col("_cluster").isin(probe)))
     return topk_by_score(cand, cosine_col(vec_col, query), k, id_col)
@@ -163,17 +175,74 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.9,
              .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
                      F.col("l.v").alias("va"), F.col("r.v").alias("vb"))
              .dropDuplicates(["id_a", "id_b"]))
-    dot = F.aggregate(F.zip_with(F.col("va").cast("array<double>"),
-                                 F.col("vb").cast("array<double>"),
-                                 lambda a, c: a * c),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    nrm = (F.sqrt(F.aggregate(F.col("va").cast("array<double>"), F.lit(0.0),
-                              lambda acc, x: acc + x * x))
-           * F.sqrt(F.aggregate(F.col("vb").cast("array<double>"), F.lit(0.0),
-                                lambda acc, x: acc + x * x)))
-    return (pairs.withColumn("cosine", F.round(dot / nrm, 6))
+    return (pairs.withColumn("cosine",
+                             pair_cosine_col(F.col("va"), F.col("vb")))
             .where(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+def pair_cosine_col(va, vb, dp: int = 6):
+    """Cosine between two array<float> columns, accumulated in double by a
+    native sequential fold (same order both here and in the DuckDB
+    list_dot_product oracle replay, so the rounded value is engine-exact)."""
+    dot = F.aggregate(F.zip_with(va.cast("array<double>"),
+                                 vb.cast("array<double>"),
+                                 lambda a, c: a * c),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = (F.sqrt(F.aggregate(va.cast("array<double>"), F.lit(0.0),
+                              lambda acc, x: acc + x * x))
+           * F.sqrt(F.aggregate(vb.cast("array<double>"), F.lit(0.0),
+                                lambda acc, x: acc + x * x)))
+    return F.round(dot / nrm, dp)
+
+
+SEMDEDUP_CENTROIDS = 16
+SEMDEDUP_THRESHOLD = 0.40
+
+
+def semdedup(embeddings: DataFrame,
+             threshold: float = SEMDEDUP_THRESHOLD,
+             n_centroids: int = SEMDEDUP_CENTROIDS,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embeddings, order each cluster
+    by similarity-to-centroid (descending, id ascending on ties), and drop
+    every point that has a predecessor in the SAME cluster with cosine >=
+    threshold — the paper's upper-triangular max rule, which is one-shot
+    (not iterative greedy) and therefore a single cluster-local self-join.
+
+    Scale shape: the cluster id is the only shuffle key; the pairwise
+    check is confined to within-cluster pairs (the paper sizes k so
+    clusters stay bounded — k ~ sqrt(n)), every cluster dedupes fully in
+    parallel, and only the constant-size codebook crosses the driver.
+    There is no all-pairs scan anywhere.
+
+    Returns (id_col, cluster, kept) — integers/boolean only, so the
+    cross-engine check never hashes a float: the cosines decide but are
+    identical doubles in both engines (same fold order, rounded).
+    """
+    cents = codebook(embeddings, n_centroids, id_col, vec_col)
+    cluster, csim = assignment_cols(cents, "v")
+    assign = (embeddings
+              .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+              .withColumn("cl", cluster)
+              .withColumn("cs", csim))
+    l = assign.select(F.col("id").alias("lid"), F.col("v").alias("lv"),
+                      F.col("cl").alias("lcl"), F.col("cs").alias("lcs"))
+    r = assign.select(F.col("id").alias("rid"), F.col("v").alias("rv"),
+                      F.col("cl").alias("rcl"), F.col("cs").alias("rcs"))
+    precedes = ((F.col("lcs") > F.col("rcs"))
+                | ((F.col("lcs") == F.col("rcs"))
+                   & (F.col("lid") < F.col("rid"))))
+    similar = pair_cosine_col(F.col("lv"), F.col("rv")) >= threshold
+    dropped = (l.join(r, (F.col("lcl") == F.col("rcl")) & precedes & similar)
+               .select(F.col("rid").alias("id")).distinct()
+               .withColumn("_d", F.lit(True)))
+    return (assign.join(dropped, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.col("cl").alias("cluster"),
+                    F.col("_d").isNull().alias("kept")))
 
 
 def perturbed_copies(embeddings: DataFrame, id_offset: int = 1_000_000,

@@ -907,3 +907,38 @@ def test_strip_duplicate_spans_removes_all_copies(spark):
     again = {r["doc_id"]: r for r in CP.strip_duplicate_spans(
         stripped, "doc_id", "text", n=10).collect()}
     assert all(r["n_removed_words"] == 0 for r in again.values())
+
+
+def test_semdedup_drops_planted_copies_keeps_one(spark, sf_dir):
+    """SemDeDup: plant near-identical copies (cos >= 0.995) and check the
+    cluster-local predecessor rule keeps exactly one of each planted pair
+    whenever both land in the same cluster (small noise can flip a
+    borderline coarse assignment, in which case SemDeDup by design keeps
+    both — count those separately)."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding").limit(100)
+    both = emb.unionByName(V.perturbed_copies(emb, noise=0.1))
+    out = {r["vec_id"]: r for r in V.semdedup(both, threshold=0.9).collect()}
+    n = emb.count()
+    assert len(out) == 2 * n
+    same_cluster = cross_cluster = 0
+    for r in emb.select("vec_id").collect():
+        a, b = out[r["vec_id"]], out[r["vec_id"] + 1_000_000]
+        if a["cluster"] == b["cluster"]:
+            same_cluster += 1
+            assert a["kept"] != b["kept"] or not (a["kept"] or b["kept"])
+        else:
+            cross_cluster += 1
+    # the planted noise is small: nearly all copies co-cluster
+    assert same_cluster >= 0.9 * n
+    # dedup is effective: at most one survivor per co-clustered pair
+    kept = sum(1 for r in out.values() if r["kept"])
+    assert kept <= 2 * n - same_cluster
+
+
+def test_semdedup_no_false_drops_on_dissimilar_data(spark, sf_dir):
+    """On the raw fixture (max pairwise cosine ~0.51) a 0.9 threshold
+    drops nothing: every point is kept and cluster ids cover the codebook."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding").limit(200)
+    out = V.semdedup(emb, threshold=0.9).collect()
+    assert all(r["kept"] for r in out)
+    assert {r["cluster"] for r in out} <= set(range(V.SEMDEDUP_CENTROIDS))
