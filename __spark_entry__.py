@@ -28,6 +28,7 @@ from ai_intel_web_scraper_spark.operators import graph as G
 from ai_intel_web_scraper_spark.operators import packing as PK
 from ai_intel_web_scraper_spark.operators import queryanalysis as QA
 from ai_intel_web_scraper_spark.operators import ranking as R
+from ai_intel_web_scraper_spark.operators import sketches as SK
 from ai_intel_web_scraper_spark.operators import stats as S
 from ai_intel_web_scraper_spark.operators import temporal as TM
 from ai_intel_web_scraper_spark.operators import text as X
@@ -901,6 +902,42 @@ def q_embedding_neardup(spark, sf_dir):
     both = emb.unionByName(V.perturbed_copies(emb, noise=0.1))
     return (V.embedding_neardup_pairs(both, threshold=0.9)
             .select("id_a", "id_b"))
+
+
+def _doc_grams(spark, sf_dir, n: int = 3):
+    """Exploded word n-gram keys of the documents table (the shared input
+    for the sketch queries — shingles are the natural high-cardinality
+    key domain a crawl pipeline sketches over)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.explode(CP.word_grams(CP.words_col(F.col("text")), n))
+        .alias("gram"))
+
+
+def q_hll_registers(spark, sf_dir):
+    """HyperLogLog register table over document 3-gram shingles: the
+    constant-size (<=256 row) sketch state itself, checked register by
+    register — the md5-60bit hash, bucket split, and leading-zero rank
+    all replay verbatim in DuckDB."""
+    return SK.hll_registers(_doc_grams(spark, sf_dir), "gram")
+
+
+def q_hll_card(spark, sf_dir):
+    """One-row HLL cardinality summary (m, n_nonempty, integer harmonic
+    numerator, floor()ed raw estimate, exact distinct) — every emitted
+    value an integer, so the cross-engine hash never touches a float."""
+    return SK.hll_cardinality(_doc_grams(spark, sf_dir), "gram")
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters over document words: top-10 exact
+    counts annotated with the sketch estimate (cms_est >= exact always;
+    equality when no bucket collisions). Grid is 4x256 integers."""
+    docs = _t(spark, sf_dir, "documents")
+    words = (docs.select(F.explode(CP.words_col(F.col("text")))
+                         .alias("word"))
+             .where(F.length("word") > 0))
+    return SK.cms_heavy_hitters(words, "word", k=10)
 
 
 def q_semdedup(spark, sf_dir):
@@ -1854,6 +1891,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_windows": q_range_windows,
         "pagerank_hosts": q_pagerank,
         "semdedup": q_semdedup,            # this-session additions (SQL-
+        "hll_registers": q_hll_registers,  # checked both scales by the
+        "hll_card": q_hll_card,            # repo gate; rotate into the
+        "cms_heavy_hitters": q_cms_heavy_hitters,  # driver window in r4)
 
         "topk_cosine": q_topk_cosine,      # rotated out for pack_shards
                                            # (S10/R4 stays via ann_ivf_topk's
@@ -2916,6 +2956,77 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.id AS vec_id, a.cl::INT AS cluster,
                    (d.id IS NULL) AS kept
             FROM assign a LEFT JOIN dropped d ON a.id = d.id""",
+        "hll_registers": f"""
+            WITH w AS (SELECT {_sql_words()} AS w FROM documents),
+            g AS (SELECT unnest({_sql_grams(3)}) AS gram
+                  FROM w WHERE len(w) >= 3),
+            h AS (SELECT ('0x' || substring(md5('{SK.HLL_SEED}:' || gram),
+                                            1, 15))::BIGINT AS h FROM g),
+            r AS (SELECT (h // {SK.HLL_REST_MOD})::INT AS bucket,
+                         h % {SK.HLL_REST_MOD} AS rest FROM h)
+            SELECT bucket,
+                   max(CASE WHEN rest = 0 THEN {SK.HLL_RHO_MAX}
+                       ELSE {SK.HLL_RHO_MAX} - length(bin(rest)) END)::INT
+                   AS max_rho
+            FROM r GROUP BY bucket""",
+        "hll_card": f"""
+            WITH w AS (SELECT {_sql_words()} AS w FROM documents),
+            g AS (SELECT unnest({_sql_grams(3)}) AS gram
+                  FROM w WHERE len(w) >= 3),
+            h AS (SELECT ('0x' || substring(md5('{SK.HLL_SEED}:' || gram),
+                                            1, 15))::BIGINT AS h FROM g),
+            r AS (SELECT (h // {SK.HLL_REST_MOD})::INT AS bucket,
+                         h % {SK.HLL_REST_MOD} AS rest FROM h),
+            regs AS (SELECT bucket,
+                            max(CASE WHEN rest = 0 THEN {SK.HLL_RHO_MAX}
+                                ELSE {SK.HLL_RHO_MAX} - length(bin(rest))
+                                END) AS max_rho
+                     FROM r GROUP BY bucket),
+            agg AS (SELECT count(*)::BIGINT AS n_nonempty,
+                           sum((1::BIGINT << ({SK.HLL_RHO_MAX} - max_rho))
+                               )::BIGINT AS part_numer
+                    FROM regs),
+            ex AS (SELECT count(DISTINCT h)::BIGINT AS exact_distinct
+                   FROM h)
+            SELECT {SK.HLL_M}::BIGINT AS m, n_nonempty,
+                   (part_numer
+                    + ({SK.HLL_M} - n_nonempty) * {SK.HLL_NUMER_SCALE}
+                    )::BIGINT AS numer,
+                   floor(CAST({SK.HLL_ALPHA!r} AS DOUBLE)
+                         * CAST({float(SK.HLL_M * SK.HLL_M)!r} AS DOUBLE)
+                         * CAST({float(SK.HLL_NUMER_SCALE)!r} AS DOUBLE)
+                         / (part_numer + ({SK.HLL_M} - n_nonempty)
+                            * {SK.HLL_NUMER_SCALE}))::BIGINT AS est_card,
+                   exact_distinct
+            FROM agg, ex""",
+        "cms_heavy_hitters": f"""
+            WITH wd AS (SELECT unnest(w) AS word
+                        FROM (SELECT {_sql_words()} AS w FROM documents)),
+            counts AS (SELECT word, count(*)::BIGINT AS exact_cnt
+                       FROM wd WHERE length(word) > 0 GROUP BY word),
+            ds AS (SELECT unnest(range(0, {SK.CMS_DEPTH})) AS d),
+            grid AS (
+              SELECT d, bucket, sum(exact_cnt)::BIGINT AS reg_cnt FROM (
+                SELECT ds.d, c.exact_cnt,
+                       ('0x' || substring(md5('{SK.CMS_SEED}:'
+                            || ds.d::VARCHAR || ':' || c.word), 1, 15)
+                        )::BIGINT % {SK.CMS_WIDTH} AS bucket
+                FROM counts c CROSS JOIN ds)
+              GROUP BY d, bucket),
+            top AS (SELECT word, exact_cnt FROM counts
+                    ORDER BY exact_cnt DESC, word LIMIT 10),
+            est AS (
+              SELECT p.word, min(g.reg_cnt)::BIGINT AS cms_est FROM (
+                SELECT t.word, ds.d,
+                       ('0x' || substring(md5('{SK.CMS_SEED}:'
+                            || ds.d::VARCHAR || ':' || t.word), 1, 15)
+                        )::BIGINT % {SK.CMS_WIDTH} AS bucket
+                FROM top t CROSS JOIN ds) p
+              JOIN grid g ON g.d = p.d AND g.bucket = p.bucket
+              GROUP BY p.word)
+            SELECT t.word, t.exact_cnt, e.cms_est
+            FROM top t JOIN est e ON t.word = e.word
+            ORDER BY t.exact_cnt DESC, t.word""",
         "cursor_source": "SELECT doc_id, n_chars FROM documents",
         "image_roundtrip": """
             SELECT doc_id::VARCHAR AS image_id,

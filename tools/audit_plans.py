@@ -112,6 +112,26 @@ AUDIT = {
     # pure native integer exprs, no Python stage anywhere in the loop
     "pagerank_hosts": ["partial_sum", "!ArrowEvalPython", "!MapInPandas",
                        "!CartesianProduct"],
+    # SemDeDup: the pairwise check must be an EQUI-join on the cluster id
+    # (shuffle by cluster, residual predicates on sim/order) — never a
+    # nested-loop/cartesian over the corpus; all native exprs
+    "semdedup": ["SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+                 "!CartesianProduct", "!BroadcastNestedLoopJoin",
+                 "!ArrowEvalPython", "!MapInPandas"],
+    # HLL registers: explode grams -> 256-group partial-max agg; pure
+    # native md5/shift exprs, no Python stage
+    "hll_registers": ["Generate", "partial_max",
+                      "!ArrowEvalPython", "!MapInPandas"],
+    # HLL summary: same sketch + scalar fold; the one BNLJ in this plan is
+    # the 1-row x 1-row crossJoin of two scalar aggregates (constant), so
+    # it is deliberately NOT forbidden here
+    "hll_card": ["partial_max", "partial_sum", "partial_count",
+                 "!ArrowEvalPython", "!MapInPandas"],
+    # count-min heavy hitters: map-side partial counts, constant-size grid
+    # broadcast into the probe join, heap top-k
+    "cms_heavy_hitters": ["partial_count", "BroadcastHashJoin",
+                          "TakeOrderedAndProject",
+                          "!ArrowEvalPython", "!MapInPandas"],
     # composed hygiene lifecycle (single-pass labeling): fingerprint-rank
     # window (no group limit — every row keeps its label), broadcast
     # contamination join, Arrow signal UDFs — never a BatchEvalPython
