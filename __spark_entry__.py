@@ -904,6 +904,23 @@ def q_embedding_neardup(spark, sf_dir):
             .select("id_a", "id_b"))
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic k-per-source document sample: seeded md5 hash as a
+    fixed permutation, WindowGroupLimit as the distributed reservoir.
+    Engine-exact sampled id set (rand()-based sampling can never be
+    cross-engine checked; this can, verbatim)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (PK.stratified_sample(docs, ["source"], k=5, id_col="doc_id")
+            .select("source", "doc_id", "sample_rank"))
+
+
+def q_group_quantiles(spark, sf_dir):
+    """Exact per-source doc-length percentiles (P50/P90/P99) via
+    percentile_disc rank arithmetic — integer-exact, no interpolation."""
+    docs = _t(spark, sf_dir, "documents")
+    return S.group_quantiles(docs, ["source"], "n_chars")
+
+
 def _doc_grams(spark, sf_dir, n: int = 3):
     """Exploded word n-gram keys of the documents table (the shared input
     for the sketch queries — shingles are the natural high-cardinality
@@ -1894,6 +1911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_registers": q_hll_registers,  # checked both scales by the
         "hll_card": q_hll_card,            # repo gate; rotate into the
         "cms_heavy_hitters": q_cms_heavy_hitters,  # driver window in r4)
+        "stratified_sample": q_stratified_sample,
+        "group_quantiles": q_group_quantiles,
 
         "topk_cosine": q_topk_cosine,      # rotated out for pack_shards
                                            # (S10/R4 stays via ann_ivf_topk's
@@ -2956,6 +2975,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.id AS vec_id, a.cl::INT AS cluster,
                    (d.id IS NULL) AS kept
             FROM assign a LEFT JOIN dropped d ON a.id = d.id""",
+        "stratified_sample": f"""
+            SELECT source, doc_id, sample_rank FROM (
+              SELECT source, doc_id,
+                     row_number() OVER (PARTITION BY source ORDER BY
+                       ('0x' || substring(md5('{PK.STRAT_SEED}:'
+                            || doc_id::VARCHAR), 1, 15))::BIGINT,
+                       doc_id) AS sample_rank
+              FROM documents)
+            WHERE sample_rank <= 5""",
+        "group_quantiles": f"""
+            WITH ranked AS (
+              SELECT source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars) AS rn,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM documents),
+            qs AS (SELECT unnest([{", ".join(str(q) for q in S.QUANTILES_PCT)}
+                          ]) AS q)
+            SELECT source, q, n_chars AS value
+            FROM ranked CROSS JOIN qs
+            WHERE rn = (q * n + 99) // 100""",
         "hll_registers": f"""
             WITH w AS (SELECT {_sql_words()} AS w FROM documents),
             g AS (SELECT unnest({_sql_grams(3)}) AS gram

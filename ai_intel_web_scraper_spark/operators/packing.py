@@ -229,3 +229,24 @@ def mixture_sample(docs: DataFrame, id_col: str, source_col: str,
     return (docs.join(F.broadcast(rates.select(source_col, "rate")),
                       source_col)
             .withColumn("kept", u < F.col("rate")))
+
+
+STRAT_SEED = "strat-v1"
+
+
+def stratified_sample(df: DataFrame, strata_cols: list[str], k: int,
+                      id_col: str, seed: str = STRAT_SEED) -> DataFrame:
+    """Deterministic uniform k-per-stratum sample: rank every row within
+    its stratum by the seeded md5-60bit hash of its id (a fixed random
+    permutation of each stratum) and keep the k smallest, ties broken by
+    id. One shuffle on the strata key; the LITERAL rank bound lets
+    Catalyst insert WindowGroupLimit (per-partition partial top-k BEFORE
+    the window shuffle), so each map task forwards at most k rows per
+    stratum — the distributed-reservoir property expressed as a plan
+    shape. The hash replays verbatim in DuckDB, so the sampled id set is
+    engine-exact, unlike rand()-based sampling."""
+    key = shuffle_key_col(F.col(id_col), seed)
+    w = Window.partitionBy(*strata_cols).orderBy(key.asc(),
+                                                F.col(id_col).asc())
+    return (df.withColumn("sample_rank", F.row_number().over(w))
+            .where(F.col("sample_rank") <= F.lit(int(k))))

@@ -942,3 +942,23 @@ def test_semdedup_no_false_drops_on_dissimilar_data(spark, sf_dir):
     out = V.semdedup(emb, threshold=0.9).collect()
     assert all(r["kept"] for r in out)
     assert {r["cluster"] for r in out} <= set(range(V.SEMDEDUP_CENTROIDS))
+
+
+def test_group_quantiles_match_python_percentile_disc(spark, sf_dir):
+    """Exact per-group discrete quantiles equal a direct Python recompute
+    of the ceil(q*n/100)-rank element on the sorted values."""
+    import math
+    from ai_intel_web_scraper_spark.operators import stats as S
+    docs = _docs(spark, sf_dir)
+    got = {(r["source"], r["q"]): r["value"]
+           for r in S.group_quantiles(docs, ["source"], "n_chars").collect()}
+    rows = docs.select("source", "n_chars").collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["n_chars"])
+    for src, vals in by_src.items():
+        vals.sort()
+        for q in S.QUANTILES_PCT:
+            expect = vals[math.ceil(q * len(vals) / 100) - 1]
+            assert got[(src, q)] == expect
+    assert len(got) == 3 * len(by_src)

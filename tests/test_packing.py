@@ -273,3 +273,29 @@ def test_mixture_sample_threshold_matches_python(spark, sf_dir):
     # weights differ across sources, so both outcomes must occur
     kept = sum(1 for r in got if r["kept"])
     assert 0 < kept < n
+
+
+def test_stratified_sample_is_uniform_per_stratum_and_stable(spark, sf_dir):
+    import os
+    from ai_intel_web_scraper_spark.operators import packing as PK
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    s = PK.stratified_sample(docs, ["source"], k=5, id_col="doc_id")
+    got = s.groupBy("source").agg(F.count("*").alias("n"),
+                                  F.max("sample_rank").alias("mx")).collect()
+    sizes = {r["source"]: r for r in
+             docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for r in got:
+        expect = min(5, sizes[r["source"]]["n"])
+        assert r["n"] == expect and r["mx"] == expect
+    # deterministic: a second evaluation returns the identical id set
+    ids1 = {(r["source"], r["doc_id"]) for r in s.collect()}
+    ids2 = {(r["source"], r["doc_id"])
+            for r in PK.stratified_sample(docs, ["source"], 5,
+                                          "doc_id").collect()}
+    assert ids1 == ids2
+    # a different seed draws a different sample (permutation actually used)
+    ids3 = {(r["source"], r["doc_id"])
+            for r in PK.stratified_sample(docs, ["source"], 5, "doc_id",
+                                          seed="other").collect()}
+    assert ids1 != ids3

@@ -132,6 +132,16 @@ AUDIT = {
     "cms_heavy_hitters": ["partial_count", "BroadcastHashJoin",
                           "TakeOrderedAndProject",
                           "!ArrowEvalPython", "!MapInPandas"],
+    # deterministic k-per-stratum sample: the literal rank bound MUST
+    # trigger WindowGroupLimit (per-partition partial top-k = the
+    # distributed-reservoir property); hash ranking is a native expr
+    "stratified_sample": ["WindowGroupLimit",
+                          "!ArrowEvalPython", "!MapInPandas"],
+    # exact group quantiles: one rank window; the BNLJ is the deliberate
+    # cross join against the constant 3-row percentile frame (broadcast,
+    # constant work per row) — NOT a data-sized nested loop
+    "group_quantiles": ["Window", "!CartesianProduct",
+                        "!ArrowEvalPython", "!MapInPandas"],
     # composed hygiene lifecycle (single-pass labeling): fingerprint-rank
     # window (no group limit — every row keeps its label), broadcast
     # contamination join, Arrow signal UDFs — never a BatchEvalPython
