@@ -53,6 +53,9 @@ EXTRA = [
     "hygiene_pipeline",
     # late-r3 dataset-assembly additions
     "pack_shards", "mixture_sample", "shard_spans",
+    # late-r3 curation additions (semantic dedup, sketches, sampling)
+    "semdedup", "hll_card", "cms_heavy_hitters",
+    "stratified_sample", "group_quantiles",
 ]
 
 
