@@ -728,6 +728,21 @@ def q_stream_windowed_counts(spark, sf_dir):
     return spark.createDataFrame(rows)
 
 
+def q_stream_hll(spark, sf_dir):
+    """Streaming HLL registers: per-hour distinct-user sketch state under
+    a watermark, driven to completion over a file source. Oracle = the
+    identical register math over epoch-aligned date_trunc buckets — the
+    streaming incremental update must land on exactly the batch sketch
+    (registers merge by max across micro-batches)."""
+    from ai_intel_web_scraper_spark.streaming.events import (
+        run_stream_once, windowed_hll_registers)
+    rows = run_stream_once(spark, os.path.join(sf_dir, "events.parquet"),
+                           windowed_hll_registers)
+    return spark.createDataFrame(
+        rows, "win_start timestamp, win_end timestamp, "
+              "bucket int, max_rho int")
+
+
 def q_stream_sessions(spark, sf_dir):
     """Structured Streaming gap-based session windows (session_window);
     oracle = SQL islands (lag >= gap starts a new island, cumulative-sum
@@ -1913,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,  # driver window in r4)
         "stratified_sample": q_stratified_sample,
         "group_quantiles": q_group_quantiles,
+        "stream_hll": q_stream_hll,
 
         "topk_cosine": q_topk_cosine,      # rotated out for pack_shards
                                            # (S10/R4 stays via ann_ivf_topk's
@@ -2975,6 +2991,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.id AS vec_id, a.cl::INT AS cluster,
                    (d.id IS NULL) AS kept
             FROM assign a LEFT JOIN dropped d ON a.id = d.id""",
+        "stream_hll": f"""
+            WITH h AS (
+              SELECT date_trunc('hour', ts) AS ws,
+                     ('0x' || substring(md5('{SK.HLL_SEED}:'
+                          || user_id::VARCHAR), 1, 15))::BIGINT AS h
+              FROM events)
+            SELECT ws AS win_start, ws + INTERVAL 1 HOUR AS win_end,
+                   (h // {SK.HLL_REST_MOD})::INT AS bucket,
+                   max(CASE WHEN h % {SK.HLL_REST_MOD} = 0
+                       THEN {SK.HLL_RHO_MAX}
+                       ELSE {SK.HLL_RHO_MAX}
+                            - length(bin(h % {SK.HLL_REST_MOD})) END)::INT
+                   AS max_rho
+            FROM h GROUP BY 1, 2, 3""",
         "stratified_sample": f"""
             SELECT source, doc_id, sample_rank FROM (
               SELECT source, doc_id,

@@ -50,23 +50,27 @@ HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 HLL_NUMER_SCALE = 1 << HLL_RHO_MAX
 
 
-def hll_registers(keys: DataFrame, key_col: str,
-                  seed: str = HLL_SEED) -> DataFrame:
-    """(bucket, max_rho) HLL register table for a key column: bucket =
-    top HLL_P bits of the 60-bit md5 hash, rho = leading-zero rank of the
-    remaining 52 bits. groupBy(bucket).max is a 256-group aggregate with
-    map-side partials — the shuffle carries at most m rows per partition
-    regardless of input size (the whole point of the sketch)."""
-    h = shuffle_key_col(F.col(key_col), seed)
+def hll_cols(key, seed: str = HLL_SEED):
+    """(bucket, rho) expressions for one key: bucket = top HLL_P bits of
+    the 60-bit md5 hash, rho = leading-zero rank of the remaining 52 bits
+    (bit-length via base-2 string length — conv/bin agree across engines
+    on minimal, unpadded representations of non-negative longs)."""
+    h = shuffle_key_col(key, seed)
     rest = F.pmod(h, F.lit(HLL_REST_MOD))
-    # bit-length via base-2 string length (conv/bin agree across engines
-    # on minimal, unpadded representations of non-negative longs)
     rho = (F.when(rest == 0, F.lit(HLL_RHO_MAX))
            .otherwise(F.lit(HLL_RHO_MAX)
                       - F.length(F.conv(rest.cast("string"), 10, 2))))
-    return (keys.select(F.shiftright(h, HLL_REST_BITS).cast("int")
-                        .alias("bucket"),
-                        rho.cast("int").alias("rho"))
+    return (F.shiftright(h, HLL_REST_BITS).cast("int"), rho.cast("int"))
+
+
+def hll_registers(keys: DataFrame, key_col: str,
+                  seed: str = HLL_SEED) -> DataFrame:
+    """(bucket, max_rho) HLL register table for a key column.
+    groupBy(bucket).max is a 256-group aggregate with map-side partials —
+    the shuffle carries at most m rows per partition regardless of input
+    size (the whole point of the sketch)."""
+    bucket, rho = hll_cols(F.col(key_col), seed)
+    return (keys.select(bucket.alias("bucket"), rho.alias("rho"))
             .groupBy("bucket").agg(F.max("rho").alias("max_rho")))
 
 

@@ -77,6 +77,27 @@ def stream_distinct_keys(events: DataFrame,
             .select(*cols))
 
 
+def windowed_hll_registers(events: DataFrame, key_col: str = "user_id",
+                           window: str = "1 hour",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Streaming HLL: per-window distinct-key REGISTERS as watermark-
+    bounded streaming state — max leading-zero rank per (window, bucket).
+    State is <= 256 small integers per open window regardless of stream
+    rate, and the incremental micro-batch update is correct because HLL
+    registers merge by element-wise max (the law the batch sketch
+    property-tests). This is how a 10^10-URL fetch stream reports
+    distinct-URL/host cardinality per hour without distinct-count state;
+    the consumer folds registers to an estimate (sketches.hll_estimate)."""
+    from ..operators.sketches import hll_cols
+    bucket, rho = hll_cols(F.col(key_col))
+    return (events.withWatermark("ts", watermark)
+            .withColumn("bucket", bucket).withColumn("rho", rho)
+            .groupBy(F.window("ts", window).alias("win"), "bucket")
+            .agg(F.max("rho").alias("max_rho"))
+            .select(F.col("win.start").alias("win_start"),
+                    F.col("win.end").alias("win_end"), "bucket", "max_rho"))
+
+
 def run_stream_once(spark: SparkSession, src_path: str, op,
                     output_mode: str = "complete") -> list:
     """Drive a streaming op over a parquet file source to completion and

@@ -129,3 +129,45 @@ def test_stream_dedup_drops_cross_batch_duplicates(spark, sf_dir):
     finally:
         spark.catalog.dropTempView(name)
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_windowed_hll_merges_across_micro_batches(spark, sf_dir):
+    """Streaming HLL registers (one file per trigger, so several
+    micro-batches touch the same window) must land on exactly the batch
+    sketch: max-merge across batches is the HLL register law."""
+    import shutil
+    import uuid
+
+    from ai_intel_web_scraper_spark.operators.sketches import hll_cols
+    from ai_intel_web_scraper_spark.streaming.events import (
+        EVENTS_SCHEMA, windowed_hll_registers)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    src = "/tmp/stream_hll_src"
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src + "/all")
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).write.parquet(f"{src}/b{i}")
+        for f in os.listdir(f"{src}/b{i}"):
+            if f.endswith(".parquet"):
+                os.rename(f"{src}/b{i}/{f}", f"{src}/all/b{i}_{f}")
+    name = f"hll_{uuid.uuid4().hex[:8]}"
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/all"))
+    q = (windowed_hll_registers(stream)
+         .writeStream.outputMode("complete").format("memory")
+         .queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["win_start"], r["bucket"]): r["max_rho"]
+           for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    spark.catalog.dropTempView(name)
+    bucket, rho = hll_cols(F.col("user_id"))
+    batch = (ev.withColumn("bucket", bucket).withColumn("rho", rho)
+             .groupBy(F.window("ts", "1 hour").alias("win"), "bucket")
+             .agg(F.max("rho").alias("max_rho")))
+    want = {(r["win"]["start"], r["bucket"]): r["max_rho"]
+            for r in batch.collect()}
+    assert got == want
+    shutil.rmtree(src, ignore_errors=True)
