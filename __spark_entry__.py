@@ -919,6 +919,20 @@ def q_embedding_neardup(spark, sf_dir):
             .select("id_a", "id_b"))
 
 
+def q_cc_hosts(spark, sf_dir):
+    """Connected components of a deterministic blocked link graph — the
+    host-dedup / mirror-detection primitive (and the engine machinery
+    under minhash_greedy) surfaced as a driver query. The engine runs
+    min-label propagation TO CONVERGENCE; the oracle is an independent
+    ALGORITHM (DuckDB recursive-CTE reachability closure, comp = min
+    reachable id), so the full (node, comp) hash check validates an
+    iterative fixpoint against a closed-form formulation."""
+    edges = G.cc_graph(spark)
+    pairs = edges.select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+    return (D.connected_components(pairs)
+            .select(F.col("id").alias("node"), "comp"))
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic k-per-source document sample: seeded md5 hash as a
     fixed permutation, WindowGroupLimit as the distributed reservoir.
@@ -1929,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "group_quantiles": q_group_quantiles,
         "stream_hll": q_stream_hll,
+        "cc_hosts": q_cc_hosts,
 
         "topk_cosine": q_topk_cosine,      # rotated out for pack_shards
                                            # (S10/R4 stays via ann_ivf_topk's
@@ -2991,6 +3006,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.id AS vec_id, a.cl::INT AS cluster,
                    (d.id IS NULL) AS kept
             FROM assign a LEFT JOIN dropped d ON a.id = d.id""",
+        "cc_hosts": f"""
+            WITH RECURSIVE nodes AS (
+              SELECT unnest(range(0, {G.CC_N})) AS id),
+            ks AS (SELECT unnest(range(0, 2)) AS k),
+            e0 AS (
+              SELECT id AS a,
+                     (id - id % {G.CC_BLOCK})
+                     + ((id * 13 + 7 * (k + 1) + k * k) % {G.CC_BLOCK}) AS b
+              FROM nodes CROSS JOIN ks WHERE k <= id % 2),
+            edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b
+                      FROM e0),
+            reach(a, b) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b)
+            SELECT a AS node, min(b) AS comp FROM reach GROUP BY a""",
         "stream_hll": f"""
             WITH h AS (
               SELECT date_trunc('hour', ts) AS ws,

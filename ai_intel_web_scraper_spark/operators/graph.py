@@ -99,3 +99,24 @@ def toprank_hosts(edges: DataFrame, n_nodes: int, k: int = 20,
     w = Window.orderBy(F.desc("r"), F.asc("node"))
     return (top.withColumn("pos", F.row_number().over(w))
             .select("pos", "node", "r"))
+
+
+CC_N = 500
+CC_BLOCK = 50
+
+
+def cc_graph(spark, n: int = CC_N, block: int = CC_BLOCK) -> DataFrame:
+    """Deterministic blocked link graph for component analysis: node i
+    emits 1 + (i % 2) edges to targets confined to its own `block`-node
+    range — so the graph has exactly n/block components, each requiring
+    multi-hop min-label propagation to converge (the block interiors are
+    sparse chains, not cliques). DuckDB regenerates the identical edge
+    set from the same constants."""
+    return (spark.range(n)
+            .select(F.col("id").alias("a"),
+                    F.explode(F.sequence(F.lit(0), F.col("id") % 2))
+                    .alias("_k"))
+            .select("a",
+                    ((F.col("a") - F.col("a") % block)
+                     + ((F.col("a") * 13 + 7 * (F.col("_k") + 1)
+                         + F.col("_k") * F.col("_k")) % block)).alias("b")))

@@ -58,3 +58,39 @@ def test_toprank_matches_full_sort(spark):
     top = G.toprank_hosts(G.link_graph(spark, n), n, k=7, iters=4).collect()
     assert [(r["pos"], r["node"], r["r"]) for r in top] == [
         (i + 1, node, rank) for i, (rank, node) in enumerate(full[:7])]
+
+
+def test_connected_components_match_union_find_on_cc_graph(spark):
+    """Min-label propagation to convergence equals a union-find ground
+    truth on the blocked graph: exactly n/block components, comp = the
+    block's minimum node id for every member."""
+    from ai_intel_web_scraper_spark.operators import dedup as D
+    from ai_intel_web_scraper_spark.operators import graph as G
+    from pyspark.sql import functions as F
+    edges = G.cc_graph(spark)
+    pairs = edges.select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+    got = {r["id"]: r["comp"]
+           for r in D.connected_components(pairs).collect()}
+    # union-find over the same deterministic edge rule
+    n, block = G.CC_N, G.CC_BLOCK
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        for k in range(i % 2 + 1):
+            b = (i - i % block) + ((i * 13 + 7 * (k + 1) + k * k) % block)
+            ra, rb = find(i), find(b)
+            if ra != rb:
+                parent[ra] = rb
+    comp_min: dict[int, int] = {}
+    for i in range(n):
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    want = {i: comp_min[find(i)] for i in range(n)}
+    assert got == want
+    assert len(set(got.values())) == n // block
