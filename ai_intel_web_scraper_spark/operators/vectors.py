@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .ranking import cosine_col, topk_by_score
+from .ranking import cosine_col, dot_col, norm_col, topk_by_score
 
 EMBED_DIM = 32
 _HYPERPLANE_SEED = 1234
@@ -98,15 +98,28 @@ def codebook(embeddings: DataFrame, n_centroids: int,
     return [[float(x) for x in r[vec_col]] for r in rows]
 
 
-def assignment_cols(cents: list[list[float]], vec_col: str):
+def assignment_cols(cents: list[list[float]], vec_col: str,
+                    norm=None):
     """(cluster, centroid_sim) expressions for a coarse-quantizer argmax:
     native array-of-structs max over per-centroid cosines. Scores are
     rounded to 9 dp before the argmax so the assignment is stable across
     engines/summation orders; ties break toward the smaller centroid id
-    (the struct max compares s first, then -i)."""
+    (the struct max compares s first, then -i).
+
+    `norm` optionally supplies the row's precomputed L2 norm COLUMN so
+    the norm fold is evaluated once per row instead of once per centroid
+    — the arithmetic (dot / (norm * |c|), same fold, same multiplication
+    order) is unchanged, so the doubles are bit-identical either way."""
+    import math
+
+    def cos(c):
+        if norm is None:
+            return cosine_col(vec_col, c)
+        qn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return dot_col(vec_col, c) / (norm * F.lit(qn))
+
     arr = F.array(*[
-        F.struct(F.round(cosine_col(vec_col, c), 9).alias("s"),
-                 F.lit(-i).alias("ni"))
+        F.struct(F.round(cos(c), 9).alias("s"), F.lit(-i).alias("ni"))
         for i, c in enumerate(cents)])
     best = F.array_max(arr)
     return (-best["ni"]).cast("int"), best["s"]
@@ -223,19 +236,31 @@ def semdedup(embeddings: DataFrame,
     identical doubles in both engines (same fold order, rounded).
     """
     cents = codebook(embeddings, n_centroids, id_col, vec_col)
-    cluster, csim = assignment_cols(cents, "v")
-    assign = (embeddings
-              .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-              .withColumn("cl", cluster)
-              .withColumn("cs", csim))
+    # precompute each row's L2 norm ONCE: the interpreted fold would
+    # otherwise re-run per centroid in the argmax and twice per pair in
+    # the join (the expression cost that dominates this operator); the
+    # arithmetic is unchanged — dot / (norm * other), same fold, same
+    # multiplication order — so the doubles are bit-identical
+    base = (embeddings
+            .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .withColumn("nv", norm_col("v")))
+    cluster, csim = assignment_cols(cents, "v", norm=F.col("nv"))
+    assign = base.withColumn("cl", cluster).withColumn("cs", csim)
     l = assign.select(F.col("id").alias("lid"), F.col("v").alias("lv"),
+                      F.col("nv").alias("lnv"),
                       F.col("cl").alias("lcl"), F.col("cs").alias("lcs"))
     r = assign.select(F.col("id").alias("rid"), F.col("v").alias("rv"),
+                      F.col("nv").alias("rnv"),
                       F.col("cl").alias("rcl"), F.col("cs").alias("rcs"))
     precedes = ((F.col("lcs") > F.col("rcs"))
                 | ((F.col("lcs") == F.col("rcs"))
                    & (F.col("lid") < F.col("rid"))))
-    similar = pair_cosine_col(F.col("lv"), F.col("rv")) >= threshold
+    pair_dot = F.aggregate(
+        F.zip_with(F.col("lv").cast("array<double>"),
+                   F.col("rv").cast("array<double>"), lambda a, c: a * c),
+        F.lit(0.0), lambda acc, x: acc + x)
+    similar = (F.round(pair_dot / (F.col("lnv") * F.col("rnv")), 6)
+               >= threshold)
     dropped = (l.join(r, (F.col("lcl") == F.col("rcl")) & precedes & similar)
                .select(F.col("rid").alias("id")).distinct()
                .withColumn("_d", F.lit(True)))
