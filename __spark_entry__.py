@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_intel_web_scraper_spark.operators import chunking as C
+from ai_intel_web_scraper_spark.operators import clustering as KM
 from ai_intel_web_scraper_spark.operators import corpus as CP
 from ai_intel_web_scraper_spark.operators import dedup as D
 from ai_intel_web_scraper_spark.operators import export as EXP
@@ -1080,6 +1081,50 @@ def _pagerank_sql() -> str:
     return "WITH " + ",\n".join(parts) + f"\nSELECT node, r FROM r{K}"
 
 
+def _kmeans_sql() -> str:
+    """Generate the k-means oracle: the SAME integer Lloyd recurrence as
+    `operators/clustering.py`, unrolled into KM_ITERS (assign, update) CTE
+    pairs over exploded (vec_id, dim, value) rows. Quantization is
+    floor(x * 2^20) + 2^24 — exact IEEE arithmetic, positive values so
+    DuckDB `//` equals Spark `DIV` — and distances/means are 64-bit
+    integers throughout, so the iterative clustering is fully
+    hash-checkable (same device as _pagerank_sql)."""
+    k, iters = KM.KM_K, KM.KM_ITERS
+    qs, qo = KM.KM_QSCALE, KM.KM_QOFF
+    parts = [
+        "dims AS (SELECT i::INT AS d FROM generate_series(1, 64) t(i))",
+        f"q AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
+        f"x -> floor(x * {qs})::BIGINT + {qo}) AS qv FROM embeddings)",
+        "qd AS (SELECT vec_id, d, qv[d] AS v FROM q CROSS JOIN dims)",
+        f"c0 AS (SELECT ci, d, qv[d] AS cv FROM "
+        f"(SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, qv "
+        f"FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {k}) s) t "
+        f"CROSS JOIN dims)",
+    ]
+    for it in range(iters):
+        parts.append(
+            f"a{it} AS (SELECT vec_id, ci AS cl FROM ("
+            f"SELECT qd.vec_id, c.ci, row_number() OVER ("
+            f"PARTITION BY qd.vec_id "
+            f"ORDER BY sum((qd.v - c.cv)*(qd.v - c.cv)), c.ci) AS rk "
+            f"FROM qd JOIN c{it} c USING (d) "
+            f"GROUP BY qd.vec_id, c.ci) z WHERE rk = 1)")
+        parts.append(
+            f"c{it + 1} AS (SELECT c.ci, c.d, coalesce(n.cv, c.cv) AS cv "
+            f"FROM c{it} c LEFT JOIN ("
+            f"SELECT a.cl AS ci, qd.d, sum(qd.v) // count(*) AS cv "
+            f"FROM a{it} a JOIN qd USING (vec_id) "
+            f"GROUP BY a.cl, qd.d) n ON n.ci = c.ci AND n.d = c.d)")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT vec_id, cl::INT AS cluster, dist::BIGINT AS qdist "
+            f"FROM (SELECT qd.vec_id, c.ci AS cl, "
+            f"sum((qd.v - c.cv)*(qd.v - c.cv)) AS dist, "
+            f"row_number() OVER (PARTITION BY qd.vec_id "
+            f"ORDER BY sum((qd.v - c.cv)*(qd.v - c.cv)), c.ci) AS rk "
+            f"FROM qd JOIN c{iters} c USING (d) "
+            f"GROUP BY qd.vec_id, c.ci) z WHERE rk = 1")
+
+
 def _sql_values_table(rows: list[tuple], cols: list[str]) -> str:
     """`(VALUES ...) t(cols)` literal relation for planted-expectation
     oracles (same trick as embedding_neardup's pair mapping)."""
@@ -1806,6 +1851,19 @@ def q_pagerank(spark, sf_dir):
     return G.pagerank(G.link_graph(spark), G.PR_N)
 
 
+def q_kmeans(spark, sf_dir):
+    """Clustering addition (late r3): distributed integer-exact Lloyd's
+    k-means over the embedding table — the trained-codebook upgrade to the
+    data-sample coarse quantizers IVF/SemDeDup use. 4 iterations, every
+    step 64-bit integer arithmetic (floor-quantized components, integer
+    squared distances, integer centroid means), so the DuckDB oracle (the
+    SAME recurrence as unrolled CTEs) hash-matches every point's
+    (cluster, qdist) — an iterative float-free algorithm with a full
+    value check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return KM.kmeans(emb)
+
+
 def q_pack_shards(spark, sf_dir):
     """Dataset-assembly addition (late r3): deterministic global shuffle +
     concat-and-split sequence packing into fixed-token-budget training
@@ -1944,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_quantiles": q_group_quantiles,
         "stream_hll": q_stream_hll,
         "cc_hosts": q_cc_hosts,
+        "kmeans_clusters": q_kmeans,  # this-session: integer Lloyd's
 
         "topk_cosine": q_topk_cosine,      # rotated out for pack_shards
                                            # (S10/R4 stays via ann_ivf_topk's
@@ -2718,6 +2777,10 @@ def oracle_sql() -> dict[str, str]:
         # _pagerank_sql) — full per-node rank hash check of an
         # iterative algorithm.
         "pagerank_hosts": _pagerank_sql(),
+        # kmeans_clusters: same integer Lloyd recurrence, KM_ITERS
+        # unrolled (assign, update) CTE pairs — full per-point
+        # (cluster, qdist) hash check of an iterative algorithm.
+        "kmeans_clusters": _kmeans_sql(),
         "lang_id": f"""
             SELECT lang, predicted, count(*)::BIGINT AS n FROM (
               SELECT lang, {lang_case} AS predicted FROM (

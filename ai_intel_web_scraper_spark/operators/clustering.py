@@ -1,0 +1,141 @@
+"""Distributed Lloyd's k-means over embedding columns, integer-exact.
+
+Why a crawl/training-data engine needs it: coarse quantizers (the IVF /
+SemDeDup cluster structure in `operators/vectors.py`) are *trained* with
+k-means in production systems (FAISS trains IVF codebooks this way); topic
+balancing, curriculum strata, and cluster-local dedup all start from a
+clustering pass. The reference has no clustering (its corpus never grows
+past a few thousand records, `vectorstore/store.py` just indexes
+everything); this extends the engine per the large-scale-pipeline mandate.
+
+Exactness contract (what makes an *iterative float* algorithm fully
+hash-checkable cross-engine, same device as `graph.pagerank`):
+- Vectors are quantized ONCE to 64-bit integers: q[d] = floor(x[d] *
+  2^20) + 2^24. floor of (double * power-of-two) is exact IEEE arithmetic
+  — no round()-at-.5 engine divergence (the shipping_priority lesson) —
+  and the +2^24 offset keeps every value positive so integer division
+  below is floor division on both engines (Spark DIV truncates toward
+  zero, DuckDB // floors; they agree only on non-negatives).
+- Assignment = argmin of integer squared L2 distance, ties to the
+  smaller centroid id. |q| <= 2^25, so a 32-dim squared distance is
+  < 2^55: exact in a long under ANSI mode.
+- Update = per-dimension integer mean: sum(q[d]) DIV count. Fixed
+  iteration count; empty clusters keep their previous centroid.
+So a fixed seed (first-k-by-id init) + fixed iterations produce
+bit-identical (cluster, qdist) on any engine; the DuckDB oracle replays
+the same recurrence as unrolled CTEs over exploded (vec_id, dim, value)
+rows.
+
+Scale shape (10^9-vector corpora):
+- Each iteration is ONE shuffle: groupBy(cluster) with dim+1 native
+  long-sum aggregates (map-side partials; element_at projections, never a
+  posexplode — the shuffle carries k rows x (dim+1) longs per partition,
+  not n*dim exploded rows).
+- Only the k x dim integer codebook ever crosses the driver (the same
+  constant-size contract as `vectors.codebook`).
+- Assignment is a narrow map (argmin over literal centroids inside
+  whole-stage codegen-adjacent higher-order functions, no UDF, no join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+KM_K = 8
+KM_ITERS = 4
+KM_QSCALE = 1 << 20          # quantization unit = 2^-20 of embedding space
+KM_QOFF = 1 << 24            # positivity offset (|x| < 16 assumed)
+
+
+def quantize_col(vec_col, qscale: int = KM_QSCALE, qoff: int = KM_QOFF):
+    """array<long> of floor(x * qscale) + qoff per component. Exact and
+    engine-agnostic: the cast widens float->double losslessly, the
+    power-of-two multiply is exact, floor is unambiguous."""
+    return F.transform(
+        vec_col.cast("array<double>"),
+        lambda x: F.floor(x * F.lit(float(qscale))).cast("long")
+        + F.lit(qoff))
+
+
+def _sqdist(qv, cent: list[int]):
+    """Integer squared L2 distance between a quantized vector column and
+    a literal centroid (native fold, no UDF)."""
+    return F.aggregate(
+        F.zip_with(qv, F.array(*[F.lit(c) for c in cent]),
+                   lambda a, c: (a - c) * (a - c)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _argmin_cols(qv, cents: list[list[int]]):
+    """(cluster, qdist) for the nearest centroid; ties break toward the
+    smaller centroid id via the struct min's (d, i) field order."""
+    best = F.array_min(F.array(*[
+        F.struct(_sqdist(qv, c).alias("d"), F.lit(i).alias("i"))
+        for i, c in enumerate(cents)]))
+    return best["i"].cast("int"), best["d"].cast("long")
+
+
+def init_centroids(embeddings: DataFrame, k: int,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> list[list[int]]:
+    """Deterministic seed codebook: the quantized vectors of the first k
+    rows by id (the same data-sample convention as `vectors.codebook`)."""
+    rows = (embeddings.orderBy(id_col).limit(k)
+            .select(quantize_col(F.col(vec_col)).alias("qv")).collect())
+    return [[int(x) for x in r["qv"]] for r in rows]
+
+
+def kmeans_fit(embeddings: DataFrame, k: int = KM_K, iters: int = KM_ITERS,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> list[list[int]]:
+    """`iters` Lloyd steps; returns the final integer codebook. Each step
+    = one narrow argmin map + one k-group aggregate with dim+1 long sums;
+    the k x dim codebook is the only thing collected."""
+    cents = init_centroids(embeddings, k, id_col, vec_col)
+    dim = len(cents[0])
+    qdf = embeddings.select(quantize_col(F.col(vec_col)).alias("qv"))
+    for _ in range(iters):
+        cluster, _d = _argmin_cols(F.col("qv"), cents)
+        sums = (qdf.withColumn("_cl", cluster)
+                .groupBy("_cl")
+                .agg(F.count("*").alias("_n"),
+                     *[F.sum(F.element_at("qv", d + 1)).alias(f"_s{d}")
+                       for d in range(dim)])
+                .collect())
+        nxt = list(cents)  # empty clusters keep their previous centroid
+        for r in sums:
+            nxt[r["_cl"]] = [int(r[f"_s{d}"]) // int(r["_n"])
+                             for d in range(dim)]
+        cents = nxt
+    return cents
+
+
+def dequantize(cents: list[list[int]],
+               qscale: int = KM_QSCALE,
+               qoff: int = KM_QOFF) -> list[list[float]]:
+    """Integer codebook -> float centroids: (q - qoff) / qscale. Every
+    value is a dyadic rational (power-of-two divisor), so the doubles are
+    exact and any engine recomputing the same expression agrees bitwise —
+    which is what lets a kmeans-trained codebook feed the float-cosine
+    IVF path (`vectors.ivf_topk`) while staying oracle-checkable."""
+    return [[(c - qoff) / qscale for c in cent] for cent in cents]
+
+
+def kmeans_assign(embeddings: DataFrame, cents: list[list[int]],
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """(id, cluster, qdist) against a fixed integer codebook — the
+    narrow-map scoring pass (no shuffle, no UDF)."""
+    qv = quantize_col(F.col(vec_col))
+    cluster, qdist = _argmin_cols(qv, cents)
+    return embeddings.select(F.col(id_col), cluster.alias("cluster"),
+                             qdist.alias("qdist"))
+
+
+def kmeans(embeddings: DataFrame, k: int = KM_K, iters: int = KM_ITERS,
+           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Fit + final assignment: (id, cluster, qdist), every value an exact
+    integer — the cross-engine hash never touches a float."""
+    cents = kmeans_fit(embeddings, k, iters, id_col, vec_col)
+    return kmeans_assign(embeddings, cents, id_col, vec_col)

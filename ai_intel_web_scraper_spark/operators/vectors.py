@@ -127,14 +127,21 @@ def assignment_cols(cents: list[list[float]], vec_col: str,
 
 def ivf_topk(embeddings: DataFrame, query: list[float], k: int,
              n_centroids: int = IVF_CENTROIDS, n_probe: int = IVF_PROBE,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             cents: list[list[float]] | None = None) -> DataFrame:
     """IVF-style ANN: coarse quantizer -> probe the n_probe nearest
     inverted lists -> exact cosine re-rank within them. Assignment is a
     native argmax over codebook cosines (at scale the cluster id is the
     partition/cluster key, so the probe is partition pruning), and only a
-    constant-size codebook ever crosses the driver."""
+    constant-size codebook ever crosses the driver.
+
+    `cents` optionally supplies an externally trained codebook (the
+    production shape: `clustering.kmeans_fit` + `dequantize`, the same
+    train-then-index split FAISS IVF uses); default stays the
+    deterministic data-sample codebook."""
     import math
-    cents = codebook(embeddings, n_centroids, id_col, vec_col)
+    if cents is None:
+        cents = codebook(embeddings, n_centroids, id_col, vec_col)
 
     def cos(a, b):
         num = sum(x * y for x, y in zip(a, b))

@@ -1,0 +1,87 @@
+"""Distributed integer-exact Lloyd's k-means (operators/clustering.py).
+
+The exactness contract is the whole point: the Spark recurrence must equal
+an independent pure-Python replay bit-for-bit, survive repartitioning (the
+integer means make summation-order irrelevant), and keep empty clusters
+pinned to their previous centroid.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_intel_web_scraper_spark.operators import clustering as KM
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _py_kmeans(rows, k, iters):
+    """Independent replay of the quantized recurrence in plain Python
+    (arbitrary-precision ints — overflow in the engine would show up as a
+    mismatch here)."""
+    ids = [r[0] for r in rows]
+    import math
+    q = [[math.floor(float(x) * KM.KM_QSCALE) + KM.KM_QOFF for x in r[1]]
+         for r in rows]
+
+    def nearest(v, cents):
+        return min((sum((a - c) ** 2 for a, c in zip(v, ce)), i)
+                   for i, ce in enumerate(cents))
+
+    order = sorted(range(len(ids)), key=lambda j: ids[j])
+    cents = [list(q[j]) for j in order[:k]]
+    for _ in range(iters):
+        asg = [nearest(v, cents)[1] for v in q]
+        nxt = [list(c) for c in cents]
+        for ci in range(k):
+            mem = [q[j] for j in range(len(q)) if asg[j] == ci]
+            if mem:
+                nxt[ci] = [sum(m[d] for m in mem) // len(mem)
+                           for d in range(len(q[0]))]
+        cents = nxt
+    return {ids[j]: nearest(q[j], cents) for j in range(len(q))}
+
+
+def test_kmeans_matches_python_replay(emb):
+    got = {r["vec_id"]: (r["qdist"], r["cluster"])
+           for r in KM.kmeans(emb).collect()}
+    rows = [(r["vec_id"], r["embedding"])
+            for r in emb.select("vec_id", "embedding").collect()]
+    want = _py_kmeans(rows, KM.KM_K, KM.KM_ITERS)
+    assert got == want
+    assert len({c for _, c in got.values()}) > 1  # actually clusters
+
+
+def test_kmeans_partition_invariant(emb):
+    a = sorted(map(tuple, KM.kmeans(emb).collect()))
+    b = sorted(map(tuple, KM.kmeans(emb.repartition(13)).collect()))
+    assert a == b
+
+
+def test_empty_cluster_keeps_previous_centroid(spark):
+    # 4 identical points but k=3: clusters 1 and 2 go empty after the
+    # first assignment (everything lands on centroid 0) and must keep
+    # their seed centroids rather than crash or emit nulls.
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(4)], "vec_id long, v array<float>")
+    cents = KM.kmeans_fit(df, k=3, iters=2, vec_col="v")
+    seed = KM.init_centroids(df, 3, vec_col="v")
+    assert cents[1] == seed[1] and cents[2] == seed[2]
+    out = KM.kmeans(df, k=3, iters=2, vec_col="v").collect()
+    assert all(r["cluster"] == 0 and r["qdist"] == 0 for r in out)
+
+
+def test_quantize_col_is_floor_exact(spark):
+    df = spark.createDataFrame([(0, [0.5, -0.5, 0.0])],
+                               "vec_id long, v array<float>")
+    [r] = df.select(KM.quantize_col(F.col("v")).alias("q")).collect()
+    half = KM.KM_QSCALE // 2
+    assert list(r["q"]) == [half + KM.KM_QOFF,
+                            -half + KM.KM_QOFF,
+                            KM.KM_QOFF]
