@@ -908,6 +908,18 @@ def q_ann_ivf_topk(spark, sf_dir):
     return V.ivf_topk(_t(spark, sf_dir, "embeddings"), QUERY_VEC_A, TOPK)
 
 
+def q_ann_ivf_trained(spark, sf_dir):
+    """IVF with a TRAINED coarse quantizer — the production FAISS shape
+    (train k-means, then index): `clustering.kmeans_fit` learns the
+    integer codebook, `dequantize` lifts it to exact dyadic doubles, and
+    the standard IVF probe + exact re-rank runs against it. The oracle
+    replays the whole chain — Lloyd CTEs, dequantize, round-9 argmax,
+    probe, round-6 re-rank — in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = KM.dequantize(KM.kmeans_fit(emb))
+    return V.ivf_topk(emb, QUERY_VEC_A, TOPK, cents=cents)
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Near-dup vectors: the fixture has no true high-cosine pairs (max
     observed 0.51), so deterministic perturbed copies are planted;
@@ -1081,14 +1093,14 @@ def _pagerank_sql() -> str:
     return "WITH " + ",\n".join(parts) + f"\nSELECT node, r FROM r{K}"
 
 
-def _kmeans_sql() -> str:
-    """Generate the k-means oracle: the SAME integer Lloyd recurrence as
+def _kmeans_cte_parts() -> tuple[list[str], str]:
+    """The shared k-means CTE chain: the SAME integer Lloyd recurrence as
     `operators/clustering.py`, unrolled into KM_ITERS (assign, update) CTE
     pairs over exploded (vec_id, dim, value) rows. Quantization is
     floor(x * 2^20) + 2^24 — exact IEEE arithmetic, positive values so
     DuckDB `//` equals Spark `DIV` — and distances/means are 64-bit
-    integers throughout, so the iterative clustering is fully
-    hash-checkable (same device as _pagerank_sql)."""
+    integers throughout. Returns (parts, final_centroid_cte) so both the
+    clustering oracle and the trained-IVF oracle replay one recurrence."""
     k, iters = KM.KM_K, KM.KM_ITERS
     qs, qo = KM.KM_QSCALE, KM.KM_QOFF
     parts = [
@@ -1115,6 +1127,15 @@ def _kmeans_sql() -> str:
             f"SELECT a.cl AS ci, qd.d, sum(qd.v) // count(*) AS cv "
             f"FROM a{it} a JOIN qd USING (vec_id) "
             f"GROUP BY a.cl, qd.d) n ON n.ci = c.ci AND n.d = c.d)")
+    return parts, f"c{iters}"
+
+
+def _kmeans_sql() -> str:
+    """k-means oracle: the shared recurrence CTEs + a final integer
+    (cluster, qdist) assignment — an iterative algorithm with a full
+    per-point hash check (same device as _pagerank_sql)."""
+    parts, cfin = _kmeans_cte_parts()
+    iters = KM.KM_ITERS
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT vec_id, cl::INT AS cluster, dist::BIGINT AS qdist "
             f"FROM (SELECT qd.vec_id, c.ci AS cl, "
@@ -1123,6 +1144,43 @@ def _kmeans_sql() -> str:
             f"ORDER BY sum((qd.v - c.cv)*(qd.v - c.cv)), c.ci) AS rk "
             f"FROM qd JOIN c{iters} c USING (d) "
             f"GROUP BY qd.vec_id, c.ci) z WHERE rk = 1")
+
+
+def _ivf_trained_sql() -> str:
+    """Trained-codebook IVF oracle: replay the k-means recurrence (shared
+    CTEs), dequantize the final integer centroids to their exact dyadic
+    doubles ((cv - 2^24) / 2^20 — bit-identical to the Python-side
+    `clustering.dequantize`), then replicate the IVF path of
+    `ann_ivf_topk`: round-9 cosine argmax assignment (ties to the smaller
+    centroid id), round-9 probe ranking, exact cosine re-rank rounded to
+    6 dp — the same cross-engine stabilization the untrained IVF oracle
+    already proves out."""
+    parts, cfin = _kmeans_cte_parts()
+    qs, qo = KM.KM_QSCALE, KM.KM_QOFF
+    qlit = _sql_vec_lit(QUERY_VEC_A)
+    qnorm = float(np.sqrt(sum(x * x for x in QUERY_VEC_A)))
+    parts.append(
+        f"fc AS (SELECT ci, list((cv - {qo})::DOUBLE / {qs} ORDER BY d) "
+        f"AS cvec FROM {cfin} GROUP BY ci)")
+    parts.append(
+        "assign AS (SELECT vec_id, embedding, ci, row_number() OVER ("
+        "PARTITION BY vec_id ORDER BY "
+        "round(list_dot_product(embedding::DOUBLE[], cvec) "
+        "/ (sqrt(list_dot_product(embedding::DOUBLE[], "
+        "embedding::DOUBLE[])) * sqrt(list_dot_product(cvec, cvec))), 9) "
+        "DESC, ci ASC) AS rn FROM embeddings CROSS JOIN fc)")
+    parts.append(
+        f"probe AS (SELECT ci FROM fc ORDER BY "
+        f"round(list_dot_product(cvec, {qlit}) "
+        f"/ (sqrt(list_dot_product(cvec, cvec)) * {qnorm!r}), 9) "
+        f"DESC, ci LIMIT {V.IVF_PROBE})")
+    cos_q = (f"(list_dot_product(embedding::DOUBLE[], {qlit}) "
+             f"/ (sqrt(list_dot_product(embedding::DOUBLE[], "
+             f"embedding::DOUBLE[])) * {qnorm!r}))")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT vec_id, round({cos_q}, 6) AS score FROM assign "
+            f"WHERE rn = 1 AND ci IN (SELECT ci FROM probe) "
+            f"ORDER BY score DESC, vec_id LIMIT {TOPK}")
 
 
 def _sql_values_table(rows: list[tuple], cols: list[str]) -> str:
@@ -2003,6 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hll": q_stream_hll,
         "cc_hosts": q_cc_hosts,
         "kmeans_clusters": q_kmeans,  # this-session: integer Lloyd's
+        "ann_ivf_trained": q_ann_ivf_trained,  # this-session: trained IVF
 
         "topk_cosine": q_topk_cosine,      # rotated out for pack_shards
                                            # (S10/R4 stays via ann_ivf_topk's
@@ -2781,6 +2840,9 @@ def oracle_sql() -> dict[str, str]:
         # unrolled (assign, update) CTE pairs — full per-point
         # (cluster, qdist) hash check of an iterative algorithm.
         "kmeans_clusters": _kmeans_sql(),
+        # ann_ivf_trained: Lloyd CTEs -> exact dyadic dequantize ->
+        # the ann_ivf_topk probe/re-rank shape over the trained codebook.
+        "ann_ivf_trained": _ivf_trained_sql(),
         "lang_id": f"""
             SELECT lang, predicted, count(*)::BIGINT AS n FROM (
               SELECT lang, {lang_case} AS predicted FROM (

@@ -77,6 +77,26 @@ def test_empty_cluster_keeps_previous_centroid(spark):
     assert all(r["cluster"] == 0 and r["qdist"] == 0 for r in out)
 
 
+def test_dequantize_is_exact_dyadic():
+    cents = [[KM.KM_QOFF + KM.KM_QSCALE // 2, KM.KM_QOFF - 3 * KM.KM_QSCALE]]
+    assert KM.dequantize(cents) == [[0.5, -3.0]]
+
+
+def test_trained_ivf_scores_match_brute_force(emb):
+    """IVF over a kmeans-trained codebook: every returned (id, score) must
+    appear in the brute-force ranking with the identical rounded score
+    (the probe only prunes candidates, never rescores them)."""
+    from ai_intel_web_scraper_spark.operators import vectors as V
+    q = [float((i * 37 % 19) - 9) / 10.0 for i in range(64)]
+    cents = KM.dequantize(KM.kmeans_fit(emb))
+    assert len(cents) == KM.KM_K
+    got = {r["vec_id"]: r["score"]
+           for r in V.ivf_topk(emb, q, 10, cents=cents).collect()}
+    brute = {r["vec_id"]: r["score"]
+             for r in V.brute_force_topk(emb, q, 500).collect()}
+    assert got and all(brute[i] == s for i, s in got.items())
+
+
 def test_quantize_col_is_floor_exact(spark):
     df = spark.createDataFrame([(0, [0.5, -0.5, 0.0])],
                                "vec_id long, v array<float>")
