@@ -27,6 +27,7 @@ from ai_intel_web_scraper_spark.operators import dedup as D
 from ai_intel_web_scraper_spark.operators import export as EXP
 from ai_intel_web_scraper_spark.operators import graph as G
 from ai_intel_web_scraper_spark.operators import packing as PK
+from ai_intel_web_scraper_spark.operators import pq as PQ
 from ai_intel_web_scraper_spark.operators import queryanalysis as QA
 from ai_intel_web_scraper_spark.operators import ranking as R
 from ai_intel_web_scraper_spark.operators import sketches as SK
@@ -908,6 +909,28 @@ def q_ann_ivf_topk(spark, sf_dir):
     return V.ivf_topk(_t(spark, sf_dir, "embeddings"), QUERY_VEC_A, TOPK)
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN: per-subspace integer k-means codebooks
+    (4 x 16-dim, 8 centroids -> 4-byte codes, 64x compression), one
+    narrow encode map, and asymmetric-distance top-k computed from the
+    CODES ALONE via an inlined integer distance table — the FAISS IVF-PQ
+    building block, with every emitted value an exact 64-bit integer so
+    the DuckDB oracle (4 Lloyd chains + independent dt recompute)
+    hash-matches the full train->encode->score chain."""
+    return PQ.pq_topk(_t(spark, sf_dir, "embeddings"), QUERY_VEC_A, TOPK)
+
+
+def q_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ — the full production ANN: k-means coarse quantizer
+    partitions the corpus into inverted lists (cluster id = partition key
+    at scale), the query probes the n_probe nearest lists by integer
+    distance, and ranking inside them is ADC over the 4-byte PQ codes.
+    Integer-exact end to end; the oracle replays coarse Lloyd + probe +
+    4 subspace chains + an independent distance table."""
+    return PQ.ivf_pq_topk(_t(spark, sf_dir, "embeddings"),
+                          QUERY_VEC_A, TOPK)
+
+
 def q_ann_ivf_trained(spark, sf_dir):
     """IVF with a TRAINED coarse quantizer — the production FAISS shape
     (train k-means, then index): `clustering.kmeans_fit` learns the
@@ -1093,41 +1116,52 @@ def _pagerank_sql() -> str:
     return "WITH " + ",\n".join(parts) + f"\nSELECT node, r FROM r{K}"
 
 
-def _kmeans_cte_parts() -> tuple[list[str], str]:
+def _kmeans_cte_parts(prefix: str = "", lo: int = 1, hi: int = 64,
+                      k: int | None = None,
+                      include_q: bool = True) -> tuple[list[str], str]:
     """The shared k-means CTE chain: the SAME integer Lloyd recurrence as
     `operators/clustering.py`, unrolled into KM_ITERS (assign, update) CTE
     pairs over exploded (vec_id, dim, value) rows. Quantization is
     floor(x * 2^20) + 2^24 — exact IEEE arithmetic, positive values so
     DuckDB `//` equals Spark `DIV` — and distances/means are 64-bit
-    integers throughout. Returns (parts, final_centroid_cte) so both the
-    clustering oracle and the trained-IVF oracle replay one recurrence."""
-    k, iters = KM.KM_K, KM.KM_ITERS
+    integers throughout. Returns (parts, final_centroid_cte) so the
+    clustering, trained-IVF, and PQ oracles all replay one recurrence;
+    `prefix`/`lo`/`hi` carve a named subspace chain over dims [lo, hi]
+    (the PQ per-subspace trainer), sharing the global `q` CTE."""
+    k = KM.KM_K if k is None else k
+    iters = KM.KM_ITERS
     qs, qo = KM.KM_QSCALE, KM.KM_QOFF
-    parts = [
-        "dims AS (SELECT i::INT AS d FROM generate_series(1, 64) t(i))",
-        f"q AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
-        f"x -> floor(x * {qs})::BIGINT + {qo}) AS qv FROM embeddings)",
-        "qd AS (SELECT vec_id, d, qv[d] AS v FROM q CROSS JOIN dims)",
-        f"c0 AS (SELECT ci, d, qv[d] AS cv FROM "
+    p = prefix
+    parts = []
+    if include_q:
+        parts.append(
+            f"q AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
+            f"x -> floor(x * {qs})::BIGINT + {qo}) AS qv FROM embeddings)")
+    parts += [
+        f"{p}dims AS (SELECT i::INT AS d "
+        f"FROM generate_series({lo}, {hi}) t(i))",
+        f"{p}qd AS (SELECT vec_id, d, qv[d] AS v "
+        f"FROM q CROSS JOIN {p}dims)",
+        f"{p}c0 AS (SELECT ci, d, qv[d] AS cv FROM "
         f"(SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, qv "
         f"FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {k}) s) t "
-        f"CROSS JOIN dims)",
+        f"CROSS JOIN {p}dims)",
     ]
     for it in range(iters):
         parts.append(
-            f"a{it} AS (SELECT vec_id, ci AS cl FROM ("
+            f"{p}a{it} AS (SELECT vec_id, ci AS cl FROM ("
             f"SELECT qd.vec_id, c.ci, row_number() OVER ("
             f"PARTITION BY qd.vec_id "
             f"ORDER BY sum((qd.v - c.cv)*(qd.v - c.cv)), c.ci) AS rk "
-            f"FROM qd JOIN c{it} c USING (d) "
+            f"FROM {p}qd qd JOIN {p}c{it} c USING (d) "
             f"GROUP BY qd.vec_id, c.ci) z WHERE rk = 1)")
         parts.append(
-            f"c{it + 1} AS (SELECT c.ci, c.d, coalesce(n.cv, c.cv) AS cv "
-            f"FROM c{it} c LEFT JOIN ("
+            f"{p}c{it + 1} AS (SELECT c.ci, c.d, coalesce(n.cv, c.cv) "
+            f"AS cv FROM {p}c{it} c LEFT JOIN ("
             f"SELECT a.cl AS ci, qd.d, sum(qd.v) // count(*) AS cv "
-            f"FROM a{it} a JOIN qd USING (vec_id) "
+            f"FROM {p}a{it} a JOIN {p}qd qd USING (vec_id) "
             f"GROUP BY a.cl, qd.d) n ON n.ci = c.ci AND n.d = c.d)")
-    return parts, f"c{iters}"
+    return parts, f"{p}c{iters}"
 
 
 def _kmeans_sql() -> str:
@@ -1181,6 +1215,99 @@ def _ivf_trained_sql() -> str:
             + f"\nSELECT vec_id, round({cos_q}, 6) AS score FROM assign "
             f"WHERE rn = 1 AND ci IN (SELECT ci FROM probe) "
             f"ORDER BY score DESC, vec_id LIMIT {TOPK}")
+
+
+def _pq_sql() -> str:
+    """Product-quantization oracle: M prefixed Lloyd chains (one per
+    subspace, dims [s·16+1, (s+1)·16], shared `q`), per-subspace argmin
+    code assignment, and an INDEPENDENTLY recomputed ADC distance table —
+    the floor-quantized query inlined as a (d, v) literal relation, dt =
+    per-centroid integer squared distance — summed via M equi-joins.
+    Every value 64-bit integer; full (vec_id, adc) hash check of the
+    train->encode->score chain."""
+    import math
+    m, sub = PQ.PQ_M, PQ.PQ_SUBDIM
+    qs, qo = KM.KM_QSCALE, KM.KM_QOFF
+    qq = [math.floor(float(x) * qs) + qo for x in QUERY_VEC_A]
+    parts: list[str] = []
+    for s in range(m):
+        sp, cfin = _kmeans_cte_parts(prefix=f"s{s}_", lo=s * sub + 1,
+                                     hi=(s + 1) * sub, k=PQ.PQ_K,
+                                     include_q=(s == 0))
+        parts += sp
+        parts.append(
+            f"s{s}_code AS (SELECT vec_id, ci AS code FROM ("
+            f"SELECT qd.vec_id, c.ci, row_number() OVER ("
+            f"PARTITION BY qd.vec_id "
+            f"ORDER BY sum((qd.v - c.cv)*(qd.v - c.cv)), c.ci) AS rk "
+            f"FROM s{s}_qd qd JOIN {cfin} c USING (d) "
+            f"GROUP BY qd.vec_id, c.ci) z WHERE rk = 1)")
+        parts.append(
+            f"s{s}_dt AS (SELECT c.ci, "
+            f"sum((qq.v - c.cv)*(qq.v - c.cv)) AS dd "
+            f"FROM (VALUES "
+            + ", ".join(f"({d + 1}, {v})" for d, v in enumerate(qq))
+            + f") qq(d, v) JOIN {cfin} c USING (d) GROUP BY c.ci)")
+    joins = " ".join(
+        f"JOIN s{s}_code j{s} USING (vec_id) "
+        f"JOIN s{s}_dt t{s} ON t{s}.ci = j{s}.code" for s in range(m))
+    total = " + ".join(f"t{s}.dd" for s in range(m))
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT q.vec_id, ({total})::BIGINT AS adc FROM q "
+            + joins + f" ORDER BY adc, q.vec_id LIMIT {TOPK}")
+
+
+def _ivf_pq_sql() -> str:
+    """IVF-PQ oracle: the full-dim Lloyd chain (coarse quantizer, shared
+    CTE builder, prefix-free) + an integer-distance coarse assignment and
+    probe ranking computed FROM the replayed centroids (query inlined as
+    a quantized (d, v) literal), then the PQ chains/codes/distance tables
+    of `_pq_sql` restricted to vectors in the probed lists. Integer end
+    to end — full (vec_id, adc) hash check of the production ANN shape."""
+    import math
+    m, sub = PQ.PQ_M, PQ.PQ_SUBDIM
+    qs, qo = KM.KM_QSCALE, KM.KM_QOFF
+    qq = [math.floor(float(x) * qs) + qo for x in QUERY_VEC_A]
+    qvals = ", ".join(f"({d + 1}, {v})" for d, v in enumerate(qq))
+    parts, coarse_fin = _kmeans_cte_parts()
+    parts.append(
+        f"coarse AS (SELECT vec_id, ci AS cl FROM ("
+        f"SELECT qd.vec_id, c.ci, row_number() OVER ("
+        f"PARTITION BY qd.vec_id "
+        f"ORDER BY sum((qd.v - c.cv)*(qd.v - c.cv)), c.ci) AS rk "
+        f"FROM qd JOIN {coarse_fin} c USING (d) "
+        f"GROUP BY qd.vec_id, c.ci) z WHERE rk = 1)")
+    parts.append(
+        f"probe AS (SELECT ci FROM ("
+        f"SELECT c.ci, sum((qq.v - c.cv)*(qq.v - c.cv)) AS dd "
+        f"FROM (VALUES {qvals}) qq(d, v) JOIN {coarse_fin} c USING (d) "
+        f"GROUP BY c.ci) ORDER BY dd, ci LIMIT {PQ.IVFPQ_PROBE})")
+    for s in range(m):
+        sp, cfin = _kmeans_cte_parts(prefix=f"s{s}_", lo=s * sub + 1,
+                                     hi=(s + 1) * sub, k=PQ.PQ_K,
+                                     include_q=False)
+        parts += sp
+        parts.append(
+            f"s{s}_code AS (SELECT vec_id, ci AS code FROM ("
+            f"SELECT qd.vec_id, c.ci, row_number() OVER ("
+            f"PARTITION BY qd.vec_id "
+            f"ORDER BY sum((qd.v - c.cv)*(qd.v - c.cv)), c.ci) AS rk "
+            f"FROM s{s}_qd qd JOIN {cfin} c USING (d) "
+            f"GROUP BY qd.vec_id, c.ci) z WHERE rk = 1)")
+        parts.append(
+            f"s{s}_dt AS (SELECT c.ci, "
+            f"sum((qq.v - c.cv)*(qq.v - c.cv)) AS dd "
+            f"FROM (VALUES {qvals}) qq(d, v) JOIN {cfin} c USING (d) "
+            f"GROUP BY c.ci)")
+    joins = " ".join(
+        f"JOIN s{s}_code j{s} USING (vec_id) "
+        f"JOIN s{s}_dt t{s} ON t{s}.ci = j{s}.code" for s in range(m))
+    total = " + ".join(f"t{s}.dd" for s in range(m))
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT coarse.vec_id, ({total})::BIGINT AS adc "
+            f"FROM coarse " + joins
+            + f" WHERE coarse.cl IN (SELECT ci FROM probe) "
+            f"ORDER BY adc, coarse.vec_id LIMIT {TOPK}")
 
 
 def _sql_values_table(rows: list[tuple], cols: list[str]) -> str:
@@ -2062,6 +2189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_hosts": q_cc_hosts,
         "kmeans_clusters": q_kmeans,  # this-session: integer Lloyd's
         "ann_ivf_trained": q_ann_ivf_trained,  # this-session: trained IVF
+        "pq_topk": q_pq_topk,  # this-session: PQ codes + ADC top-k
+        "ivf_pq_topk": q_ivf_pq_topk,  # this-session: full IVF-PQ
 
         "topk_cosine": q_topk_cosine,      # rotated out for pack_shards
                                            # (S10/R4 stays via ann_ivf_topk's
@@ -2843,6 +2972,12 @@ def oracle_sql() -> dict[str, str]:
         # ann_ivf_trained: Lloyd CTEs -> exact dyadic dequantize ->
         # the ann_ivf_topk probe/re-rank shape over the trained codebook.
         "ann_ivf_trained": _ivf_trained_sql(),
+        # pq_topk: 4 prefixed Lloyd chains + per-subspace code argmin +
+        # independently recomputed integer ADC table — full hash check.
+        "pq_topk": _pq_sql(),
+        # ivf_pq_topk: coarse Lloyd chain + integer probe + the PQ
+        # chains restricted to probed lists — full hash check.
+        "ivf_pq_topk": _ivf_pq_sql(),
         "lang_id": f"""
             SELECT lang, predicted, count(*)::BIGINT AS n FROM (
               SELECT lang, {lang_case} AS predicted FROM (

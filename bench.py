@@ -56,6 +56,8 @@ EXTRA = [
     # late-r3 curation additions (semantic dedup, sketches, sampling)
     "semdedup", "hll_card", "cms_heavy_hitters",
     "stratified_sample", "group_quantiles",
+    # late-r3 clustering / compressed-ANN additions
+    "kmeans_clusters", "ann_ivf_trained", "pq_topk", "ivf_pq_topk",
 ]
 
 
