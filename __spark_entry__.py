@@ -2026,6 +2026,19 @@ def q_range_windows(spark, sf_dir):
                  .alias("value_cents")))
 
 
+def q_recrawl_schedule(spark, sf_dir):
+    """Recrawl scheduling (Cho & Garcia-Molina freshness): per-key change
+    rate from an observation log (a change = fingerprint differs from the
+    key's previous observation), refetch interval = observed span DIV
+    changes clamped to [6h, 30d], next_due = last observation + interval
+    (`operators/temporal.py:recrawl_schedule` — one shuffle, window and
+    agg share the key partitioning). The events table stands in as the
+    fetch history: user_id = page, event_type = content fingerprint.
+    Every emitted value is an exact integer."""
+    return TM.recrawl_schedule(_t(spark, sf_dir, "events"),
+                               "user_id", "ts", "event_type", "event_id")
+
+
 def q_pagerank(spark, sf_dir):
     """Graph addition (late r3): integer-quantized PageRank over the
     deterministic synthetic link graph (`operators/graph.py`) — the
@@ -2191,6 +2204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": q_ann_ivf_trained,  # this-session: trained IVF
         "pq_topk": q_pq_topk,  # this-session: PQ codes + ADC top-k
         "ivf_pq_topk": q_ivf_pq_topk,  # this-session: full IVF-PQ
+        "recrawl_schedule": q_recrawl_schedule,  # this-session: freshness
 
         "topk_cosine": q_topk_cosine,      # rotated out for pack_shards
                                            # (S10/R4 stays via ann_ivf_topk's
@@ -2978,6 +2992,31 @@ def oracle_sql() -> dict[str, str]:
         # ivf_pq_topk: coarse Lloyd chain + integer probe + the PQ
         # chains restricted to probed lists — full hash check.
         "ivf_pq_topk": _ivf_pq_sql(),
+        # recrawl_schedule: identical lag/agg recurrence in DuckDB;
+        # all-integer outputs (epoch micros, ppm rate).
+        "recrawl_schedule": f"""
+            WITH hist AS (
+              SELECT user_id, epoch_us(ts) AS t,
+                     CASE WHEN event_type != lag(event_type) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                          THEN 1 ELSE 0 END AS chg
+              FROM events),
+            agg AS (
+              SELECT user_id, count(*)::BIGINT AS n_obs,
+                     sum(chg)::BIGINT AS n_changes,
+                     min(t) AS f, max(t) AS l
+              FROM hist GROUP BY user_id)
+            SELECT user_id, n_obs, n_changes,
+                   (CASE WHEN n_obs > 1
+                         THEN n_changes * 1000000 // (n_obs - 1)
+                         ELSE 0 END)::BIGINT AS change_rate_ppm,
+                   iv::BIGINT AS interval_us,
+                   (l + iv)::BIGINT AS next_due_us
+            FROM (SELECT *, greatest({TM.RECRAWL_MIN_US},
+                     least({TM.RECRAWL_MAX_US},
+                       CASE WHEN n_changes > 0 THEN (l - f) // n_changes
+                            ELSE {TM.RECRAWL_MAX_US} END)) AS iv
+                  FROM agg)""",
         "lang_id": f"""
             SELECT lang, predicted, count(*)::BIGINT AS n FROM (
               SELECT lang, {lang_case} AS predicted FROM (

@@ -116,3 +116,54 @@ def test_maintenance_windows_fixture_shape(spark):
         assert r["start_us"] == TM.WIN_BASE_US + r["window_id"] * TM.WIN_STEP_US
         length = (6 + (r["window_id"] % 5) * 9) * TM.HOUR_US
         assert r["end_us"] - r["start_us"] == length
+
+
+def test_recrawl_schedule_matches_python_replay(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # key 0: alternates every 7h (est = 7h, unclamped) / key 1: static
+    # (ceiling) / key 2: one change then static / key 3: single
+    # observation / key 4: changes hourly (est = 1h -> floor clamp)
+    specs = {0: "ababab", 1: "xxxxx", 2: "ppqqqq", 3: "z", 4: "cdcdcd"}
+    for k, fps in specs.items():
+        step = 1 if k == 4 else 7
+        for i, fp in enumerate(fps):
+            rows.append((eid, k, base + dt.timedelta(hours=step * i + k),
+                         fp))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, k long, ts timestamp, fp string")
+    got = {r["k"]: (r["n_obs"], r["n_changes"], r["change_rate_ppm"],
+                    r["interval_us"], r["next_due_us"])
+           for r in TM.recrawl_schedule(df, "k", "ts", "fp",
+                                        "event_id").collect()}
+    epoch = dt.datetime(1970, 1, 1)
+    for k, fps in specs.items():
+        step = 1 if k == 4 else 7
+        ts = [int((base + dt.timedelta(hours=step * i + k) - epoch)
+                  .total_seconds() * 1_000_000) for i in range(len(fps))]
+        ch = sum(1 for a, b in zip(fps, fps[1:]) if a != b)
+        n = len(fps)
+        est = (ts[-1] - ts[0]) // ch if ch else TM.RECRAWL_MAX_US
+        iv = max(TM.RECRAWL_MIN_US, min(TM.RECRAWL_MAX_US, est))
+        rate = ch * 1_000_000 // (n - 1) if n > 1 else 0
+        assert got[k] == (n, ch, rate, iv, ts[-1] + iv), k
+    # hourly changer clamps at the floor; static key at the ceiling;
+    # the 7h alternator sits between, unclamped
+    assert got[4][3] == TM.RECRAWL_MIN_US
+    assert got[1][3] == TM.RECRAWL_MAX_US
+    assert got[0][3] == 7 * TM.HOUR_US
+
+
+def test_recrawl_schedule_single_shuffle_plan(spark, tmp_path):
+    import datetime as dt
+    df = spark.createDataFrame(
+        [(i, i % 5, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), "a")
+         for i in range(50)],
+        "event_id long, k long, ts timestamp, fp string")
+    plan = TM.recrawl_schedule(df, "k", "ts", "fp", "event_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the lag window and the aggregate must share one hash partitioning
+    assert plan.count("Exchange hashpartitioning") == 1, plan
