@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .clustering import KM_ITERS, kmeans_fit, quantize_col
+from .clustering import KM_ITERS, quantize_col
 
 PQ_M = 4          # subspaces (dim 64 -> 4 x 16)
 PQ_K = 8          # centroids per subspace -> 3-bit codes, 64x compression
@@ -54,18 +54,46 @@ def pq_train(embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K,
              sub_dim: int = PQ_SUBDIM, iters: int = KM_ITERS,
              id_col: str = "vec_id",
              vec_col: str = "embedding") -> list[list[list[int]]]:
-    """Per-subspace integer k-means codebooks: m fits over the sliced
-    column, each reusing `clustering.kmeans_fit` unchanged (seeded from
-    the first k rows by id, like every codebook in this repo). Returns
-    books[s][c] = integer centroid."""
-    return [
-        kmeans_fit(
-            embeddings.select(F.col(id_col),
-                              _sub_col(F.col(vec_col), s, sub_dim)
-                              .alias("_sub")),
-            k=k, iters=iters, id_col=id_col, vec_col="_sub")
-        for s in range(m)
-    ]
+    """Per-subspace integer k-means codebooks, all m subspaces trained in
+    ONE Spark job per Lloyd iteration: the quantized vector explodes into
+    (s, subvector) rows once, each iteration is a single
+    groupBy(s, cluster) aggregate of m·k rows × (sub_dim+1) long sums,
+    and only the m × k × sub_dim codebook crosses the driver. The
+    arithmetic is EXACTLY `clustering.kmeans_fit` run per slice (seeded
+    from the first k rows by id; integer argmin, integer means, empty
+    clusters pinned) — the batched schedule changes job count, not one
+    bit of output (pytest replays per-subspace in pure Python)."""
+    from .clustering import _sqdist
+
+    qv = quantize_col(F.col(vec_col))
+    subarr = F.array(*[F.slice(qv, s * sub_dim + 1, sub_dim)
+                       for s in range(m)])
+    init = (embeddings.orderBy(id_col).limit(k)
+            .select(subarr.alias("_subs")).collect())
+    books = [[ [int(x) for x in r["_subs"][s]] for r in init]
+             for s in range(m)]
+    exploded = (embeddings
+                .select(F.posexplode(subarr).alias("_s", "_qsub")))
+    for _ in range(iters):
+        per_s = F.array(*[
+            F.array_min(F.array(*[
+                F.struct(_sqdist(F.col("_qsub"), c).alias("d"),
+                         F.lit(ci).alias("i"))
+                for ci, c in enumerate(books[s])]))["i"]
+            for s in range(m)])
+        sums = (exploded
+                .withColumn("_cl", F.element_at(per_s, F.col("_s") + 1))
+                .groupBy("_s", "_cl")
+                .agg(F.count("*").alias("_n"),
+                     *[F.sum(F.element_at("_qsub", d + 1)).alias(f"_x{d}")
+                       for d in range(sub_dim)])
+                .collect())
+        nxt = [[list(c) for c in book] for book in books]
+        for r in sums:
+            nxt[r["_s"]][r["_cl"]] = [int(r[f"_x{d}"]) // int(r["_n"])
+                                      for d in range(sub_dim)]
+        books = nxt
+    return books
 
 
 def _code_col(qsub, book: list[list[int]]):

@@ -147,6 +147,23 @@ AUDIT = {
     # contamination join, Arrow signal UDFs — never a BatchEvalPython
     "hygiene_pipeline": ["Window", "BroadcastHashJoin",
                          "ArrowEvalPython"],
+    # integer k-means: the returned assignment pass is a pure narrow map
+    # (argmin over literal centroids, no UDF, no shuffle); the training
+    # loop's per-iteration agg is the one shuffle and stays off this plan
+    "kmeans_clusters": ["!Exchange", "!ArrowEvalPython", "!MapInPandas"],
+    # trained IVF: probe filter + exact re-rank -> heap top-k
+    "ann_ivf_trained": ["TakeOrderedAndProject",
+                        "!ArrowEvalPython", "!MapInPandas"],
+    # PQ ADC: encode + table lookups are one narrow codegen map feeding
+    # the heap top-k — NO shuffle anywhere in the query path
+    "pq_topk": ["TakeOrderedAndProject", "!Exchange",
+                "!ArrowEvalPython", "!MapInPandas"],
+    "ivf_pq_topk": ["TakeOrderedAndProject", "!Exchange",
+                    "!ArrowEvalPython", "!MapInPandas"],
+    # recrawl scheduling: lag window keyed on the page id; the single-
+    # Exchange property is asserted exactly in tests/test_temporal.py
+    "recrawl_schedule": [r"windowspecdefinition\(user_id",
+                         "!ArrowEvalPython", "!MapInPandas"],
 }
 FORBIDDEN = "BatchEvalPython"  # row-at-a-time Python UDF — never acceptable
 
