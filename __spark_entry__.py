@@ -26,6 +26,7 @@ from ai_intel_web_scraper_spark.operators import corpus as CP
 from ai_intel_web_scraper_spark.operators import dedup as D
 from ai_intel_web_scraper_spark.operators import export as EXP
 from ai_intel_web_scraper_spark.operators import graph as G
+from ai_intel_web_scraper_spark.operators import multimodal as MM
 from ai_intel_web_scraper_spark.operators import packing as PK
 from ai_intel_web_scraper_spark.operators import pq as PQ
 from ai_intel_web_scraper_spark.operators import queryanalysis as QA
@@ -1517,6 +1518,29 @@ def _phash_lit_rows() -> list[tuple]:
     return list(zip(tbl["image_id"].to_pylist(), tbl["phash"].to_pylist()))
 
 
+def _pages_qa_lit_rows() -> list[tuple]:
+    """(image_id, phash, caption) straight from the fixture pages table —
+    oracle INPUTS (not results); DuckDB recomputes the QA labels
+    independently from them."""
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(_crawl_fixture_paths()["pages"],
+                        columns=["image_id", "phash", "caption"])
+    return list(zip(tbl["image_id"].to_pylist(), tbl["phash"].to_pylist(),
+                    tbl["caption"].to_pylist()))
+
+
+def q_image_text_qa(spark, sf_dir):
+    """Image-text pair QA (LAION-style curation over the north-rule
+    image+caption table): exact-dup image group sizes, per-caption image
+    spread (boilerplate-caption detection), and a keep-first decision —
+    `operators/multimodal.py:image_text_qa`. Integer/boolean outputs
+    only; the oracle recomputes the labels in SQL from the fixture's
+    (image_id, phash, caption) as a literal relation."""
+    from ai_intel_web_scraper_spark.operators.multimodal import image_text_qa
+    pages = spark.read.parquet(_crawl_fixture_paths()["pages"])
+    return image_text_qa(pages)
+
+
 def q_crawl_frontier(spark, sf_dir):
     """The flagship: a full crawl on tiny fixtures; returns the fetched
     table in deterministic crawl order."""
@@ -2205,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,  # this-session: PQ codes + ADC top-k
         "ivf_pq_topk": q_ivf_pq_topk,  # this-session: full IVF-PQ
         "recrawl_schedule": q_recrawl_schedule,  # this-session: freshness
+        "image_text_qa": q_image_text_qa,  # this-session: pair curation
 
         "topk_cosine": q_topk_cosine,      # rotated out for pack_shards
                                            # (S10/R4 stays via ann_ivf_topk's
@@ -3620,6 +3645,23 @@ def oracle_sql() -> dict[str, str]:
                                     ["image_id", "w", "h", "fmt", "mean_r",
                                      "mean_g", "mean_b", "phash",
                                      "decode_ok"])}""",
+        # image_text_qa: independent SQL recompute of the QA labels from
+        # the fixture's (image_id, phash, caption) literal relation.
+        "image_text_qa": f"""
+            WITH pg AS (SELECT * FROM {_sql_values_table(
+                _pages_qa_lit_rows(), ["image_id", "phash", "caption"])}),
+            sp AS (SELECT caption,
+                          count(DISTINCT phash)::BIGINT AS caption_spread
+                   FROM pg GROUP BY caption)
+            SELECT pg.image_id,
+                   (count(*) OVER (PARTITION BY phash))::BIGINT
+                       AS phash_dups,
+                   sp.caption_spread,
+                   (row_number() OVER (PARTITION BY phash, pg.caption
+                                       ORDER BY pg.image_id) = 1
+                    AND sp.caption_spread
+                        <= {MM.CAPTION_SPREAD_MAX}) AS keep
+            FROM pg JOIN sp USING (caption)""",
         "phash_neardup": f"""
             WITH ph AS (SELECT * FROM {_sql_values_table(
                 _phash_lit_rows(), ["image_id", "phash"])})

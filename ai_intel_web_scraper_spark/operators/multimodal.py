@@ -162,3 +162,42 @@ def video_frame_sample(df: DataFrame, every_n: int = 30) -> DataFrame:
                 "mean_b", "frame_png", "decode_ok"])
     return (df.select(F.col("video_id"), F.col("bytes"))
             .mapInPandas(fn, schema=VIDEO_FRAMES_SCHEMA))
+
+
+# Image-text pair QA (the LAION-style curation pass an image+caption
+# corpus needs before training): (a) exact-duplicate images (same phash)
+# re-hosted under many pages keep ONE representative per caption;
+# (b) a caption attached to many DISTINCT images is boilerplate ("stock
+# photo", alt-text templates) and carries no supervision signal — drop
+# the whole caption group. The reference ingests image+caption pairs
+# as-is (no pair-level QA anywhere in scrapers/).
+CAPTION_SPREAD_MAX = 3
+
+
+def image_text_qa(pages: DataFrame,
+                  spread_max: int = CAPTION_SPREAD_MAX) -> DataFrame:
+    """Per-page QA labels over (image_id, phash, caption):
+    phash_dups = exact-duplicate group size, caption_spread = distinct
+    images under this page's caption, keep = first page (by image_id) of
+    its (phash, caption) group AND caption not generic.
+
+    Scale shape: the dup-group window and keep-first rank share one hash
+    partitioning on phash; caption spread is a separate groupBy joined
+    back on caption (shuffle equi-join — caption cardinality is
+    data-sized, so no broadcast assumption). Outputs are integers and a
+    boolean; bytes never enter the plan (ReadSchema prunes to three
+    columns)."""
+    from pyspark.sql import Window
+    wd = Window.partitionBy("phash")
+    wr = Window.partitionBy("phash", "caption").orderBy("image_id")
+    spread = (pages.groupBy("caption")
+              .agg(F.countDistinct("phash").alias("caption_spread")))
+    return (pages.select("image_id", "phash", "caption")
+            .withColumn("phash_dups", F.count("*").over(wd))
+            .withColumn("_rn", F.row_number().over(wr))
+            .join(spread, "caption")
+            .select(F.col("image_id"), F.col("phash_dups").cast("long"),
+                    F.col("caption_spread").cast("long"),
+                    ((F.col("_rn") == 1)
+                     & (F.col("caption_spread") <= F.lit(spread_max)))
+                    .alias("keep")))

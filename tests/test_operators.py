@@ -962,3 +962,47 @@ def test_group_quantiles_match_python_percentile_disc(spark, sf_dir):
             expect = vals[math.ceil(q * len(vals) / 100) - 1]
             assert got[(src, q)] == expect
     assert len(got) == 3 * len(by_src)
+
+
+def test_image_text_qa_matches_python_replay(spark):
+    from ai_intel_web_scraper_spark.operators.multimodal import (
+        CAPTION_SPREAD_MAX, image_text_qa)
+    # planted corpus: phash 100 duplicated across 3 pages (2 captions),
+    # caption "generic" spread over 4 distinct images (> max), caption
+    # "rare" on 1 image
+    rows = [("i0", 100, "rare"), ("i1", 100, "dup cap"),
+            ("i2", 100, "dup cap"), ("i3", 200, "generic"),
+            ("i4", 300, "generic"), ("i5", 400, "generic"),
+            ("i6", 500, "generic")]
+    df = spark.createDataFrame(
+        rows, "image_id string, phash long, caption string")
+    got = {r["image_id"]: (r["phash_dups"], r["caption_spread"], r["keep"])
+           for r in image_text_qa(df).collect()}
+    ph_n = {}
+    cap_ph = {}
+    for _, ph, cap in rows:
+        ph_n[ph] = ph_n.get(ph, 0) + 1
+        cap_ph.setdefault(cap, set()).add(ph)
+    first = {}
+    want = {}
+    for iid, ph, cap in sorted(rows):
+        is_first = first.setdefault((ph, cap), iid) == iid
+        want[iid] = (ph_n[ph], len(cap_ph[cap]),
+                     is_first and len(cap_ph[cap]) <= CAPTION_SPREAD_MAX)
+    assert got == want
+    # the generic caption's pages all drop; the dup image keeps one per
+    # caption; the rare-caption page survives
+    assert not any(got[i][2] for i in ("i3", "i4", "i5", "i6"))
+    assert got["i0"][2] and got["i1"][2] and not got["i2"][2]
+
+
+def test_image_text_qa_on_fixture_pages(spark, fixtures):
+    from ai_intel_web_scraper_spark.operators.multimodal import image_text_qa
+    pages = spark.read.parquet(fixtures["pages"])
+    out = image_text_qa(pages).collect()
+    assert len(out) == pages.count()
+    kept = [r for r in out if r["keep"]]
+    assert 0 < len(kept) < len(out)  # fixture has dups + caption reuse
+    # keep-first is unique per (phash, caption) group
+    ids = {r["image_id"] for r in out}
+    assert len(ids) == len(out)
