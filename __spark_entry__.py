@@ -27,6 +27,8 @@ from ai_intel_web_scraper_spark.operators import dedup as D
 from ai_intel_web_scraper_spark.operators import export as EXP
 from ai_intel_web_scraper_spark.operators import graph as G
 from ai_intel_web_scraper_spark.operators import multimodal as MM
+from ai_intel_web_scraper_spark.sources.sitemaps import (
+    SITEMAP_DEFAULT_PRIORITY_PPM as SITEMAP_DEFAULT_PPM)
 from ai_intel_web_scraper_spark.operators import packing as PK
 from ai_intel_web_scraper_spark.operators import pq as PQ
 from ai_intel_web_scraper_spark.operators import queryanalysis as QA
@@ -1518,6 +1520,53 @@ def _phash_lit_rows() -> list[tuple]:
     return list(zip(tbl["image_id"].to_pylist(), tbl["phash"].to_pylist()))
 
 
+def _sitemap_fixture_rows() -> list[tuple]:
+    """Deterministic (host, sitemap-xml-body) fixture, built in Python
+    once and handed VERBATIM to both engines (Spark parses it with the
+    real `sources/sitemaps.py` operator; DuckDB re-parses the same
+    literal relation with its own regexp machinery — parser parity is
+    the check). Includes malformed blocks: a <url> without <loc> (must
+    drop), a regex-shaped but invalid date 2024-13-45 (must NULL), and
+    a non-numeric <priority> (must take the 500000 ppm default)."""
+    import datetime as dt
+    rows = []
+    for k in range(40):
+        entries = []
+        for i in range(5 + k % 7):
+            e = f"<url><loc>https://host{k}.example/p/{i}</loc>"
+            if (k + i) % 3 != 0:
+                d = dt.date(2024, 1, 1) + dt.timedelta(
+                    days=(k * 7 + i * 3) % 365)
+                e += f"<lastmod>{d.isoformat()}</lastmod>"
+            if (k + i) % 2 == 0:
+                p = "1.0" if (k + i) % 10 == 0 else f"0.{(k + i) % 9 + 1}"
+                e += f"<priority>{p}</priority>"
+            entries.append(e + "</url>")
+        if k % 5 == 0:
+            entries.append("<url><lastmod>2024-02-03</lastmod></url>")
+        if k % 7 == 0:
+            entries.append(f"<url><loc>https://host{k}.example/weird</loc>"
+                           f"<lastmod>2024-13-45</lastmod>"
+                           f"<priority>high</priority></url>")
+        body = ('<?xml version="1.0"?><urlset>' + "".join(entries)
+                + "</urlset>")
+        rows.append((f"host{k}.example", body))
+    return rows
+
+
+def q_sitemap_ingest(spark, sf_dir):
+    """Sitemap ingestion (`sources/sitemaps.py`): parse <url> entries —
+    loc, lastmod (integer epoch days, NULL-degrading), priority (integer
+    ppm, spec default) — from sitemap XML bodies with native regexp/date
+    expressions (one Generate + narrow maps, no UDF, no shuffle). The
+    fixture is a Python-built literal both engines receive verbatim, so
+    the oracle checks the PARSERS against each other."""
+    from ai_intel_web_scraper_spark.sources.sitemaps import parse_sitemaps
+    bodies = spark.createDataFrame(_sitemap_fixture_rows(),
+                                   "host string, body string")
+    return parse_sitemaps(bodies)
+
+
 def _pages_qa_lit_rows() -> list[tuple]:
     """(image_id, phash, caption) straight from the fixture pages table —
     oracle INPUTS (not results); DuckDB recomputes the QA labels
@@ -2230,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_topk": q_ivf_pq_topk,  # this-session: full IVF-PQ
         "recrawl_schedule": q_recrawl_schedule,  # this-session: freshness
         "image_text_qa": q_image_text_qa,  # this-session: pair curation
+        "sitemap_ingest": q_sitemap_ingest,  # this-session: preseed source
 
         "topk_cosine": q_topk_cosine,      # rotated out for pack_shards
                                            # (S10/R4 stays via ann_ivf_topk's
@@ -3645,6 +3695,32 @@ def oracle_sql() -> dict[str, str]:
                                     ["image_id", "w", "h", "fmt", "mean_r",
                                      "mean_g", "mean_b", "phash",
                                      "decode_ok"])}""",
+        # sitemap_ingest: DuckDB re-parses the SAME literal bodies with
+        # its own regexp/date machinery — cross-engine parser parity.
+        "sitemap_ingest": f"""
+            WITH sm AS (SELECT * FROM {_sql_values_table(
+                _sitemap_fixture_rows(), ["host", "body"])}),
+            b AS (SELECT host, unnest(regexp_extract_all(
+                    body, '(?s)<url>(.*?)</url>', 1)) AS blk FROM sm)
+            SELECT host, url, lastmod_day, priority_ppm FROM (
+              SELECT host,
+                regexp_extract(blk,
+                  '<loc>\\s*([^<\\s][^<]*?)\\s*</loc>', 1) AS url,
+                (try_cast(nullif(regexp_extract(blk,
+                     '<lastmod>\\s*(\\d{{4}}-\\d{{2}}-\\d{{2}})', 1), '')
+                   AS DATE) - DATE '1970-01-01')::INT AS lastmod_day,
+                (CASE WHEN regexp_extract(blk,
+                        '<priority>\\s*([01])\\.(\\d)\\s*</priority>', 1)
+                        = ''
+                      THEN {SITEMAP_DEFAULT_PPM}
+                      ELSE regexp_extract(blk,
+                        '<priority>\\s*([01])\\.(\\d)\\s*</priority>', 1
+                        )::BIGINT * 1000000
+                         + regexp_extract(blk,
+                        '<priority>\\s*([01])\\.(\\d)\\s*</priority>', 2
+                        )::BIGINT * 100000
+                 END)::BIGINT AS priority_ppm
+              FROM b) WHERE url != ''""",
         # image_text_qa: independent SQL recompute of the QA labels from
         # the fixture's (image_id, phash, caption) literal relation.
         "image_text_qa": f"""

@@ -1,0 +1,75 @@
+"""Sitemap ingestion: the standard frontier-preseed channel real crawlers
+(Nutch, StormCrawler) run alongside link discovery. The reference never
+reads sitemaps (its scrapers start from hand-listed seed URLs only,
+`config/competitors.yaml`); a 10^10-URL frontier gets a large fraction
+of its seeds from exactly this channel, with per-URL freshness
+(`lastmod`) and site-declared `priority` feeding the scheduling rank.
+
+Everything is native JVM regexp/date expressions over the body column —
+one Generate (explode of the per-body block list) and narrow maps, no
+UDF, no shuffle; the parse is therefore cheap enough to run inside the
+fetch round itself.
+
+Malformed entries degrade, never fail: a block without a <loc> is
+dropped, an unparseable <lastmod> yields NULL (try_to_date), and a
+missing/ill-formed <priority> takes the spec default 0.5 (emitted as
+integer parts-per-million — no float ever leaves the operator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# sitemap.xml spec default priority, in ppm
+SITEMAP_DEFAULT_PRIORITY_PPM = 500_000
+
+_URL_BLOCK_RE = r"(?s)<url>(.*?)</url>"
+_INDEX_BLOCK_RE = r"(?s)<sitemap>(.*?)</sitemap>"
+_LOC_RE = r"<loc>\s*([^<\s][^<]*?)\s*</loc>"
+_LASTMOD_RE = r"<lastmod>\s*(\d{4}-\d{2}-\d{2})"
+_PRIORITY_RE = r"<priority>\s*([01])\.(\d)\s*</priority>"
+
+
+def parse_sitemaps(bodies: DataFrame, host_col: str = "host",
+                   body_col: str = "body") -> DataFrame:
+    """(host, url, lastmod_day, priority_ppm) per <url> entry.
+
+    lastmod_day = days since 1970-01-01 (integer; NULL when absent or
+    unparseable); priority_ppm = integer parts-per-million parsed from
+    the 0.x/1.0 literal WITHOUT any float arithmetic (whole and tenth
+    digits captured separately), spec default 500000 when missing."""
+    block = F.explode(
+        F.regexp_extract_all(F.col(body_col), F.lit(_URL_BLOCK_RE), 1)
+    ).alias("_b")
+    df = bodies.select(F.col(host_col), block)
+    loc = F.regexp_extract("_b", _LOC_RE, 1)
+    whole = F.regexp_extract("_b", _PRIORITY_RE, 1)
+    tenth = F.regexp_extract("_b", _PRIORITY_RE, 2)
+    prio = F.when(
+        whole == "", F.lit(SITEMAP_DEFAULT_PRIORITY_PPM)
+    ).otherwise(whole.cast("long") * 1_000_000
+                + tenth.cast("long") * 100_000)
+    lastmod = F.datediff(
+        F.try_to_date(F.nullif(
+            F.regexp_extract("_b", _LASTMOD_RE, 1), F.lit(""))),
+        F.lit("1970-01-01").cast("date"))
+    return (df.select(F.col(host_col), loc.alias("url"),
+                      lastmod.cast("int").alias("lastmod_day"),
+                      prio.cast("long").alias("priority_ppm"))
+            .where(F.col("url") != ""))
+
+
+def sitemap_index_children(bodies: DataFrame, host_col: str = "host",
+                           body_col: str = "body") -> DataFrame:
+    """(host, child_url) edges from <sitemapindex> documents — the next
+    fetch round's work list (indexes nest one level per the spec; the
+    crawl loop re-enters this function per round, exactly like link
+    expansion re-enters the frontier)."""
+    block = F.explode(
+        F.regexp_extract_all(F.col(body_col), F.lit(_INDEX_BLOCK_RE), 1)
+    ).alias("_b")
+    return (bodies.select(F.col(host_col), block)
+            .select(F.col(host_col),
+                    F.regexp_extract("_b", _LOC_RE, 1).alias("child_url"))
+            .where(F.col("child_url") != ""))

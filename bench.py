@@ -58,7 +58,7 @@ EXTRA = [
     "stratified_sample", "group_quantiles",
     # late-r3 clustering / compressed-ANN additions
     "kmeans_clusters", "ann_ivf_trained", "pq_topk", "ivf_pq_topk",
-    "recrawl_schedule", "image_text_qa",
+    "recrawl_schedule", "image_text_qa", "sitemap_ingest",
 ]
 
 

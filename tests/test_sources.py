@@ -186,3 +186,80 @@ def test_reddit_wave_dedup_keeps_first_wave(spark):
         "query_seq long")
     out = reddit_records(posts, "acme").collect()
     assert len(out) == 1 and out[0]["score"] == 200  # smallest query_seq
+
+
+def test_parse_sitemaps_fields_and_degradation(spark):
+    from ai_intel_web_scraper_spark.sources.sitemaps import (
+        SITEMAP_DEFAULT_PRIORITY_PPM, parse_sitemaps)
+    body = ('<?xml version="1.0"?><urlset>'
+            '<url><loc> https://h.example/a </loc>'
+            '<lastmod>2024-01-11</lastmod><priority>0.8</priority></url>'
+            '<url><loc>https://h.example/b</loc></url>'
+            '<url><lastmod>2024-02-03</lastmod></url>'          # no loc
+            '<url><loc>https://h.example/c</loc>'
+            '<lastmod>2024-13-45</lastmod>'                     # bad date
+            '<priority>high</priority></url>'                   # bad prio
+            '<url><loc>https://h.example/d</loc>'
+            '<priority>1.0</priority></url>'
+            '</urlset>')
+    df = spark.createDataFrame([("h.example", body)],
+                               "host string, body string")
+    got = {r["url"]: (r["lastmod_day"], r["priority_ppm"])
+           for r in parse_sitemaps(df).collect()}
+    import datetime as dt
+    day = (dt.date(2024, 1, 11) - dt.date(1970, 1, 1)).days
+    assert got == {
+        "https://h.example/a": (day, 800_000),
+        "https://h.example/b": (None, SITEMAP_DEFAULT_PRIORITY_PPM),
+        "https://h.example/c": (None, SITEMAP_DEFAULT_PRIORITY_PPM),
+        "https://h.example/d": (None, 1_000_000),
+    }
+
+
+def test_sitemap_index_children(spark):
+    from ai_intel_web_scraper_spark.sources.sitemaps import (
+        sitemap_index_children)
+    body = ('<sitemapindex>'
+            '<sitemap><loc>https://h.example/sm1.xml</loc>'
+            '<lastmod>2024-01-01</lastmod></sitemap>'
+            '<sitemap><loc>https://h.example/sm2.xml</loc></sitemap>'
+            '<sitemap></sitemap>'
+            '</sitemapindex>')
+    df = spark.createDataFrame([("h.example", body)],
+                               "host string, body string")
+    got = sorted(r["child_url"]
+                 for r in sitemap_index_children(df).collect())
+    assert got == ["https://h.example/sm1.xml", "https://h.example/sm2.xml"]
+
+
+def test_sitemap_driver_fixture_python_replay(spark):
+    """The driver fixture parsed by the engine must match a plain-Python
+    re-parse of the same bodies (independent of both SQL engines)."""
+    import re as _re
+    import datetime as dt
+    import __spark_entry__ as E
+    from ai_intel_web_scraper_spark.sources.sitemaps import (
+        SITEMAP_DEFAULT_PRIORITY_PPM, parse_sitemaps)
+    rows = E._sitemap_fixture_rows()
+    df = spark.createDataFrame(rows, "host string, body string")
+    got = sorted((r["host"], r["url"], r["lastmod_day"], r["priority_ppm"])
+                 for r in parse_sitemaps(df).collect())
+    want = []
+    for host, body in rows:
+        for blk in _re.findall(r"(?s)<url>(.*?)</url>", body):
+            m = _re.search(r"<loc>\s*([^<\s][^<]*?)\s*</loc>", blk)
+            if not m:
+                continue
+            dm = _re.search(r"<lastmod>\s*(\d{4}-\d{2}-\d{2})", blk)
+            day = None
+            if dm:
+                try:
+                    day = (dt.date.fromisoformat(dm.group(1))
+                           - dt.date(1970, 1, 1)).days
+                except ValueError:
+                    day = None
+            pm = _re.search(r"<priority>\s*([01])\.(\d)\s*</priority>", blk)
+            ppm = (int(pm.group(1)) * 1_000_000 + int(pm.group(2)) * 100_000
+                   if pm else SITEMAP_DEFAULT_PRIORITY_PPM)
+            want.append((host, m.group(1), day, ppm))
+    assert got == sorted(want) and len(got) > 200
