@@ -1313,6 +1313,36 @@ def _ivf_pq_sql() -> str:
             f"ORDER BY adc, coarse.vec_id LIMIT {TOPK}")
 
 
+def _recrawl_sql() -> str:
+    """Freshness-policy oracle — the identical lag/agg recurrence in
+    DuckDB, all-integer outputs (epoch micros, ppm rate). Shared by the
+    batch query and the stateful-streaming one: the stream must land on
+    exactly the batch result."""
+    return f"""
+        WITH hist AS (
+          SELECT user_id, epoch_us(ts) AS t,
+                 CASE WHEN event_type != lag(event_type) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                      THEN 1 ELSE 0 END AS chg
+          FROM events),
+        agg AS (
+          SELECT user_id, count(*)::BIGINT AS n_obs,
+                 sum(chg)::BIGINT AS n_changes,
+                 min(t) AS f, max(t) AS l
+          FROM hist GROUP BY user_id)
+        SELECT user_id, n_obs, n_changes,
+               (CASE WHEN n_obs > 1
+                     THEN n_changes * 1000000 // (n_obs - 1)
+                     ELSE 0 END)::BIGINT AS change_rate_ppm,
+               iv::BIGINT AS interval_us,
+               (l + iv)::BIGINT AS next_due_us
+        FROM (SELECT *, greatest({TM.RECRAWL_MIN_US},
+                 least({TM.RECRAWL_MAX_US},
+                   CASE WHEN n_changes > 0 THEN (l - f) // n_changes
+                        ELSE {TM.RECRAWL_MAX_US} END)) AS iv
+              FROM agg)"""
+
+
 def _sql_values_table(rows: list[tuple], cols: list[str]) -> str:
     """`(VALUES ...) t(cols)` literal relation for planted-expectation
     oracles (same trick as embedding_neardup's pair mapping)."""
@@ -2112,6 +2142,22 @@ def q_recrawl_schedule(spark, sf_dir):
                                "user_id", "ts", "event_type", "event_id")
 
 
+def q_stream_recrawl(spark, sf_dir):
+    """Streaming recrawl due-queue (applyInPandasWithState): per-key
+    fetch-observation state folded across micro-batches; driven to
+    completion here so the final emission per key must equal the BATCH
+    freshness recurrence exactly (same oracle SQL as recrawl_schedule).
+    Multi-batch in-order accumulation is covered by
+    tests/test_streaming.py."""
+    from ai_intel_web_scraper_spark.streaming.events import (
+        run_stream_once, streaming_recrawl_state)
+    rows = run_stream_once(spark, os.path.join(sf_dir, "events.parquet"),
+                           streaming_recrawl_state, output_mode="update")
+    return spark.createDataFrame(
+        rows, "user_id long, n_obs long, n_changes long, "
+              "change_rate_ppm long, interval_us long, next_due_us long")
+
+
 def q_pagerank(spark, sf_dir):
     """Graph addition (late r3): integer-quantized PageRank over the
     deterministic synthetic link graph (`operators/graph.py`) — the
@@ -2280,6 +2326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_schedule": q_recrawl_schedule,  # this-session: freshness
         "image_text_qa": q_image_text_qa,  # this-session: pair curation
         "sitemap_ingest": q_sitemap_ingest,  # this-session: preseed source
+        "stream_recrawl": q_stream_recrawl,  # this-session: stateful stream
 
         "topk_cosine": q_topk_cosine,      # rotated out for pack_shards
                                            # (S10/R4 stays via ann_ivf_topk's
@@ -3067,31 +3114,12 @@ def oracle_sql() -> dict[str, str]:
         # ivf_pq_topk: coarse Lloyd chain + integer probe + the PQ
         # chains restricted to probed lists — full hash check.
         "ivf_pq_topk": _ivf_pq_sql(),
+        # stream_recrawl: the stateful streaming op must land on exactly
+        # the batch freshness recurrence — same oracle SQL verbatim.
+        "stream_recrawl": _recrawl_sql(),
         # recrawl_schedule: identical lag/agg recurrence in DuckDB;
         # all-integer outputs (epoch micros, ppm rate).
-        "recrawl_schedule": f"""
-            WITH hist AS (
-              SELECT user_id, epoch_us(ts) AS t,
-                     CASE WHEN event_type != lag(event_type) OVER (
-                            PARTITION BY user_id ORDER BY ts, event_id)
-                          THEN 1 ELSE 0 END AS chg
-              FROM events),
-            agg AS (
-              SELECT user_id, count(*)::BIGINT AS n_obs,
-                     sum(chg)::BIGINT AS n_changes,
-                     min(t) AS f, max(t) AS l
-              FROM hist GROUP BY user_id)
-            SELECT user_id, n_obs, n_changes,
-                   (CASE WHEN n_obs > 1
-                         THEN n_changes * 1000000 // (n_obs - 1)
-                         ELSE 0 END)::BIGINT AS change_rate_ppm,
-                   iv::BIGINT AS interval_us,
-                   (l + iv)::BIGINT AS next_due_us
-            FROM (SELECT *, greatest({TM.RECRAWL_MIN_US},
-                     least({TM.RECRAWL_MAX_US},
-                       CASE WHEN n_changes > 0 THEN (l - f) // n_changes
-                            ELSE {TM.RECRAWL_MAX_US} END)) AS iv
-                  FROM agg)""",
+        "recrawl_schedule": _recrawl_sql(),
         "lang_id": f"""
             SELECT lang, predicted, count(*)::BIGINT AS n FROM (
               SELECT lang, {lang_case} AS predicted FROM (

@@ -170,3 +170,73 @@ def running_budget_state(events: DataFrame, budget: float = 500.0,
                                     stateStructType=state_schema,
                                     outputMode="update",
                                     timeoutConf=timeout))
+
+
+def streaming_recrawl_state(events: DataFrame,
+                            min_iv_us: int | None = None,
+                            max_iv_us: int | None = None) -> DataFrame:
+    """Streaming recrawl due-queue (applyInPandasWithState): the
+    continuous-crawler form of `operators/temporal.py:recrawl_schedule`.
+    Per-key state carries (n_obs, n_changes, first_us, last_us, last_fp)
+    across micro-batches; each batch folds its observations in (ts,
+    event_id) order and re-emits the key's refreshed schedule — the
+    frontier reads the latest next_due_us per key and injects due URLs
+    into the next round.
+
+    Batch-parity contract (tested): when observations arrive in time
+    order across batches — true for a fetch log, which is append-only —
+    the state recurrence is associative, so ANY batch split lands on
+    exactly the batch operator's output. All arithmetic is Python
+    big-int / integer microseconds, the same integer math as the batch
+    side."""
+    from ai_intel_web_scraper_spark.operators.temporal import (
+        RECRAWL_MAX_US, RECRAWL_MIN_US)
+    from pyspark.sql.streaming.state import GroupState
+
+    lo = RECRAWL_MIN_US if min_iv_us is None else min_iv_us
+    hi = RECRAWL_MAX_US if max_iv_us is None else max_iv_us
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_obs", T.LongType()),
+        T.StructField("n_changes", T.LongType()),
+        T.StructField("change_rate_ppm", T.LongType()),
+        T.StructField("interval_us", T.LongType()),
+        T.StructField("next_due_us", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("changes", T.LongType()),
+        T.StructField("first_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("last_fp", T.StringType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+        n, changes, first_us, last_us, last_fp = (
+            state.get if state.exists else (0, 0, None, None, None))
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+            for t, fp in zip(ts_us, pdf["event_type"].tolist()):
+                if last_fp is not None and fp != last_fp:
+                    changes += 1
+                last_fp = fp
+                n += 1
+                first_us = t if first_us is None else first_us
+                last_us = t
+        state.update((n, changes, first_us, last_us, last_fp))
+        est = (last_us - first_us) // changes if changes > 0 else hi
+        iv = max(lo, min(hi, est))
+        rate = changes * 1_000_000 // (n - 1) if n > 1 else 0
+        yield pd.DataFrame({
+            "user_id": [key[0]], "n_obs": [n], "n_changes": [changes],
+            "change_rate_ppm": [rate], "interval_us": [iv],
+            "next_due_us": [last_us + iv]})
+
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(update, outputStructType=out_schema,
+                                    stateStructType=state_schema,
+                                    outputMode="update",
+                                    timeoutConf="NoTimeout"))

@@ -171,3 +171,65 @@ def test_windowed_hll_merges_across_micro_batches(spark, sf_dir):
             for r in batch.collect()}
     assert got == want
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_streaming_recrawl_accumulates_to_batch_result(spark, sf_dir):
+    """Stateful streaming recrawl over TIME-ORDERED micro-batches (the
+    append-only fetch-log contract) must accumulate to exactly the batch
+    freshness recurrence for every key."""
+    import shutil
+    import uuid
+
+    from ai_intel_web_scraper_spark.operators.temporal import (
+        recrawl_schedule)
+    from ai_intel_web_scraper_spark.streaming.events import (
+        EVENTS_SCHEMA, streaming_recrawl_state)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    cuts = ev.approxQuantile("event_id", [0.33, 0.66], 0.0)
+    # event_id is assigned in ts order in the fixture, so id-range splits
+    # are time-range splits
+    splits = [ev.where(F.col("event_id") <= cuts[0]),
+              ev.where((F.col("event_id") > cuts[0])
+                       & (F.col("event_id") <= cuts[1])),
+              ev.where(F.col("event_id") > cuts[1])]
+    src = f"/tmp/stream_recrawl_src_{uuid.uuid4().hex[:8]}"
+    os.makedirs(src + "/all")
+    import time as _time
+    for i, part in enumerate(splits):
+        part.coalesce(1).write.parquet(f"{src}/b{i}")
+        for f in os.listdir(f"{src}/b{i}"):
+            if f.endswith(".parquet"):
+                dst = f"{src}/all/b{i}_{f}"
+                os.rename(f"{src}/b{i}/{f}", dst)
+                os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    name = f"recrawl_{uuid.uuid4().hex[:8]}"
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/all"))
+    q = (streaming_recrawl_state(stream)
+         .writeStream.outputMode("update").format("memory")
+         .queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(src, ignore_errors=True)
+    # update mode emits one row per (key, batch); the final state per key
+    # is the emission with the largest n_obs (monotone)
+    got = {}
+    n_emissions = {}
+    for r in rows:
+        n_emissions[r["user_id"]] = n_emissions.get(r["user_id"], 0) + 1
+        prev = got.get(r["user_id"])
+        if prev is None or r["n_obs"] > prev[0]:
+            got[r["user_id"]] = (r["n_obs"], r["n_changes"],
+                                 r["change_rate_ppm"], r["interval_us"],
+                                 r["next_due_us"])
+    assert max(n_emissions.values()) > 1  # state genuinely spans batches
+    want = {r["user_id"]: (r["n_obs"], r["n_changes"],
+                           r["change_rate_ppm"], r["interval_us"],
+                           r["next_due_us"])
+            for r in recrawl_schedule(ev, "user_id", "ts", "event_type",
+                                      "event_id").collect()}
+    assert got == want
