@@ -1597,6 +1597,57 @@ def q_sitemap_ingest(spark, sf_dir):
     return parse_sitemaps(bodies)
 
 
+def _wds_expected_rows() -> list[tuple]:
+    """(shard_id, n_samples, size_bytes, tar_md5) recomputed OUT of
+    Spark: read the fixture pages with pyarrow, group/sort in plain
+    Python, build each tar with the same deterministic recipe, digest.
+    Checks the Spark-side plumbing (shard map, group shuffle, per-group
+    ordering, Arrow batch shapes) end to end."""
+    import hashlib
+    import io
+    import tarfile
+
+    import pyarrow.parquet as pq
+    from ai_intel_web_scraper_spark.operators.export import (
+        WDS_SAMPLES_PER_SHARD)
+    tbl = pq.read_table(_crawl_fixture_paths()["pages"],
+                        columns=["image_id", "bytes", "fmt", "caption"])
+    rows = sorted(zip(tbl["image_id"].to_pylist(), tbl["bytes"].to_pylist(),
+                      tbl["fmt"].to_pylist(), tbl["caption"].to_pylist()))
+    shards: dict[int, list] = {}
+    for iid, data, fmt, cap in rows:
+        shards.setdefault(int(iid[4:12]) // WDS_SAMPLES_PER_SHARD,
+                          []).append((iid, data, fmt, cap))
+    out = []
+    for sid, members in sorted(shards.items()):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w",
+                          format=tarfile.USTAR_FORMAT) as tar:
+            for iid, data, fmt, cap in members:
+                for name, payload in ((f"{iid}.{fmt}", bytes(data)),
+                                      (f"{iid}.txt", cap.encode("utf-8"))):
+                    ti = tarfile.TarInfo(name=name)
+                    ti.size = len(payload)
+                    ti.mtime = 0
+                    ti.mode = 0o644
+                    tar.addfile(ti, io.BytesIO(payload))
+        data = buf.getvalue()
+        out.append((sid, len(members), len(data),
+                    hashlib.md5(data).hexdigest()))
+    return out
+
+
+def q_webdataset_export(spark, sf_dir):
+    """WebDataset shard sink (`operators/export.py:webdataset_shards`):
+    the image+caption corpus packed into deterministic tar shards
+    executor-side (stdlib tarfile, USTAR, mtime=0, members in image_id
+    order — reproducible bytes). Emits the shard manifest; the oracle
+    rebuilds every tar OUT of Spark and compares digests."""
+    from ai_intel_web_scraper_spark.operators.export import webdataset_shards
+    pages = spark.read.parquet(_crawl_fixture_paths()["pages"])
+    return webdataset_shards(pages, with_bytes=False)
+
+
 def _pages_qa_lit_rows() -> list[tuple]:
     """(image_id, phash, caption) straight from the fixture pages table —
     oracle INPUTS (not results); DuckDB recomputes the QA labels
@@ -2327,6 +2378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_text_qa": q_image_text_qa,  # this-session: pair curation
         "sitemap_ingest": q_sitemap_ingest,  # this-session: preseed source
         "stream_recrawl": q_stream_recrawl,  # this-session: stateful stream
+        "webdataset_export": q_webdataset_export,  # this-session: WDS sink
 
         "topk_cosine": q_topk_cosine,      # rotated out for pack_shards
                                            # (S10/R4 stays via ann_ivf_topk's
@@ -3723,6 +3775,13 @@ def oracle_sql() -> dict[str, str]:
                                     ["image_id", "w", "h", "fmt", "mean_r",
                                      "mean_g", "mean_b", "phash",
                                      "decode_ok"])}""",
+        # webdataset_export: every shard tar rebuilt out of Spark, digest
+        # compared — the sink's bytes themselves are value-checked.
+        "webdataset_export": f"""
+            SELECT shard_id, n_samples, size_bytes, tar_md5
+            FROM {_sql_values_table(
+                _wds_expected_rows(),
+                ["shard_id", "n_samples", "size_bytes", "tar_md5"])}""",
         # sitemap_ingest: DuckDB re-parses the SAME literal bodies with
         # its own regexp/date machinery — cross-engine parser parity.
         "sitemap_ingest": f"""

@@ -58,3 +58,72 @@ def sanitize_for_scalar_store(df: DataFrame) -> DataFrame:
             out.append(F.coalesce(c.cast("string"), F.lit(""))
                        .alias(f.name))
     return df.select(*out)
+
+
+# ---------------------------------------------------------------- WebDataset
+# The delivery format image+caption training actually consumes: tar
+# shards of ({key}.{fmt}, {key}.txt) member pairs streamed sequentially
+# by the data loader (webdataset/tarreader). The reference's export
+# boundary is a JSON dump (pipeline.py save stages); a 10^10-pair corpus
+# ships as O(10^5) such shards, built executor-side — bytes NEVER
+# aggregate on the driver, each shard's tar is assembled inside the task
+# that owns its rows.
+WDS_SAMPLES_PER_SHARD = 32
+
+
+def webdataset_shards(pages: DataFrame,
+                      samples_per_shard: int = WDS_SAMPLES_PER_SHARD,
+                      with_bytes: bool = True) -> DataFrame:
+    """(shard_id, n_samples, size_bytes, tar_md5[, tar_bytes]) — one row
+    per WebDataset shard.
+
+    Shard assignment is a pure narrow map: the fixture's image_id embeds
+    its global sequence (img-%08d), so shard = seq DIV k needs no global
+    window (at 10^10 scale the sequence comes from the same two-level
+    prefix-sum used by `packing.pack_shards`; the tar-assembly stage
+    below is identical either way). Assembly = ONE shuffle
+    (groupBy shard) + applyInPandas building the archive with stdlib
+    tarfile — USTAR format, mtime=0, uid/gid 0, mode 0644, members in
+    image_id order — so shard bytes are DETERMINISTIC: the md5 is
+    reproducible across engines, partitionings, and reruns, which makes
+    the sink itself value-hash checkable (the oracle rebuilds every tar
+    out of Spark and compares digests)."""
+    import hashlib
+    import io
+    import tarfile
+
+    import pandas as pd
+
+    src = pages.select(
+        F.col("image_id"), F.col("bytes"), F.col("fmt"), F.col("caption"),
+        F.expr(f"cast(substring(image_id, 5, 8) as bigint) "
+               f"DIV {samples_per_shard}").alias("shard_id"))
+
+    fields = ("shard_id int, n_samples int, size_bytes long, tar_md5 string"
+              + (", tar_bytes binary" if with_bytes else ""))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("image_id")
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w",
+                          format=tarfile.USTAR_FORMAT) as tar:
+            for _i, r in pdf.iterrows():
+                for name, data in (
+                        (f"{r['image_id']}.{r['fmt']}", bytes(r["bytes"])),
+                        (f"{r['image_id']}.txt",
+                         str(r["caption"]).encode("utf-8"))):
+                    ti = tarfile.TarInfo(name=name)
+                    ti.size = len(data)
+                    ti.mtime = 0
+                    ti.mode = 0o644
+                    tar.addfile(ti, io.BytesIO(data))
+        data = buf.getvalue()
+        row = {"shard_id": [int(pdf["shard_id"].iloc[0])],
+               "n_samples": [len(pdf)],
+               "size_bytes": [len(data)],
+               "tar_md5": [hashlib.md5(data).hexdigest()]}
+        if with_bytes:
+            row["tar_bytes"] = [data]
+        return pd.DataFrame(row)
+
+    return src.groupBy("shard_id").applyInPandas(build, schema=fields)

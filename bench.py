@@ -59,6 +59,7 @@ EXTRA = [
     # late-r3 clustering / compressed-ANN additions
     "kmeans_clusters", "ann_ivf_trained", "pq_topk", "ivf_pq_topk",
     "recrawl_schedule", "image_text_qa", "sitemap_ingest",
+    "webdataset_export",
 ]
 
 

@@ -1006,3 +1006,43 @@ def test_image_text_qa_on_fixture_pages(spark, fixtures):
     # keep-first is unique per (phash, caption) group
     ids = {r["image_id"] for r in out}
     assert len(ids) == len(out)
+
+
+def test_webdataset_shards_roundtrip_and_determinism(spark, fixtures):
+    import hashlib
+    import io
+    import tarfile
+
+    from ai_intel_web_scraper_spark.operators.export import (
+        WDS_SAMPLES_PER_SHARD, webdataset_shards)
+    pages = spark.read.parquet(fixtures["pages"])
+    out = webdataset_shards(pages).collect()
+    src = {r["image_id"]: (bytes(r["bytes"]), r["fmt"], r["caption"])
+           for r in pages.select("image_id", "bytes", "fmt",
+                                 "caption").collect()}
+    seen = set()
+    for r in out:
+        assert r["size_bytes"] == len(r["tar_bytes"])
+        assert r["tar_md5"] == hashlib.md5(bytes(r["tar_bytes"])).hexdigest()
+        with tarfile.open(fileobj=io.BytesIO(bytes(r["tar_bytes"]))) as tar:
+            names = tar.getnames()
+            # members arrive in image_id order, (payload, txt) interleaved
+            assert names == sorted(names, key=lambda n: (n[:12],
+                                                         n.endswith(".txt")))
+            for m in tar.getmembers():
+                iid = m.name.split(".")[0]
+                data = tar.extractfile(m).read()
+                payload, fmt, cap = src[iid]
+                if m.name.endswith(".txt"):
+                    assert data == cap.encode("utf-8")
+                    seen.add(iid)
+                else:
+                    assert m.name == f"{iid}.{fmt}" and data == payload
+                assert int(iid[4:12]) // WDS_SAMPLES_PER_SHARD == \
+                    r["shard_id"]
+    assert seen == set(src)  # every pair shipped exactly once
+    # deterministic bytes under repartitioning
+    again = {r["shard_id"]: r["tar_md5"]
+             for r in webdataset_shards(pages.repartition(7),
+                                        with_bytes=False).collect()}
+    assert again == {r["shard_id"]: r["tar_md5"] for r in out}
