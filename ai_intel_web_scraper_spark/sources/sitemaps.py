@@ -73,3 +73,25 @@ def sitemap_index_children(bodies: DataFrame, host_col: str = "host",
             .select(F.col(host_col),
                     F.regexp_extract("_b", _LOC_RE, 1).alias("child_url"))
             .where(F.col("child_url") != ""))
+
+
+def sitemaps_to_seeds(parsed: DataFrame, base_seq: int) -> DataFrame:
+    """Adapt `parse_sitemaps` output to the engine's seeds schema
+    (seed_seq, url, priority) so sitemap URLs preseed the frontier with
+    ZERO engine changes: append these rows to the seeds table and both
+    the engine and the pure-Python oracle crawler consume them as
+    depth-0 seeds (alias collapse, budget, politeness all apply
+    unchanged — proven by the crawl parity test).
+
+    seed_seq = base_seq + rank by (priority desc, url) — deterministic;
+    priority = priority_ppm / 1e6 (both sides read the identical parquet
+    double). The global rank window is fine here because a preseed batch
+    is bounded per round (like the cursor source's page batches), not
+    corpus-sized."""
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("priority_ppm"), F.asc("url"))
+    return parsed.select(
+        (F.row_number().over(w) + F.lit(base_seq - 1)).cast("long")
+        .alias("seed_seq"),
+        F.col("url"),
+        (F.col("priority_ppm") / F.lit(1_000_000.0)).alias("priority"))

@@ -489,3 +489,56 @@ def test_cuckoo_shard_fold_overflow_raises_not_drops():
                                   n_buckets=1, bucket=0)
     assert list(got) == [2]  # slots_log2 = log2(4)
     assert 999 in got[2].shards[0]  # the sparse row's fp was folded in
+
+
+def test_sitemap_preseed_crawl_parity(spark, fixtures):
+    """Sitemap-derived seeds appended to the seeds table must flow through
+    BOTH the engine and the pure-Python oracle crawler identically —
+    fetched at depth 0, alias-collapsed, budget/politeness applied — and
+    the full fetch order must still match exactly."""
+    from pyspark.sql import functions as F
+
+    from ai_intel_web_scraper_spark.sources.sitemaps import (
+        parse_sitemaps, sitemaps_to_seeds)
+    # sitemap bodies listing REAL deep pages of the parity web
+    bodies = []
+    for k, lo in ((0, 8), (7, 5)):
+        entries = "".join(
+            f"<url><loc>https://host{k}.example/p/{i}</loc>"
+            f"<priority>0.{(i % 9) + 1}</priority></url>"
+            for i in range(lo, lo + 5))
+        bodies.append((f"host{k}.example",
+                       f"<urlset>{entries}</urlset>"))
+    parsed = parse_sitemaps(spark.createDataFrame(
+        bodies, "host string, body string"))
+    old = spark.read.parquet(fixtures["seeds"])
+    base = old.agg(F.max("seed_seq")).collect()[0][0] + 1
+    extra = sitemaps_to_seeds(parsed, base_seq=base)
+    out = "/tmp/spark_graft_sitemap_fx"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    aug = dict(fixtures)
+    aug["seeds"] = os.path.join(out, "seeds.parquet")
+    (old.select("seed_seq", "url", "priority").unionByName(extra)
+     .toPandas().to_parquet(aug["seeds"]))
+    wh = "/tmp/spark_graft_wh_sitemap"
+    shutil.rmtree(wh, ignore_errors=True)
+    eng = CrawlEngine(spark, aug, wh,
+                      CrawlConfig(expected_urls=1 << 14,
+                                  write_payload=False))
+    eng.run()
+    got = [(r["url"], r["round"], r["depth"], r["discovery_seq"])
+           for r in eng.store.read("fetched")
+           .select("url", "round", "depth", "discovery_seq")
+           .orderBy("round", "depth", "discovery_seq").collect()]
+    want = [(r["url"], r["round"], r["depth"], r["discovery_seq"])
+            for r in oracle_crawl(aug).fetched]
+    assert got == want
+    # the preseeded deep pages are fetched, and at depth 0
+    fetched_depth = {u: d for u, _r, d, _s in got}
+    preseeded = [r["url"] for r in extra.collect()]
+    hit = [u for u in preseeded if u in fetched_depth]
+    assert len(hit) >= 5
+    assert all(fetched_depth[u] == 0 for u in hit)
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(wh, ignore_errors=True)
