@@ -164,6 +164,18 @@ AUDIT = {
     # Exchange property is asserted exactly in tests/test_temporal.py
     "recrawl_schedule": [r"windowspecdefinition\(user_id",
                          "!ArrowEvalPython", "!MapInPandas"],
+    # sitemap parse: block explode + narrow regexp maps, NO shuffle and
+    # no Python stage — cheap enough to run inside the fetch round
+    "sitemap_ingest": ["Generate", "!Exchange",
+                       "!ArrowEvalPython", "!MapInPandas"],
+    # pair QA: dup-group window keyed on phash; never a nested loop; all
+    # native exprs (join strategy left to Catalyst/AQE — caption spread
+    # is data-sized, so no broadcast assertion)
+    "image_text_qa": [r"windowspecdefinition\(phash",
+                      "!CartesianProduct", "!BroadcastNestedLoopJoin",
+                      "!ArrowEvalPython", "!MapInPandas"],
+    # WebDataset sink: one cogroup stage builds each tar executor-side
+    "webdataset_export": ["FlatMapGroupsInPandas"],
 }
 FORBIDDEN = "BatchEvalPython"  # row-at-a-time Python UDF — never acceptable
 
