@@ -2355,7 +2355,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        # --- past the 50-query window: stable r2 greens -----------------
+        # --- past the 50-query window ----------------------------------
+        # r4 ROTATION PLAN: everything from here to cc_hosts (the late-r3
+        # and final-session additions — pack_curriculum..webdataset_export)
+        # has never had a driver row; rotate them into the first 50 in r4
+        # and park the r3-green block above (embedding_neardup..mixture_
+        # sample) behind them. All are SQL-checked at sf0.01+sf0.1 by the
+        # repo gate.
         "pack_curriculum": q_pack_curriculum,  # late-r3 additions, SQL-checked
         "mixture_tokens": q_mixture_tokens,    # by the repo gate; rotate into
         "dup_spans": q_dup_spans,              # the driver window in r4
