@@ -111,6 +111,54 @@ def kmeans_fit(embeddings: DataFrame, k: int = KM_K, iters: int = KM_ITERS,
     return cents
 
 
+def kmeans_fit_many(embeddings: DataFrame,
+                    slices: list[tuple[int, int]], k: int = KM_K,
+                    iters: int = KM_ITERS, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> list[list[list[int]]]:
+    """Train SEVERAL integer codebooks — one per (start_dim, sub_dim)
+    slice, lengths may differ — in ONE Spark job per Lloyd iteration:
+    the quantized vector explodes into (slice_idx, subvector) rows once
+    and each iteration is a single groupBy(slice, cluster) aggregate.
+    The arithmetic per slice is EXACTLY `kmeans_fit` on that slice
+    (same seed rows, argmin ties, integer means, empty-cluster pinning)
+    — only the job schedule changes, not one bit of output (tested).
+    This is how the IVF-PQ query trains its coarse (full-dim) and four
+    subspace codebooks in a single pass.
+
+    try_element_at pads the ragged per-dim sums with NULLs for short
+    slices (ANSI-safe); each slice's update reads only its own dims."""
+    qv = quantize_col(F.col(vec_col))
+    subarr = F.array(*[F.slice(qv, lo + 1, n) for lo, n in slices])
+    init = (embeddings.orderBy(id_col).limit(k)
+            .select(subarr.alias("_subs")).collect())
+    books = [[[int(x) for x in r["_subs"][s]] for r in init]
+             for s in range(len(slices))]
+    exploded = embeddings.select(
+        F.posexplode(subarr).alias("_s", "_qsub"))
+    max_dim = max(n for _, n in slices)
+    for _ in range(iters):
+        per_s = F.array(*[
+            F.array_min(F.array(*[
+                F.struct(_sqdist(F.col("_qsub"), c).alias("d"),
+                         F.lit(ci).alias("i"))
+                for ci, c in enumerate(books[s])]))["i"]
+            for s in range(len(slices))])
+        sums = (exploded
+                .withColumn("_cl", F.element_at(per_s, F.col("_s") + 1))
+                .groupBy("_s", "_cl")
+                .agg(F.count("*").alias("_n"),
+                     *[F.sum(F.try_element_at("_qsub", F.lit(d + 1)))
+                       .alias(f"_x{d}") for d in range(max_dim)])
+                .collect())
+        nxt = [[list(c) for c in book] for book in books]
+        for r in sums:
+            n_dims = slices[r["_s"]][1]
+            nxt[r["_s"]][r["_cl"]] = [int(r[f"_x{d}"]) // int(r["_n"])
+                                      for d in range(n_dims)]
+        books = nxt
+    return books
+
+
 def dequantize(cents: list[list[int]],
                qscale: int = KM_QSCALE,
                qoff: int = KM_QOFF) -> list[list[float]]:

@@ -62,38 +62,13 @@ def pq_train(embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K,
     arithmetic is EXACTLY `clustering.kmeans_fit` run per slice (seeded
     from the first k rows by id; integer argmin, integer means, empty
     clusters pinned) — the batched schedule changes job count, not one
-    bit of output (pytest replays per-subspace in pure Python)."""
-    from .clustering import _sqdist
-
-    qv = quantize_col(F.col(vec_col))
-    subarr = F.array(*[F.slice(qv, s * sub_dim + 1, sub_dim)
-                       for s in range(m)])
-    init = (embeddings.orderBy(id_col).limit(k)
-            .select(subarr.alias("_subs")).collect())
-    books = [[ [int(x) for x in r["_subs"][s]] for r in init]
-             for s in range(m)]
-    exploded = (embeddings
-                .select(F.posexplode(subarr).alias("_s", "_qsub")))
-    for _ in range(iters):
-        per_s = F.array(*[
-            F.array_min(F.array(*[
-                F.struct(_sqdist(F.col("_qsub"), c).alias("d"),
-                         F.lit(ci).alias("i"))
-                for ci, c in enumerate(books[s])]))["i"]
-            for s in range(m)])
-        sums = (exploded
-                .withColumn("_cl", F.element_at(per_s, F.col("_s") + 1))
-                .groupBy("_s", "_cl")
-                .agg(F.count("*").alias("_n"),
-                     *[F.sum(F.element_at("_qsub", d + 1)).alias(f"_x{d}")
-                       for d in range(sub_dim)])
-                .collect())
-        nxt = [[list(c) for c in book] for book in books]
-        for r in sums:
-            nxt[r["_s"]][r["_cl"]] = [int(r[f"_x{d}"]) // int(r["_n"])
-                                      for d in range(sub_dim)]
-        books = nxt
-    return books
+    bit of output (pytest replays per-subspace in pure Python). The
+    batched schedule lives in `clustering.kmeans_fit_many` (shared with
+    the IVF-PQ coarse+subspace single-pass training)."""
+    from .clustering import kmeans_fit_many
+    return kmeans_fit_many(
+        embeddings, [(s * sub_dim, sub_dim) for s in range(m)],
+        k=k, iters=iters, id_col=id_col, vec_col=vec_col)
 
 
 def _code_col(qsub, book: list[list[int]]):
@@ -184,9 +159,16 @@ def ivf_pq_topk(embeddings: DataFrame, query: list[float], k: int,
     """
     import math
 
-    from .clustering import (KM_QOFF, KM_QSCALE, _argmin_cols, kmeans_fit,
-                             quantize_col)
-    coarse = kmeans_fit(embeddings, id_col=id_col, vec_col=vec_col)
+    from .clustering import (KM_QOFF, KM_QSCALE, _argmin_cols,
+                             kmeans_fit_many, quantize_col)
+    # the coarse (full-dim) codebook and the M subspace codebooks all
+    # train in the SAME one-job-per-iteration pass (slice 0 = full dim)
+    dim = m * sub_dim
+    all_books = kmeans_fit_many(
+        embeddings, [(0, dim)] + [(s * sub_dim, sub_dim)
+                                  for s in range(m)],
+        id_col=id_col, vec_col=vec_col)
+    coarse, books = all_books[0], all_books[1:]
     qq = [math.floor(float(x) * KM_QSCALE) + KM_QOFF for x in query]
     probe = [i for _, i in sorted(
         (sum((a - c) ** 2 for a, c in zip(qq, cent)), i)
@@ -194,7 +176,5 @@ def ivf_pq_topk(embeddings: DataFrame, query: list[float], k: int,
     cluster, _d = _argmin_cols(quantize_col(F.col(vec_col)), coarse)
     cand = (embeddings.withColumn("_cl", cluster)
             .where(F.col("_cl").isin(probe)))
-    books = pq_train(embeddings, m, sub_dim=sub_dim,
-                     id_col=id_col, vec_col=vec_col)
     codes = pq_encode(cand, books, sub_dim, id_col, vec_col)
     return pq_adc_topk(codes, query, books, k, id_col)

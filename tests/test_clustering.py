@@ -105,3 +105,18 @@ def test_quantize_col_is_floor_exact(spark):
     assert list(r["q"]) == [half + KM.KM_QOFF,
                             -half + KM.KM_QOFF,
                             KM.KM_QOFF]
+
+
+def test_fit_many_bit_identical_to_single_fits(emb):
+    """The one-job-per-iteration multi-slice trainer must equal the
+    sequential trainers bit-for-bit: full-dim slice == kmeans_fit, and
+    the ragged (full + subspace) combination changes nothing."""
+    many = KM.kmeans_fit_many(emb, [(0, 64), (0, 16), (48, 16)])
+    assert many[0] == KM.kmeans_fit(emb)
+    from pyspark.sql import functions as F
+    sub0 = emb.select("vec_id",
+                      F.slice(F.col("embedding"), 1, 16).alias("s"))
+    sub3 = emb.select("vec_id",
+                      F.slice(F.col("embedding"), 49, 16).alias("s"))
+    assert many[1] == KM.kmeans_fit(sub0, vec_col="s")
+    assert many[2] == KM.kmeans_fit(sub3, vec_col="s")
