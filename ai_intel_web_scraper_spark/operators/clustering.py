@@ -137,14 +137,19 @@ def kmeans_fit_many(embeddings: DataFrame,
         F.posexplode(subarr).alias("_s", "_qsub"))
     max_dim = max(n for _, n in slices)
     for _ in range(iters):
-        per_s = F.array(*[
-            F.array_min(F.array(*[
+        # CASE-chain, not element_at(array(...)): CaseWhen codegen only
+        # evaluates the matched branch, so each exploded row pays ONE
+        # slice's argmin, not all of them
+        cl = None
+        for s in range(len(slices)):
+            arg = F.array_min(F.array(*[
                 F.struct(_sqdist(F.col("_qsub"), c).alias("d"),
                          F.lit(ci).alias("i"))
                 for ci, c in enumerate(books[s])]))["i"]
-            for s in range(len(slices))])
+            cond = F.col("_s") == F.lit(s)
+            cl = F.when(cond, arg) if cl is None else cl.when(cond, arg)
         sums = (exploded
-                .withColumn("_cl", F.element_at(per_s, F.col("_s") + 1))
+                .withColumn("_cl", cl)
                 .groupBy("_s", "_cl")
                 .agg(F.count("*").alias("_n"),
                      *[F.sum(F.try_element_at("_qsub", F.lit(d + 1)))
