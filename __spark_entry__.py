@@ -28,6 +28,7 @@ from ai_intel_web_scraper_spark.operators import export as EXP
 from ai_intel_web_scraper_spark.operators import graph as G
 from ai_intel_web_scraper_spark.operators import multimodal as MM
 from ai_intel_web_scraper_spark.sources.sitemaps import (
+    PRIORITY_RE as SITEMAP_PRIORITY_RE,
     SITEMAP_DEFAULT_PRIORITY_PPM as SITEMAP_DEFAULT_PPM)
 from ai_intel_web_scraper_spark.operators import packing as PK
 from ai_intel_web_scraper_spark.operators import pq as PQ
@@ -1556,8 +1557,9 @@ def _sitemap_fixture_rows() -> list[tuple]:
     real `sources/sitemaps.py` operator; DuckDB re-parses the same
     literal relation with its own regexp machinery — parser parity is
     the check). Includes malformed blocks: a <url> without <loc> (must
-    drop), a regex-shaped but invalid date 2024-13-45 (must NULL), and
-    a non-numeric <priority> (must take the 500000 ppm default)."""
+    drop), a regex-shaped but invalid date 2024-13-45 (must NULL), a
+    non-numeric <priority> (must take the 500000 ppm default), 2-decimal
+    priorities (0.x5), and an out-of-range 1.5 (must clamp to 1e6)."""
     import datetime as dt
     rows = []
     for k in range(40):
@@ -1569,7 +1571,13 @@ def _sitemap_fixture_rows() -> list[tuple]:
                     days=(k * 7 + i * 3) % 365)
                 e += f"<lastmod>{d.isoformat()}</lastmod>"
             if (k + i) % 2 == 0:
-                p = "1.0" if (k + i) % 10 == 0 else f"0.{(k + i) % 9 + 1}"
+                ki = k + i
+                if ki % 10 == 0:
+                    p = "1.0"
+                elif ki % 4 == 0:          # 2-decimal spec-valid literals
+                    p = f"0.{ki % 9 + 1}5"
+                else:
+                    p = f"0.{ki % 9 + 1}"
                 e += f"<priority>{p}</priority>"
             entries.append(e + "</url>")
         if k % 5 == 0:
@@ -1578,6 +1586,11 @@ def _sitemap_fixture_rows() -> list[tuple]:
             entries.append(f"<url><loc>https://host{k}.example/weird</loc>"
                            f"<lastmod>2024-13-45</lastmod>"
                            f"<priority>high</priority></url>")
+        if k % 6 == 0:  # out-of-range (clamps) + deep-fraction literals
+            entries.append(f"<url><loc>https://host{k}.example/clamp</loc>"
+                           f"<priority>1.5</priority></url>")
+            entries.append(f"<url><loc>https://host{k}.example/tiny</loc>"
+                           f"<priority>0.05</priority></url>")
         body = ('<?xml version="1.0"?><urlset>' + "".join(entries)
                 + "</urlset>")
         rows.append((f"host{k}.example", body))
@@ -3803,15 +3816,13 @@ def oracle_sql() -> dict[str, str]:
                      '<lastmod>\\s*(\\d{{4}}-\\d{{2}}-\\d{{2}})', 1), '')
                    AS DATE) - DATE '1970-01-01')::INT AS lastmod_day,
                 (CASE WHEN regexp_extract(blk,
-                        '<priority>\\s*([01])\\.(\\d)\\s*</priority>', 1)
-                        = ''
+                        '{SITEMAP_PRIORITY_RE}', 1) = ''
                       THEN {SITEMAP_DEFAULT_PPM}
-                      ELSE regexp_extract(blk,
-                        '<priority>\\s*([01])\\.(\\d)\\s*</priority>', 1
-                        )::BIGINT * 1000000
-                         + regexp_extract(blk,
-                        '<priority>\\s*([01])\\.(\\d)\\s*</priority>', 2
-                        )::BIGINT * 100000
+                      ELSE least(regexp_extract(blk,
+                        '{SITEMAP_PRIORITY_RE}', 1)::BIGINT * 1000000
+                         + rpad(regexp_extract(blk,
+                        '{SITEMAP_PRIORITY_RE}', 2), 6, '0')::BIGINT,
+                        1000000)
                  END)::BIGINT AS priority_ppm
               FROM b) WHERE url != ''""",
         # image_text_qa: independent SQL recompute of the QA labels from

@@ -112,7 +112,8 @@ def kmeans_fit(embeddings: DataFrame, k: int = KM_K, iters: int = KM_ITERS,
 
 
 def kmeans_fit_many(embeddings: DataFrame,
-                    slices: list[tuple[int, int]], k: int = KM_K,
+                    slices: list[tuple[int, int]],
+                    k: int | list[int] = KM_K,
                     iters: int = KM_ITERS, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> list[list[list[int]]]:
     """Train SEVERAL integer codebooks — one per (start_dim, sub_dim)
@@ -125,13 +126,19 @@ def kmeans_fit_many(embeddings: DataFrame,
     This is how the IVF-PQ query trains its coarse (full-dim) and four
     subspace codebooks in a single pass.
 
+    `k` may be a per-slice list (e.g. coarse k != PQ subspace k); an int
+    applies to every slice. Each slice's seed is the first k[s] rows by
+    id, so a slice's output is independent of the other slices' ks.
+
     try_element_at pads the ragged per-dim sums with NULLs for short
     slices (ANSI-safe); each slice's update reads only its own dims."""
+    ks = list(k) if isinstance(k, (list, tuple)) else [k] * len(slices)
+    assert len(ks) == len(slices)
     qv = quantize_col(F.col(vec_col))
     subarr = F.array(*[F.slice(qv, lo + 1, n) for lo, n in slices])
-    init = (embeddings.orderBy(id_col).limit(k)
+    init = (embeddings.orderBy(id_col).limit(max(ks))
             .select(subarr.alias("_subs")).collect())
-    books = [[[int(x) for x in r["_subs"][s]] for r in init]
+    books = [[[int(x) for x in r["_subs"][s]] for r in init[:ks[s]]]
              for s in range(len(slices))]
     exploded = embeddings.select(
         F.posexplode(subarr).alias("_s", "_qsub"))

@@ -143,7 +143,8 @@ IVFPQ_PROBE = 2
 
 def ivf_pq_topk(embeddings: DataFrame, query: list[float], k: int,
                 n_probe: int = IVFPQ_PROBE, m: int = PQ_M,
-                sub_dim: int = PQ_SUBDIM, id_col: str = "vec_id",
+                sub_dim: int = PQ_SUBDIM, coarse_k: int | None = None,
+                pq_k: int = PQ_K, id_col: str = "vec_id",
                 vec_col: str = "embedding") -> DataFrame:
     """The full production ANN shape — IVF-PQ (FAISS IndexIVFPQ,
     by_residual=False variant): a k-means-trained coarse quantizer
@@ -159,14 +160,18 @@ def ivf_pq_topk(embeddings: DataFrame, query: list[float], k: int,
     """
     import math
 
-    from .clustering import (KM_QOFF, KM_QSCALE, _argmin_cols,
+    from .clustering import (KM_K, KM_QOFF, KM_QSCALE, _argmin_cols,
                              kmeans_fit_many, quantize_col)
     # the coarse (full-dim) codebook and the M subspace codebooks all
-    # train in the SAME one-job-per-iteration pass (slice 0 = full dim)
+    # train in the SAME one-job-per-iteration pass (slice 0 = full dim).
+    # ks are EXPLICIT per slice (coarse defaults to KM_K, subspaces to
+    # PQ_K) so the oracle's coarse-KM_K/subspace-PQ_K replay stays in
+    # sync even if the module constants diverge.
     dim = m * sub_dim
     all_books = kmeans_fit_many(
         embeddings, [(0, dim)] + [(s * sub_dim, sub_dim)
                                   for s in range(m)],
+        k=[KM_K if coarse_k is None else coarse_k] + [pq_k] * m,
         id_col=id_col, vec_col=vec_col)
     coarse, books = all_books[0], all_books[1:]
     qq = [math.floor(float(x) * KM_QSCALE) + KM_QOFF for x in query]

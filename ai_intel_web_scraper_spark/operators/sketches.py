@@ -153,14 +153,20 @@ def cms_estimates(regs: DataFrame, keys: DataFrame,
                   key_col: str) -> DataFrame:
     """Point-query the sketch for each key: est = min over rows d of
     grid[d][hash_d(key)] — always >= the true count (counters only ever
-    overcount on collisions). Broadcast the constant-size grid."""
+    overcount on collisions). Broadcast the constant-size grid.
+
+    LEFT join + coalesce(0): a key hashing into a (d, bucket) cell the
+    grid never touched has a zero counter there, so that depth's vote is
+    0 (and a key absent from every cell estimates 0) — an inner join
+    would silently drop the empty cell and overestimate."""
     probes = (keys.select(F.col(key_col).alias("k"))
               .withColumn("d", F.explode(
                   F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))))
               .withColumn("bucket", _cms_bucket(F.col("d"), F.col("k"))))
-    return (probes.join(F.broadcast(regs), ["d", "bucket"])
+    return (probes.join(F.broadcast(regs), ["d", "bucket"], "left")
             .groupBy("k")
-            .agg(F.min("reg_cnt").alias("cms_est"))
+            .agg(F.min(F.coalesce(F.col("reg_cnt"), F.lit(0)))
+                 .alias("cms_est"))
             .select(F.col("k").alias(key_col), "cms_est"))
 
 

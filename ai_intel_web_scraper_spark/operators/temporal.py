@@ -79,9 +79,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
 
     Returns every left column plus an `asof` struct of
     (`_rts` = matched right timestamp, *right_cols), NULL when no right
-    row precedes the left row. Contract (same as DuckDB's): (key,
-    right_ts) pairs must be unique on the right side — with ties the
-    matched row among the tied set is unspecified.
+    row precedes the left row. With (key, right_ts) ties on the right
+    side the match is deterministic: the greatest (`_rts`, *right_cols)
+    struct among the tied set wins (DuckDB ASOF leaves this unspecified;
+    keep right rows unique on (key, ts) when oracle-checking against it).
 
     `tolerance_us` additionally voids matches older than the given
     microsecond gap (pandas `merge_asof(tolerance=...)` analog)."""
@@ -97,8 +98,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     r = r.withColumn("_l", F.lit(None).cast(l.schema["_l"].dataType))
     l = l.withColumn("_r", F.lit(None).cast(r.schema["_r"].dataType))
     # right rows sort before left rows at equal ts (tag 0 < 1), so an
-    # exactly-simultaneous right row IS matched (non-strict <=)
-    w = (Window.partitionBy("_k").orderBy("_ts", "_tag")
+    # exactly-simultaneous right row IS matched (non-strict <=). The _r
+    # struct is the deterministic tiebreaker among right rows tied on
+    # (key, ts): last() then picks the greatest (rts, *right_cols)
+    # struct, run- and partition-order-independent (left rows carry a
+    # NULL _r and compare equal, which is fine — their relative order
+    # can't change which preceding right row last() sees).
+    w = (Window.partitionBy("_k").orderBy("_ts", "_tag", "_r")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     m = (r.unionByName(l.select(*r.columns))
          .withColumn("_m", F.last("_r", ignorenulls=True).over(w))

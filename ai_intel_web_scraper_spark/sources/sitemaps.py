@@ -28,7 +28,13 @@ _URL_BLOCK_RE = r"(?s)<url>(.*?)</url>"
 _INDEX_BLOCK_RE = r"(?s)<sitemap>(.*?)</sitemap>"
 _LOC_RE = r"<loc>\s*([^<\s][^<]*?)\s*</loc>"
 _LASTMOD_RE = r"<lastmod>\s*(\d{4}-\d{2}-\d{2})"
-_PRIORITY_RE = r"<priority>\s*([01])\.(\d)\s*</priority>"
+# Full decimal capture (spec allows any 0.0-1.0 decimal: 0.85, 0.05, 1.0):
+# whole digit + up to 6 fraction digits (ppm precision; extra digits
+# truncate). Fraction optional so a bare "<priority>1</priority>" parses.
+# Valid in both Java regex (Spark) and RE2 (DuckDB) — PRIORITY_RE is
+# interpolated verbatim into the generated oracle SQL.
+PRIORITY_RE = r"<priority>\s*([01])(?:\.(\d{1,6})\d*)?\s*</priority>"
+_PRIORITY_RE = PRIORITY_RE
 
 
 def parse_sitemaps(bodies: DataFrame, host_col: str = "host",
@@ -37,19 +43,23 @@ def parse_sitemaps(bodies: DataFrame, host_col: str = "host",
 
     lastmod_day = days since 1970-01-01 (integer; NULL when absent or
     unparseable); priority_ppm = integer parts-per-million parsed from
-    the 0.x/1.0 literal WITHOUT any float arithmetic (whole and tenth
-    digits captured separately), spec default 500000 when missing."""
+    the decimal literal WITHOUT any float arithmetic (whole and fraction
+    digits captured separately, fraction right-padded to 6 digits),
+    clamped to [0, 1e6] (an out-of-spec "1.5" reads as 1.0), spec
+    default 500000 when missing."""
     block = F.explode(
         F.regexp_extract_all(F.col(body_col), F.lit(_URL_BLOCK_RE), 1)
     ).alias("_b")
     df = bodies.select(F.col(host_col), block)
     loc = F.regexp_extract("_b", _LOC_RE, 1)
     whole = F.regexp_extract("_b", _PRIORITY_RE, 1)
-    tenth = F.regexp_extract("_b", _PRIORITY_RE, 2)
+    frac = F.regexp_extract("_b", _PRIORITY_RE, 2)
     prio = F.when(
         whole == "", F.lit(SITEMAP_DEFAULT_PRIORITY_PPM)
-    ).otherwise(whole.cast("long") * 1_000_000
-                + tenth.cast("long") * 100_000)
+    ).otherwise(F.least(
+        whole.cast("long") * 1_000_000
+        + F.rpad(frac, 6, "0").cast("long"),
+        F.lit(1_000_000)))
     lastmod = F.datediff(
         F.try_to_date(F.nullif(
             F.regexp_extract("_b", _LASTMOD_RE, 1), F.lit(""))),

@@ -110,3 +110,22 @@ def test_cms_heavy_hitters_matches_exact_topk(spark, sf_dir):
                  (words.groupBy("word").agg(F.count("*").alias("n"))
                   .orderBy(F.desc("n"), F.asc("word")).limit(10).collect())]
     assert [r["word"] for r in got] == top_exact
+
+
+def test_cms_point_query_on_absent_key_is_zero(spark):
+    """ADVICE r3: a key hashing into an empty (d, bucket) cell must get a
+    0 vote for that depth (left join + coalesce), and a key absent from
+    every cell must estimate 0 — not vanish or overestimate."""
+    counts = spark.createDataFrame([("a", 5), ("b", 3)], "k string, cnt int")
+    regs = SK.cms_registers(counts, "k", "cnt")
+    # probe a large set of never-inserted keys: with 2 inserted keys and
+    # a 4x256 grid most probes hit at least one empty cell per depth row
+    probes = _keys(spark, 1000, 1100)
+    est = {r["k"]: r["cms_est"]
+           for r in SK.cms_estimates(regs, probes, "k").collect()}
+    assert len(est) == 100          # nobody vanished
+    assert min(est.values()) == 0   # absent keys CAN reach 0
+    # and inserted keys still never underestimate
+    own = {r["k"]: r["cms_est"] for r in SK.cms_estimates(
+        regs, counts.select("k"), "k").collect()}
+    assert own["a"] >= 5 and own["b"] >= 3

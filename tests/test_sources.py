@@ -201,6 +201,14 @@ def test_parse_sitemaps_fields_and_degradation(spark):
             '<priority>high</priority></url>'                   # bad prio
             '<url><loc>https://h.example/d</loc>'
             '<priority>1.0</priority></url>'
+            '<url><loc>https://h.example/e</loc>'
+            '<priority>0.85</priority></url>'                   # 2 decimals
+            '<url><loc>https://h.example/f</loc>'
+            '<priority>0.05</priority></url>'
+            '<url><loc>https://h.example/g</loc>'
+            '<priority>1.5</priority></url>'                    # clamps
+            '<url><loc>https://h.example/h</loc>'
+            '<priority>1</priority></url>'                      # no fraction
             '</urlset>')
     df = spark.createDataFrame([("h.example", body)],
                                "host string, body string")
@@ -213,6 +221,10 @@ def test_parse_sitemaps_fields_and_degradation(spark):
         "https://h.example/b": (None, SITEMAP_DEFAULT_PRIORITY_PPM),
         "https://h.example/c": (None, SITEMAP_DEFAULT_PRIORITY_PPM),
         "https://h.example/d": (None, 1_000_000),
+        "https://h.example/e": (None, 850_000),
+        "https://h.example/f": (None, 50_000),
+        "https://h.example/g": (None, 1_000_000),
+        "https://h.example/h": (None, 1_000_000),
     }
 
 
@@ -258,8 +270,14 @@ def test_sitemap_driver_fixture_python_replay(spark):
                            - dt.date(1970, 1, 1)).days
                 except ValueError:
                     day = None
-            pm = _re.search(r"<priority>\s*([01])\.(\d)\s*</priority>", blk)
-            ppm = (int(pm.group(1)) * 1_000_000 + int(pm.group(2)) * 100_000
-                   if pm else SITEMAP_DEFAULT_PRIORITY_PPM)
+            pm = _re.search(
+                r"<priority>\s*([01])(?:\.(\d{1,6})\d*)?\s*</priority>",
+                blk)
+            if pm:
+                frac = (pm.group(2) or "").ljust(6, "0")
+                ppm = min(int(pm.group(1)) * 1_000_000 + int(frac),
+                          1_000_000)
+            else:
+                ppm = SITEMAP_DEFAULT_PRIORITY_PPM
             want.append((host, m.group(1), day, ppm))
     assert got == sorted(want) and len(got) > 200

@@ -167,3 +167,24 @@ def test_recrawl_schedule_single_shuffle_plan(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     # the lag window and the aggregate must share one hash partitioning
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_asof_right_tie_is_deterministic_max_struct(spark):
+    """ADVICE r3: among right rows tied on (key, ts) the match is the
+    greatest (rts, *right_cols) struct — stable across runs and
+    partition layouts (exercised at 1 and 8 shuffle partitions)."""
+    quotes = spark.createDataFrame(
+        [(1, _ts(5), 101), (1, _ts(5), 107), (1, _ts(5), 103)],
+        "k long, ts timestamp, px long")
+    trades = spark.createDataFrame(
+        [(1, _ts(6), 1)], "k long, ts timestamp, qty long")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for n in ("1", "8"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            for rep in (quotes, quotes.repartition(5)):
+                r = TM.asof_join(trades, rep, "k", "ts", "ts",
+                                 ["px"]).collect()
+                assert [x["asof"]["px"] for x in r] == [107]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
