@@ -585,9 +585,16 @@ def q_bench_numbers(spark, sf_dir):
                         "unit")
 
 
-def q_shipping_priority(spark, sf_dir):
+def _ship_top10(spark, sf_dir):
     """TPC-H Q3 shape: 3-table join (broadcast dim -> fact), filtered on
-    both sides of the join, grouped revenue, global top-10 (heap top-k)."""
+    both sides of the join, grouped revenue, global top-10 (heap top-k).
+    Shared by the r4 isolation experiment below — the key formerly named
+    `shipping_priority` was driver-hash-red three consecutive rounds
+    under three distinct value formulations while passing the repo's
+    DuckDB gate at both scales, with rows/schema always matching. r4
+    changes the EXPERIMENT, not the arithmetic: the query is re-keyed
+    (rules out name-keyed driver handling) and split so each output
+    column is hash-checked in isolation."""
     cust = (_t(spark, sf_dir, "customer")
             .where(F.col("c_mktsegment") == "BUILDING")
             .select("c_custkey"))
@@ -608,13 +615,52 @@ def q_shipping_priority(spark, sf_dir):
             .groupBy("o_orderkey", "o_orderdate")
             .agg(F.sum(cents).alias("revenue_cents"))
             .orderBy(F.desc("revenue_cents"), F.asc("o_orderkey"))
-            .limit(10)
-            # date rendered as a string: timestamp canonicalization differs
-            # between value hashers, strings are canonicalization-proof
-            .select("o_orderkey",
-                    F.date_format("o_orderdate", "yyyy-MM-dd")
-                    .alias("o_orderdate"),
-                    "revenue_cents"))
+            .limit(10))
+
+
+def q_top_revenue_orders(spark, sf_dir):
+    """The re-keyed main query: all-integer output. The one column
+    unchanged across all three failed `shipping_priority` attempts was
+    the yyyy-MM-dd date STRING rendered from a TIMESTAMP_NTZ parquet
+    column — here it becomes `cast(date_format(.., 'yyyyMMdd') as int)`
+    so no string/timestamp canonicalization can enter the value hash."""
+    return _ship_top10(spark, sf_dir).select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyyMMdd").cast("int")
+        .alias("odate_int"),
+        "revenue_cents")
+
+
+def q_ship_probe_date(spark, sf_dir):
+    """Diagnostic probe A: ONLY the historical date-string column (the
+    exact rendering all three red rounds shared), keyed by o_orderkey.
+    If `top_revenue_orders` goes green while this stays red, the
+    divergent column is pinned in writing."""
+    return _ship_top10(spark, sf_dir).select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+
+
+def q_ship_probe_revenue(spark, sf_dir):
+    """Diagnostic probe B: ONLY the integer revenue column."""
+    return _ship_top10(spark, sf_dir).select("o_orderkey", "revenue_cents")
+
+
+# Shared DuckDB CTE for the three isolation queries above (identical to
+# the thrice-red shipping_priority oracle's aggregation).
+_SHIP_TOP10_SQL = """
+    SELECT o_orderkey, o_orderdate,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS revenue_cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1996-01-01'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue_cents DESC, o_orderkey LIMIT 10"""
 
 
 def q_nation_coverage(spark, sf_dir):
@@ -2313,11 +2359,70 @@ def q_mixture_tokens(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks the FIRST 50 keys each round (CORRECTNESS_r{N}).
     # Rotation policy (SURVEY §2.7): never-checked / recently-fixed queries
-    # lead; long-stable trivial greens (all driver-green in r2, operators
-    # also covered in-window via text_metrics) sit past position 50.
+    # lead; stable driver greens (r2/r3 rows on file) sit past position 50.
+    # r4 window = the 23 late-r3 queries that never had a driver row +
+    # the 3-query shipping_priority isolation experiment + 24 r3 greens
+    # kept in-window (flagship crawl/codec/corpus paths and everything
+    # touched by this round's code changes).
     return {
-        # --- r3 priority: no driver row before r3, or red in r2 ---------
+        # --- never driver-checked before r4 (all repo-SQL-checked at
+        # --- sf0.01 AND sf0.1): the late-r3 operator families ----------
+        "pack_curriculum": q_pack_curriculum,
+        "mixture_tokens": q_mixture_tokens,
+        "dup_spans": q_dup_spans,
+        "asof_clicks": q_asof_clicks,
+        "range_windows": q_range_windows,
+        "pagerank_hosts": q_pagerank,
+        "semdedup": q_semdedup,
+        "hll_registers": q_hll_registers,
+        "hll_card": q_hll_card,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "stratified_sample": q_stratified_sample,
+        "group_quantiles": q_group_quantiles,
+        "stream_hll": q_stream_hll,
+        "cc_hosts": q_cc_hosts,
+        "kmeans_clusters": q_kmeans,
+        "ann_ivf_trained": q_ann_ivf_trained,
+        "pq_topk": q_pq_topk,
+        "ivf_pq_topk": q_ivf_pq_topk,
+        "recrawl_schedule": q_recrawl_schedule,
+        "image_text_qa": q_image_text_qa,
+        "sitemap_ingest": q_sitemap_ingest,
+        "stream_recrawl": q_stream_recrawl,
+        "webdataset_export": q_webdataset_export,
+        # --- shipping_priority isolation (r1-r3 hash-red under three
+        # --- value formulations; see _ship_top10's docstring) ----------
+        "top_revenue_orders": q_top_revenue_orders,
+        "ship_probe_date": q_ship_probe_date,
+        "ship_probe_revenue": q_ship_probe_revenue,
+        # --- r3 driver greens kept in-window: flagship paths + queries
+        # --- whose code was touched in r4 ------------------------------
+        "crawl_frontier": q_crawl_frontier,
+        "image_features": q_image_features,
+        "phash_neardup": q_phash_neardup,
+        "text_metrics": q_text_metrics,
+        "metadata_sanitize": q_metadata_sanitize,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
+        "query_analysis": q_query_analysis,
+        "bpe_tokens": q_bpe_tokens,
+        "bpe_chunks": q_bpe_chunks,
+        "repetition_signals": q_repetition_signals,
+        "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
+        "lm_quality": q_lm_quality,
+        "hygiene_pipeline": q_hygiene_pipeline,
+        "pack_shards": q_pack_shards,
+        "mixture_sample": q_mixture_sample,
+        "shard_spans": q_shard_spans,
+        "minhash_verified": q_minhash_verified,
+        "minhash_greedy": q_minhash_greedy,
+        "process_pipeline": q_process_pipeline,
+        "stream_sessions": q_stream_sessions,
+        "stream_dedup": q_stream_dedup,
         "embedding_neardup": q_embedding_neardup,
+        # --- past the 50-query window: stable greens (driver rows in
+        # --- CORRECTNESS_r02/r03), still runnable + repo-SQL-checked ---
         "recursive_chunks": q_recursive_chunks,
         "chunk_dispatch": q_chunk_dispatch,
         "hash_embed": q_hash_embed,
@@ -2325,25 +2430,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_roundtrip": q_image_roundtrip,
         "cursor_source": q_cursor_source,
         "bin_pack": q_bin_pack,
-        "crawl_frontier": q_crawl_frontier,   # SQL-checked in r3: oracle
-        "image_features": q_image_features,   # crawler / codec expectations
-        "phash_neardup": q_phash_neardup,     # emitted as literal relations
-        "shipping_priority": q_shipping_priority,  # r1+r2 red: tie-proof now
-        "text_metrics": q_text_metrics,       # new 6-operator consolidation
-        "metadata_sanitize": q_metadata_sanitize,  # V10, new in r3
-        "audio_features": q_audio_features,        # real WAV decode, r3
-        "video_frames": q_video_frames,            # real MJPN sampling, r3
-        "query_analysis": q_query_analysis,        # R5 det. layers, new in r3
-        "bpe_tokens": q_bpe_tokens,                # V1 real-BPE path, r3
-        "bpe_chunks": q_bpe_chunks,                # V5 on BPE budgets, r3
-        "repetition_signals": q_repetition_signals,  # Gopher rules, new late-r3
-        "decontaminate": q_decontaminate,            # n-gram overlap, late-r3
-        "pii_scrub": q_pii_scrub,                    # PII redaction, late-r3
-        "lm_quality": q_lm_quality,                  # CCNet LM filter, late-r3
-        "hygiene_pipeline": q_hygiene_pipeline,      # composed family, late-r3
-        "pack_shards": q_pack_shards,                # shard packing, late-r3
-        "mixture_sample": q_mixture_sample,          # domain mixture, late-r3
-        # --- driver-green in r2, kept in-window ------------------------
         "pricing_summary": q_pricing_summary,
         "docs_keep_first": q_docs_keep_first,
         "topic_tags": q_topic_tags,
@@ -2351,7 +2437,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,
         "jaccard_top_pairs": q_jaccard_top_pairs,
         "user_quota": q_user_quota,
-        "shard_spans": q_shard_spans,                # span manifest, late-r3
         "url_classify": q_url_classify,
         "html_extract": q_html_extract,
         "reddit_source": q_reddit_source,
@@ -2359,69 +2444,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_budget": q_global_budget,
         "new_docs_anti": q_new_docs_anti,
         "stream_windowed_counts": q_stream_windowed_counts,
-        "stream_sessions": q_stream_sessions,
         "stream_budget_state": q_stream_budget_state,
-        "stream_dedup": q_stream_dedup,            # dropDuplicates, late-r3
-        "process_pipeline": q_process_pipeline,
-        "minhash_verified": q_minhash_verified,
-        "minhash_greedy": q_minhash_greedy,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        # --- past the 50-query window ----------------------------------
-        # r4 ROTATION PLAN: everything from here to cc_hosts (the late-r3
-        # and final-session additions — pack_curriculum..webdataset_export)
-        # has never had a driver row; rotate them into the first 50 in r4
-        # and park the r3-green block above (embedding_neardup..mixture_
-        # sample) behind them. All are SQL-checked at sf0.01+sf0.1 by the
-        # repo gate.
-        "pack_curriculum": q_pack_curriculum,  # late-r3 additions, SQL-checked
-        "mixture_tokens": q_mixture_tokens,    # by the repo gate; rotate into
-        "dup_spans": q_dup_spans,              # the driver window in r4
-        "asof_clicks": q_asof_clicks,
-        "range_windows": q_range_windows,
-        "pagerank_hosts": q_pagerank,
-        "semdedup": q_semdedup,            # this-session additions (SQL-
-        "hll_registers": q_hll_registers,  # checked both scales by the
-        "hll_card": q_hll_card,            # repo gate; rotate into the
-        "cms_heavy_hitters": q_cms_heavy_hitters,  # driver window in r4)
-        "stratified_sample": q_stratified_sample,
-        "group_quantiles": q_group_quantiles,
-        "stream_hll": q_stream_hll,
-        "cc_hosts": q_cc_hosts,
-        "kmeans_clusters": q_kmeans,  # this-session: integer Lloyd's
-        "ann_ivf_trained": q_ann_ivf_trained,  # this-session: trained IVF
-        "pq_topk": q_pq_topk,  # this-session: PQ codes + ADC top-k
-        "ivf_pq_topk": q_ivf_pq_topk,  # this-session: full IVF-PQ
-        "recrawl_schedule": q_recrawl_schedule,  # this-session: freshness
-        "image_text_qa": q_image_text_qa,  # this-session: pair curation
-        "sitemap_ingest": q_sitemap_ingest,  # this-session: preseed source
-        "stream_recrawl": q_stream_recrawl,  # this-session: stateful stream
-        "webdataset_export": q_webdataset_export,  # this-session: WDS sink
-
-        "topk_cosine": q_topk_cosine,      # rotated out for pack_shards
-                                           # (S10/R4 stays via ann_ivf_topk's
-                                           # exact re-rank + rrf_fusion)
-        "minhash_pairs": q_minhash_pairs,  # rotated out for mixture_sample
-                                           # (P9 band join stays exercised
-                                           # inside minhash_verified/greedy)
-        "token_window_chunks": q_token_window_chunks,  # rotated out for
-                                           # shard_spans (V5 stays exercised
-                                           # via bpe_chunks' stride loop)
-        "topic_fanout": q_topic_fanout,    # rotated out in r3 for R5
-        "sql_top_events": q_sql_top_events,  # rotated out in r3 for BPE
-        "nation_coverage": q_nation_coverage,  # rotated out for bpe_chunks
-        "budget_prefix": q_budget_prefix,  # rotated out late-r3 for the three
-        "group_stats": q_group_stats,      # corpus-hygiene queries (P12/P15/
-        "bench_numbers": q_bench_numbers,  # P14 stay covered by global_budget,
-                                           # source_status+cube_stats, pytest)
-        "prefix_dup_groups": q_prefix_dup_groups,  # rotated out for lm_quality
-                                           # (P7 stays via docs_keep_first)
-        "source_status": q_source_status,  # rotated out for hygiene_pipeline
-                                           # (P15 stays via process_pipeline)
-        "events_keep_first": q_events_keep_first,  # rotated out for
-                                           # stream_dedup (C17/P8 stays via
-                                           # docs_keep_first + stream_dedup)
+        "topk_cosine": q_topk_cosine,
+        "minhash_pairs": q_minhash_pairs,
+        "token_window_chunks": q_token_window_chunks,
+        "topic_fanout": q_topic_fanout,
+        "sql_top_events": q_sql_top_events,
+        "nation_coverage": q_nation_coverage,
+        "budget_prefix": q_budget_prefix,
+        "group_stats": q_group_stats,
+        "bench_numbers": q_bench_numbers,
+        "prefix_dup_groups": q_prefix_dup_groups,
+        "source_status": q_source_status,
+        "events_keep_first": q_events_keep_first,
         "paginated_preseed": q_paginated_preseed,
         "sentiment_counts": q_sentiment_counts,
         "length_quantiles": q_length_quantiles,
@@ -3321,20 +3359,19 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT s_nationkey AS nationkey FROM supplier
               WHERE s_acctbal > 9000)
             JOIN nation ON nationkey = n_nationkey""",
-        "shipping_priority": """
+        "top_revenue_orders": f"""
+            WITH t AS ({_SHIP_TOP10_SQL})
+            SELECT o_orderkey,
+                   CAST(strftime(o_orderdate, '%Y%m%d') AS INT)
+                       AS odate_int,
+                   revenue_cents FROM t""",
+        "ship_probe_date": f"""
+            WITH t AS ({_SHIP_TOP10_SQL})
             SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
-                       AS o_orderdate,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                       AS revenue_cents
-            FROM orders
-            JOIN customer ON o_custkey = c_custkey
-            JOIN lineitem ON l_orderkey = o_orderkey
-            WHERE c_mktsegment = 'BUILDING'
-              AND o_orderdate < TIMESTAMP '1998-01-01'
-              AND l_shipdate > TIMESTAMP '1996-01-01'
-            GROUP BY o_orderkey, o_orderdate
-            ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""",
+                       AS o_orderdate FROM t""",
+        "ship_probe_revenue": f"""
+            WITH t AS ({_SHIP_TOP10_SQL})
+            SELECT o_orderkey, revenue_cents FROM t""",
         "hash_embed": "SELECT doc_id, dim, value FROM "
                       + _hash_embed_sql("documents", "doc_id", "text"),
         "vectorize_pipeline": f"""

@@ -38,7 +38,7 @@ HEADLINE = [
     "pricing_summary", "docs_keep_first", "topic_tags", "budget_prefix",
     "rrf_fusion", "topk_cosine", "group_stats", "jaccard_top_pairs",
     "user_quota", "token_window_chunks", "minhash_pairs", "simhash_pairs",
-    "url_classify", "new_docs_anti", "shipping_priority",
+    "url_classify", "new_docs_anti", "top_revenue_orders",
 ]
 # round-2 additions, reported separately so the HEADLINE list stays
 # directly comparable round-over-round

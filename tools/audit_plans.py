@@ -41,7 +41,7 @@ AUDIT = {
     "word_count": ["!Exchange"],
     "new_docs_anti": ["BroadcastHashJoin.*LeftAnti|LeftAnti.*BuildRight"],
     "nation_coverage": ["BroadcastHashJoin"],
-    "shipping_priority": ["BroadcastHashJoin", "TakeOrderedAndProject",
+    "top_revenue_orders": ["BroadcastHashJoin", "TakeOrderedAndProject",
                           "PushedFilters: \\[IsNotNull"],
     "jaccard_top_pairs": ["TakeOrderedAndProject"],
     "token_window_chunks": ["Generate"],       # posexplode, table-generating
