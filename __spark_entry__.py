@@ -989,7 +989,7 @@ def q_ann_ivf_trained(spark, sf_dir):
     replays the whole chain — Lloyd CTEs, dequantize, round-9 argmax,
     probe, round-6 re-rank — in SQL."""
     emb = _t(spark, sf_dir, "embeddings")
-    cents = KM.dequantize(KM.kmeans_fit(emb))
+    cents = KM.dequantize(KM.kmeans_fit_sampled(emb))
     return V.ivf_topk(emb, QUERY_VEC_A, TOPK, cents=cents)
 
 
@@ -1177,7 +1177,13 @@ def _kmeans_cte_parts(prefix: str = "", lo: int = 1, hi: int = 64,
     integers throughout. Returns (parts, final_centroid_cte) so the
     clustering, trained-IVF, and PQ oracles all replay one recurrence;
     `prefix`/`lo`/`hi` carve a named subspace chain over dims [lo, hi]
-    (the PQ per-subspace trainer), sharing the global `q` CTE."""
+    (the PQ per-subspace trainer), sharing the global `q` CTE.
+
+    r4: training (the a{it} assignment + c{it+1} update CTEs) is
+    restricted to the first-KM_TRAIN_SAMPLE-by-id rows (`tsamp`),
+    mirroring the engine's sample-local trainers; final assignments /
+    encodings still read the full `qd`. A formal no-op at test scale
+    (every test corpus has <= 4096 rows) but correct at any scale."""
     k = KM.KM_K if k is None else k
     iters = KM.KM_ITERS
     qs, qo = KM.KM_QSCALE, KM.KM_QOFF
@@ -1187,6 +1193,9 @@ def _kmeans_cte_parts(prefix: str = "", lo: int = 1, hi: int = 64,
         parts.append(
             f"q AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
             f"x -> floor(x * {qs})::BIGINT + {qo}) AS qv FROM embeddings)")
+        parts.append(
+            f"tsamp AS (SELECT vec_id FROM q ORDER BY vec_id "
+            f"LIMIT {KM.KM_TRAIN_SAMPLE})")
     parts += [
         f"{p}dims AS (SELECT i::INT AS d "
         f"FROM generate_series({lo}, {hi}) t(i))",
@@ -1203,7 +1212,8 @@ def _kmeans_cte_parts(prefix: str = "", lo: int = 1, hi: int = 64,
             f"SELECT qd.vec_id, c.ci, row_number() OVER ("
             f"PARTITION BY qd.vec_id "
             f"ORDER BY sum((qd.v - c.cv)*(qd.v - c.cv)), c.ci) AS rk "
-            f"FROM {p}qd qd JOIN {p}c{it} c USING (d) "
+            f"FROM {p}qd qd JOIN tsamp USING (vec_id) "
+            f"JOIN {p}c{it} c USING (d) "
             f"GROUP BY qd.vec_id, c.ci) z WHERE rk = 1)")
         parts.append(
             f"{p}c{it + 1} AS (SELECT c.ci, c.d, coalesce(n.cv, c.cv) "

@@ -46,6 +46,14 @@ KM_K = 8
 KM_ITERS = 4
 KM_QSCALE = 1 << 20          # quantization unit = 2^-20 of embedding space
 KM_QOFF = 1 << 24            # positivity offset (|x| < 16 assumed)
+# Codebook training sample cap (the FAISS convention: train on a bounded
+# sample — quality needs O(k) examples per centroid, not the corpus).
+# The sample is the first KM_TRAIN_SAMPLE rows by id: deterministic,
+# constant-size (4096 x dim longs ~ 2 MB), and a superset of every test
+# corpus, so sample-trained codebooks are bit-identical to full-corpus
+# ones at test scale (pytest-proven) while a 10^10-vector corpus trains
+# in constant time.
+KM_TRAIN_SAMPLE = 4096
 
 
 def quantize_col(vec_col, qscale: int = KM_QSCALE, qoff: int = KM_QOFF):
@@ -74,6 +82,72 @@ def _argmin_cols(qv, cents: list[list[int]]):
         F.struct(_sqdist(qv, c).alias("d"), F.lit(i).alias("i"))
         for i, c in enumerate(cents)]))
     return best["i"].cast("int"), best["d"].cast("long")
+
+
+# Above this many codebook cells (k x dim) the inlined literal argmin is
+# no longer the right physical plan: expression-tree size grows O(k*dim)
+# and falls out of whole-stage codegen at production coarse-k (10^3-10^5
+# IVF lists). The Arrow path ships the codebook to executors once per
+# batch and runs the identical integer argmin vectorized in numpy.
+KM_ARGMIN_LITERAL_MAX_CELLS = 4096
+_ARGMIN_BLOCK_K = 256        # centroid block size for the n x k workspace
+
+
+def _argmin_blocked(X, C):
+    """Vectorized integer argmin of X (n x dim) against codebook C
+    (k x dim) — bit-identical to `_argmin_cols` (pytest-proven):
+    d2 = |x|^2 + |c|^2 - 2 x.c in int64 (exact: dot terms < 2^56), ties
+    to the smaller centroid id (numpy argmin first-occurrence within a
+    block; strict < keeps the earlier block's winner across blocks).
+    Blocked over centroids so the workspace stays n x 256, never n x k."""
+    import numpy as np
+    xx = (X * X).sum(axis=1)
+    best_d = None
+    best_i = None
+    for off in range(0, len(C), _ARGMIN_BLOCK_K):
+        Cb = C[off:off + _ARGMIN_BLOCK_K]
+        d2 = (xx[:, None] + (Cb * Cb).sum(axis=1)[None, :]
+              - 2 * (X @ Cb.T))
+        i = d2.argmin(axis=1)
+        d = d2[np.arange(len(i)), i]
+        if best_d is None:
+            best_d, best_i = d, i + off
+        else:
+            upd = d < best_d
+            best_d = np.where(upd, d, best_d)
+            best_i = np.where(upd, i + off, best_i)
+    return best_i, best_d
+
+
+def kmeans_assign_arrow(embeddings: DataFrame, cents: list[list[int]],
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """`kmeans_assign` via the blocked Arrow-batch argmin — same output,
+    large-k-safe physical plan (one MapInPandas over (id, quantized
+    vector); still a narrow map, no shuffle, codebook serialized once
+    into the task closure)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    C = np.asarray(cents, dtype=np.int64)
+    qdf = embeddings.select(F.col(id_col),
+                            quantize_col(F.col(vec_col)).alias("_qv"))
+    schema = T.StructType([qdf.schema[id_col],
+                           T.StructField("cluster", T.IntegerType()),
+                           T.StructField("qdist", T.LongType())])
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["_qv"].tolist(), dtype=np.int64)
+            best_i, best_d = _argmin_blocked(X, C)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "cluster": best_i.astype("int32"),
+                                "qdist": best_d})
+
+    return qdf.mapInPandas(gen, schema)
 
 
 def init_centroids(embeddings: DataFrame, k: int,
@@ -171,6 +245,74 @@ def kmeans_fit_many(embeddings: DataFrame,
     return books
 
 
+def _collect_sample(embeddings: DataFrame, sample_n: int, id_col: str,
+                    vec_col: str):
+    """The quantized training sample as an int64 numpy matrix: first
+    `sample_n` rows by id (TakeOrderedAndProject — a distributed top-n,
+    never a full sort) — the ONLY corpus-size-independent collect in the
+    training path."""
+    import numpy as np
+    rows = (embeddings.orderBy(id_col).limit(sample_n)
+            .select(quantize_col(F.col(vec_col)).alias("qv")).collect())
+    return np.array([r["qv"] for r in rows], dtype=np.int64)
+
+
+def _lloyd_local(X, k: int, iters: int):
+    """The SAME integer Lloyd recurrence as `kmeans_fit`, run on a local
+    int64 matrix: argmin of integer squared L2 (ties to the smaller
+    centroid id = numpy argmin's first-occurrence rule), per-dimension
+    integer-mean update (floor division — all values positive by the
+    KM_QOFF offset, so numpy `//`, Spark DIV and DuckDB `//` agree),
+    empty clusters keep their previous centroid. Exact: |q| < 2^25 keeps
+    distances < 2^56 and member sums < 2^37, both inside int64."""
+    import numpy as np
+    cents = X[:k].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cl = d2.argmin(axis=1)
+        for c in range(k):
+            members = X[cl == c]
+            if len(members):
+                cents[c] = members.sum(axis=0) // len(members)
+    return [[int(v) for v in cent] for cent in cents]
+
+
+def kmeans_fit_sampled(embeddings: DataFrame, k: int = KM_K,
+                       iters: int = KM_ITERS,
+                       sample_n: int = KM_TRAIN_SAMPLE,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> list[list[int]]:
+    """`kmeans_fit` semantics on the first-`sample_n`-by-id training
+    sample, computed locally: one distributed top-n collect, then the
+    Lloyd recurrence on the driver — ZERO Spark jobs per iteration
+    (kmeans_fit pays one aggregate job per iteration, which at toy k
+    dominates wall time and at 10^10 vectors scans the corpus per
+    iteration for no quality gain). Bit-identical to
+    `kmeans_fit(embeddings)` whenever the corpus has <= sample_n rows
+    (pytest-proven), which is the production train-once contract."""
+    X = _collect_sample(embeddings, sample_n, id_col, vec_col)
+    return _lloyd_local(X, k, iters)
+
+
+def kmeans_fit_many_sampled(embeddings: DataFrame,
+                            slices: list[tuple[int, int]],
+                            k: int | list[int] = KM_K,
+                            iters: int = KM_ITERS,
+                            sample_n: int = KM_TRAIN_SAMPLE,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding"
+                            ) -> list[list[list[int]]]:
+    """`kmeans_fit_many` semantics (one codebook per slice, per-slice k)
+    on the capped training sample: ONE collect, then every slice's Lloyd
+    recurrence runs locally on its column range. Bit-identical to the
+    distributed trainer on <= sample_n corpora (pytest-proven)."""
+    ks = list(k) if isinstance(k, (list, tuple)) else [k] * len(slices)
+    assert len(ks) == len(slices)
+    X = _collect_sample(embeddings, sample_n, id_col, vec_col)
+    return [_lloyd_local(X[:, lo:lo + n], ks[s], iters)
+            for s, (lo, n) in enumerate(slices)]
+
+
 def dequantize(cents: list[list[int]],
                qscale: int = KM_QSCALE,
                qoff: int = KM_QOFF) -> list[list[float]]:
@@ -186,7 +328,12 @@ def kmeans_assign(embeddings: DataFrame, cents: list[list[int]],
                   id_col: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:
     """(id, cluster, qdist) against a fixed integer codebook — the
-    narrow-map scoring pass (no shuffle, no UDF)."""
+    narrow-map scoring pass (no shuffle). Auto-selects the physical
+    strategy by codebook size: inlined literal argmin (whole-stage
+    codegen, no UDF) under KM_ARGMIN_LITERAL_MAX_CELLS cells, the
+    blocked Arrow argmin above it (identical output, pytest-proven)."""
+    if len(cents) * len(cents[0]) > KM_ARGMIN_LITERAL_MAX_CELLS:
+        return kmeans_assign_arrow(embeddings, cents, id_col, vec_col)
     qv = quantize_col(F.col(vec_col))
     cluster, qdist = _argmin_cols(qv, cents)
     return embeddings.select(F.col(id_col), cluster.alias("cluster"),
@@ -196,6 +343,9 @@ def kmeans_assign(embeddings: DataFrame, cents: list[list[int]],
 def kmeans(embeddings: DataFrame, k: int = KM_K, iters: int = KM_ITERS,
            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Fit + final assignment: (id, cluster, qdist), every value an exact
-    integer — the cross-engine hash never touches a float."""
-    cents = kmeans_fit(embeddings, k, iters, id_col, vec_col)
+    integer — the cross-engine hash never touches a float. r4: the fit is
+    the sample-local trainer (train once on a bounded sample, assign the
+    whole corpus with a narrow map — the production split)."""
+    cents = kmeans_fit_sampled(embeddings, k, iters, id_col=id_col,
+                               vec_col=vec_col)
     return kmeans_assign(embeddings, cents, id_col, vec_col)

@@ -64,9 +64,15 @@ def pq_train(embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K,
     clusters pinned) — the batched schedule changes job count, not one
     bit of output (pytest replays per-subspace in pure Python). The
     batched schedule lives in `clustering.kmeans_fit_many` (shared with
-    the IVF-PQ coarse+subspace single-pass training)."""
-    from .clustering import kmeans_fit_many
-    return kmeans_fit_many(
+    the IVF-PQ coarse+subspace single-pass training).
+
+    r4: training runs on the first-KM_TRAIN_SAMPLE-by-id sample via the
+    LOCAL recurrence (`kmeans_fit_many_sampled` — one bounded collect,
+    zero Spark jobs per iteration; bit-identical to the distributed
+    trainer on <= 4096-row corpora, pytest-proven). The distributed
+    `kmeans_fit_many` path stays as the parity reference."""
+    from .clustering import kmeans_fit_many_sampled
+    return kmeans_fit_many_sampled(
         embeddings, [(s * sub_dim, sub_dim) for s in range(m)],
         k=k, iters=iters, id_col=id_col, vec_col=vec_col)
 
@@ -161,14 +167,16 @@ def ivf_pq_topk(embeddings: DataFrame, query: list[float], k: int,
     import math
 
     from .clustering import (KM_K, KM_QOFF, KM_QSCALE, _argmin_cols,
-                             kmeans_fit_many, quantize_col)
+                             kmeans_fit_many_sampled, quantize_col)
     # the coarse (full-dim) codebook and the M subspace codebooks all
-    # train in the SAME one-job-per-iteration pass (slice 0 = full dim).
+    # train in ONE bounded sample collect + local recurrences (r4: the
+    # train-on-a-sample FAISS convention; bit-identical to the
+    # distributed one-job-per-iteration trainer at <= 4096 rows).
     # ks are EXPLICIT per slice (coarse defaults to KM_K, subspaces to
     # PQ_K) so the oracle's coarse-KM_K/subspace-PQ_K replay stays in
     # sync even if the module constants diverge.
     dim = m * sub_dim
-    all_books = kmeans_fit_many(
+    all_books = kmeans_fit_many_sampled(
         embeddings, [(0, dim)] + [(s * sub_dim, sub_dim)
                                   for s in range(m)],
         k=[KM_K if coarse_k is None else coarse_k] + [pq_k] * m,

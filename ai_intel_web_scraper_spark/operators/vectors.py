@@ -109,7 +109,16 @@ def assignment_cols(cents: list[list[float]], vec_col: str,
     `norm` optionally supplies the row's precomputed L2 norm COLUMN so
     the norm fold is evaluated once per row instead of once per centroid
     — the arithmetic (dot / (norm * |c|), same fold, same multiplication
-    order) is unchanged, so the doubles are bit-identical either way."""
+    order) is unchanged, so the doubles are bit-identical either way.
+
+    Large-k contract: this literal expression is O(k*dim) tree size and
+    is kept for small codebooks only (IVF_CENTROIDS-scale). Production
+    coarse-k (10^3-10^5 lists) assigns in the INTEGER domain instead —
+    `clustering.kmeans_assign`, which auto-selects a blocked Arrow
+    argmin above 4096 codebook cells (FAISS likewise does coarse
+    assignment in the compressed/quantized domain). A float-cosine numpy
+    fallback is deliberately NOT offered: numpy's pairwise summation
+    cannot reproduce this fold's left-to-right order bit-for-bit."""
     import math
 
     def cos(c):

@@ -120,3 +120,65 @@ def test_fit_many_bit_identical_to_single_fits(emb):
                       F.slice(F.col("embedding"), 49, 16).alias("s"))
     assert many[1] == KM.kmeans_fit(sub0, vec_col="s")
     assert many[2] == KM.kmeans_fit(sub3, vec_col="s")
+
+
+def test_sampled_fit_bit_identical_to_distributed_fit(emb):
+    """r4 train-on-sample path: with sample_n >= corpus size the local
+    numpy trainer must reproduce the distributed trainer bit-for-bit
+    (same seed, argmin ties, integer means, empty-cluster pinning)."""
+    assert KM.kmeans_fit_sampled(emb) == KM.kmeans_fit(emb)
+
+
+def test_sampled_fit_equals_distributed_fit_on_the_sample(emb):
+    """With sample_n < corpus size the contract is: train exactly as
+    kmeans_fit would on the first-sample_n-by-id subset."""
+    n = 64
+    sub = emb.orderBy("vec_id").limit(n)
+    got = KM.kmeans_fit_sampled(emb, sample_n=n)
+    assert got == KM.kmeans_fit(sub)
+
+
+def test_sampled_fit_many_bit_identical_to_distributed(emb):
+    """The multi-slice local trainer (IVF-PQ's coarse + subspace pass,
+    per-slice ks) matches the distributed batched trainer."""
+    slices = [(0, 64), (0, 16), (16, 16), (32, 16), (48, 16)]
+    ks = [KM.KM_K, 4, 4, 4, 4]
+    assert (KM.kmeans_fit_many_sampled(emb, slices, k=ks)
+            == KM.kmeans_fit_many(emb, slices, k=ks))
+
+
+def test_arrow_argmin_bit_identical_to_literal(emb):
+    """The large-k Arrow argmin fallback must equal the inlined literal
+    argmin on every row — including exact ties (duplicated centroids),
+    which both paths must break toward the smaller centroid id."""
+    cents = KM.kmeans_fit_sampled(emb, k=6)
+    cents = cents + [list(cents[0]), list(cents[3])]  # planted ties
+    lit = {r["vec_id"]: (r["cluster"], r["qdist"])
+           for r in KM.kmeans_assign(emb, cents).collect()}
+    arw = {r["vec_id"]: (r["cluster"], r["qdist"])
+           for r in KM.kmeans_assign_arrow(emb, cents).collect()}
+    assert lit == arw and len(lit) > 0
+    # ties really happened and resolved to the smaller ids
+    assert not any(cl in (6, 7) for cl, _ in arw.values())
+
+
+def test_assign_auto_selects_arrow_above_cell_threshold(emb):
+    """kmeans_assign flips to the Arrow-batch MapInPandas path
+    above KM_ARGMIN_LITERAL_MAX_CELLS and stays codegen below it; output is
+    identical either way (blocked argmin crosses >1 centroid block)."""
+    base = KM.kmeans_fit_sampled(emb, k=8)
+    big = [[c + i for c in base[i % 8]]
+           for i in range(KM.KM_ARGMIN_LITERAL_MAX_CELLS // 64 + 300)]
+    assert len(big) > KM._ARGMIN_BLOCK_K  # exercises cross-block minima
+    auto = KM.kmeans_assign(emb, big)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    small = KM.kmeans_assign(emb, base)
+    plan_s = small._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan_s and "EvalPython" not in plan_s
+    qv = KM.quantize_col(F.col("embedding"))
+    cl, qd = KM._argmin_cols(qv, big)
+    lit = {r["vec_id"]: (r["cluster"], r["qdist"]) for r in emb.select(
+        F.col("vec_id"), cl.alias("cluster"), qd.alias("qdist")).collect()}
+    got = {r["vec_id"]: (r["cluster"], r["qdist"]) for r in auto.collect()}
+    assert got == lit
