@@ -1,0 +1,133 @@
+"""Linear-scaling stress pass for the heavy operator families.
+
+Round-3 verdict item #5: run semdedup, dup_spans, pq_topk, pack_shards,
+pagerank_hosts and cc_hosts at sf0.1 AND at a 10x replica scale-up, and
+check wall time grows ~linearly (no plan flips to nested-loop at AQE
+sizes, no quadratic blow-up hiding behind small fixtures). Results are
+recorded in BASELINE.md.
+
+The 10x corpus is built ONCE from the driver's own sf0.1 parquet:
+- documents: 10 replicas, ids offset by r*1e9, a per-replica token
+  appended to the text (so cross-replica grams still collide heavily —
+  the honest dedup workload — without every doc being a byte-identical
+  copy), n_chars recomputed.
+- embeddings: 10 replicas, ids offset, each component shifted by
+  r*0.001 (replicas stay near each other -> cluster populations scale
+  10x without collapsing into exact duplicates).
+- graphs: the synthetic generators take n directly (10x nodes).
+
+Usage: python tools/stress_scale.py [replicas]   (default 10)
+Prints one JSON line {query: {"base_sec": .., "x10_sec": .., "ratio": ..}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+BASE_SF = "/root/testdata/sf0.1"
+STRESS_DIR = "/tmp/spark_graft_stress_x{r}"
+
+
+def build_scaled(spark, replicas: int) -> str:
+    out = STRESS_DIR.format(r=replicas)
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    reps = spark.range(replicas).select(F.col("id").alias("_r"))
+    docs = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
+    text = F.concat(F.col("text"), F.lit(" rep"),
+                    F.col("_r").cast("string"))
+    (docs.crossJoin(reps)
+     .select((F.col("doc_id") + F.col("_r") * F.lit(1_000_000_000))
+             .alias("doc_id"),
+             text.alias("text"), "lang", "source",
+             F.length(text).cast("long").alias("n_chars"))
+     .repartition(32)
+     .write.mode("overwrite")
+     .parquet(os.path.join(out, "documents.parquet")))
+    emb = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
+    (emb.crossJoin(reps)
+     .select((F.col("vec_id") + F.col("_r") * F.lit(1_000_000_000))
+             .alias("vec_id"),
+             F.transform("embedding",
+                         lambda x: (x.cast("double")
+                                    + F.col("_r").cast("double") * 0.001)
+                         .cast("float")).alias("embedding"),
+             "label")
+     .repartition(32)
+     .write.mode("overwrite")
+     .parquet(os.path.join(out, "embeddings.parquet")))
+    open(marker, "w").write("ok")
+    return out
+
+
+def _time(fn) -> float:
+    """Wall time of query CONSTRUCTION + full execution (several of the
+    heavy queries do eager work — iterative fixpoints, sample-local
+    training — while building the DataFrame, exactly like bench.py's
+    timing contract)."""
+    t0 = time.time()
+    df = fn()
+    (df.select(F.xxhash64(*df.columns).alias("_h"))
+     .agg(F.expr("bit_xor(_h)")).collect())
+    return round(time.time() - t0, 2)
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    from ai_intel_web_scraper_spark.operators import dedup as D
+    from ai_intel_web_scraper_spark.operators import graph as G
+    from ai_intel_web_scraper_spark.session import get_spark
+    import __spark_entry__ as E
+
+    spark = get_spark(app="stress-scale", cores=32, shuffle_partitions=64)
+    big = build_scaled(spark, replicas)
+    qs = E.queries()
+
+    def cc(spark_, n):
+        edges = G.cc_graph(spark_, n=n)
+        pairs = edges.select(F.col("a").alias("id_a"),
+                             F.col("b").alias("id_b"))
+        return (D.connected_components(pairs)
+                .select(F.col("id").alias("node"), "comp"))
+
+    cases = {
+        "semdedup": (lambda: qs["semdedup"](spark, BASE_SF),
+                     lambda: qs["semdedup"](spark, big)),
+        "dup_spans": (lambda: qs["dup_spans"](spark, BASE_SF),
+                      lambda: qs["dup_spans"](spark, big)),
+        "pq_topk": (lambda: qs["pq_topk"](spark, BASE_SF),
+                    lambda: qs["pq_topk"](spark, big)),
+        "pack_shards": (lambda: qs["pack_shards"](spark, BASE_SF),
+                        lambda: qs["pack_shards"](spark, big)),
+        "pagerank_hosts": (
+            lambda: G.pagerank(G.link_graph(spark, G.PR_N * 20),
+                               G.PR_N * 20),
+            lambda: G.pagerank(G.link_graph(spark, G.PR_N * 200),
+                               G.PR_N * 200)),
+        "cc_hosts": (lambda: cc(spark, 10_000),
+                     lambda: cc(spark, 100_000)),
+    }
+    # warm the JVM/parquet paths once so neither side eats the startup
+    _time(lambda: spark.read.parquet(os.path.join(big, "documents.parquet"))
+          .limit(1000))
+    out = {}
+    for name, (base_fn, big_fn) in cases.items():
+        b = _time(base_fn)
+        x = _time(big_fn)
+        out[name] = {"base_sec": b, "x10_sec": x,
+                     "ratio": round(x / b, 2) if b else None}
+        print(f"  {name}: {b}s -> {x}s (x{out[name]['ratio']})",
+              file=sys.stderr)
+    print(json.dumps({"replicas": replicas, "queries": out}))
+
+
+if __name__ == "__main__":
+    main()
