@@ -1740,6 +1740,74 @@ def q_image_text_qa(spark, sf_dir):
     return image_text_qa(pages)
 
 
+def _pair_lit_rows() -> list[tuple]:
+    """(image_id, phash, caption, w, h) from the fixture pages table —
+    oracle INPUTS for the pair-curation queries; DuckDB recomputes
+    alignment scores and filter verdicts independently from them."""
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(_crawl_fixture_paths()["pages"],
+                        columns=["image_id", "phash", "caption", "w", "h"])
+    return list(zip(tbl["image_id"].to_pylist(), tbl["phash"].to_pylist(),
+                    tbl["caption"].to_pylist(), tbl["w"].to_pylist(),
+                    tbl["h"].to_pylist()))
+
+
+def _align_sql_parts() -> list[str]:
+    """Shared CTE chain recomputing the caption-phash alignment score in
+    DuckDB from the `pg` literal relation: md5-60bit token hashes (the
+    engine-wide replayable slice trick), per-dimension +/-1 vote sums,
+    sign vector, integer dot product with the phash bits. Duplicate
+    tokens vote once per occurrence (unnest keeps duplicates), captions
+    with no tokens get the all-+1 sign vector via the left join."""
+    d = MM.ALIGN_DIM
+    return [
+        f"dims AS (SELECT i::INT AS d FROM generate_series(0, {d - 1}) t(i))",
+        "tok AS (SELECT image_id, unnest(list_filter("
+        "regexp_split_to_array(lower(caption), '\\s+'), x -> x <> ''))"
+        " AS t FROM pg)",
+        "th AS (SELECT image_id, ('0x' || substring(md5(t), 1, 15))::BIGINT"
+        " AS h FROM tok)",
+        "acc AS (SELECT image_id, d, sum(CASE WHEN (h >> d) & 1 = 1"
+        " THEN 1 ELSE -1 END) AS a FROM th CROSS JOIN dims"
+        " GROUP BY image_id, d)",
+        "sgn AS (SELECT image_id, d, CASE WHEN a >= 0 THEN 1 ELSE -1 END"
+        " AS s FROM acc)",
+        "base AS (SELECT pg.image_id, pg.phash, dims.d, coalesce(sgn.s, 1)"
+        " AS s FROM pg CROSS JOIN dims"
+        " LEFT JOIN sgn ON sgn.image_id = pg.image_id AND sgn.d = dims.d)",
+        "sc AS (SELECT image_id, sum(s * (CASE WHEN (phash >> d) & 1 = 1"
+        " THEN 1 ELSE -1 END))::BIGINT AS align_score"
+        " FROM base GROUP BY image_id)",
+    ]
+
+
+def q_pair_alignment(spark, sf_dir):
+    """Image-text alignment scoring (r4): the deterministic CLIP-score
+    stand-in — caption projected to {-1,+1}^60 via md5-60bit token-hash
+    votes, integer dot product with the phash bits
+    (`operators/multimodal.py:pair_alignment`). The model call itself is
+    out of scope by the V9 declaration (reference
+    `vectorstore/embedder.py` calls a remote model); the Spark shape is
+    the real thing: one narrow two-column Arrow map, bytes never read,
+    integer output. Oracle recomputes every score from the (image_id,
+    phash, caption) literal relation."""
+    from ai_intel_web_scraper_spark.operators.multimodal import pair_alignment
+    pages = spark.read.parquet(_crawl_fixture_paths()["pages"])
+    return pair_alignment(pages)
+
+
+def q_pair_filters(spark, sf_dir):
+    """DataComp-style pair filtering chain (r4): resolution floor ->
+    aspect ceiling -> caption token window -> alignment threshold, with
+    per-stage verdicts and first-failing-stage accounting
+    (`operators/multimodal.py:pair_filters` — the hygiene_pipeline
+    convention applied to the image corpus). Single narrow pass; every
+    output integer/boolean/label."""
+    from ai_intel_web_scraper_spark.operators.multimodal import pair_filters
+    pages = spark.read.parquet(_crawl_fixture_paths()["pages"])
+    return pair_filters(pages)
+
+
 def q_crawl_frontier(spark, sf_dir):
     """The flagship: a full crawl on tiny fixtures; returns the fetched
     table in deterministic crawl order."""
@@ -2426,13 +2494,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "shard_spans": q_shard_spans,
         "minhash_verified": q_minhash_verified,
-        "minhash_greedy": q_minhash_greedy,
         "process_pipeline": q_process_pipeline,
         "stream_sessions": q_stream_sessions,
         "stream_dedup": q_stream_dedup,
-        "embedding_neardup": q_embedding_neardup,
+        # --- new in r4: image-pair curation (alignment + filter chain) --
+        "pair_alignment": q_pair_alignment,
+        "pair_filters": q_pair_filters,
         # --- past the 50-query window: stable greens (driver rows in
         # --- CORRECTNESS_r02/r03), still runnable + repo-SQL-checked ---
+        "minhash_greedy": q_minhash_greedy,        # r3 green, rotated out
+        "embedding_neardup": q_embedding_neardup,  # r3 green, rotated out
         "recursive_chunks": q_recursive_chunks,
         "chunk_dispatch": q_chunk_dispatch,
         "hash_embed": q_hash_embed,
@@ -3872,6 +3943,43 @@ def oracle_sql() -> dict[str, str]:
                         1000000)
                  END)::BIGINT AS priority_ppm
               FROM b) WHERE url != ''""",
+        # pair_alignment / pair_filters: DuckDB recomputes the md5-60bit
+        # alignment scores and the whole gate chain from the fixture's
+        # (image_id, phash, caption, w, h) literal relation.
+        "pair_alignment": f"""
+            WITH pg AS (SELECT * FROM {_sql_values_table(
+                _pair_lit_rows(),
+                ["image_id", "phash", "caption", "w", "h"])}),
+            {",".join(_align_sql_parts())}
+            SELECT image_id, align_score,
+                   align_score >= {MM.ALIGN_KEEP_MIN} AS keep FROM sc""",
+        "pair_filters": f"""
+            WITH pg AS (SELECT * FROM {_sql_values_table(
+                _pair_lit_rows(),
+                ["image_id", "phash", "caption", "w", "h"])}),
+            {",".join(_align_sql_parts())},
+            g AS (SELECT pg.image_id, pg.w, pg.h,
+                  len(list_filter(regexp_split_to_array(
+                      lower(pg.caption), '\\s+'),
+                      x -> x <> ''))::BIGINT AS cap_tokens,
+                  sc.align_score,
+                  least(pg.w, pg.h) >= {MM.PAIR_MIN_SIDE} AS side_ok,
+                  (greatest(pg.w, pg.h) * 100) // least(pg.w, pg.h)
+                      <= {MM.PAIR_MAX_ASPECT_PCT} AS aspect_ok,
+                  cap_tokens BETWEEN {MM.PAIR_CAPTION_MIN_TOKENS}
+                      AND {MM.PAIR_CAPTION_MAX_TOKENS} AS caption_ok,
+                  sc.align_score >= {MM.ALIGN_KEEP_MIN} AS align_ok
+                  FROM pg JOIN sc USING (image_id))
+            SELECT image_id, w, h, cap_tokens, align_score, side_ok,
+                   aspect_ok, caption_ok, align_ok,
+                   (CASE WHEN NOT side_ok THEN 'dims'
+                         WHEN NOT aspect_ok THEN 'aspect'
+                         WHEN NOT caption_ok THEN 'caption'
+                         WHEN NOT align_ok THEN 'alignment'
+                         ELSE 'kept' END) AS dropped_at,
+                   (side_ok AND aspect_ok AND caption_ok AND align_ok)
+                       AS keep
+            FROM g""",
         # image_text_qa: independent SQL recompute of the QA labels from
         # the fixture's (image_id, phash, caption) literal relation.
         "image_text_qa": f"""

@@ -201,3 +201,113 @@ def image_text_qa(pages: DataFrame,
                     ((F.col("_rn") == 1)
                      & (F.col("caption_spread") <= F.lit(spread_max)))
                     .alias("keep")))
+
+
+# --- Image-text pair curation: alignment score + filtering chain ----------
+# A deterministic stand-in for CLIP-score filtering (the DataComp/LAION
+# keep rule: drop pairs whose image and caption don't agree). The real
+# model call is out of scope by the same declaration as V9's hash
+# embeddings (reference `vectorstore/embedder.py` calls a remote model);
+# what IS real — and what the engine must get right at 10^10 pairs — is
+# the Spark shape: a narrow two-column pass (bytes never read), integer
+# arithmetic end to end, and a per-stage accounted filter chain.
+#
+# Score: project the caption into {-1,+1}^60 via md5-60bit token hashes
+# (bit d of each token hash votes +/-1; the sign of the vote sum is the
+# caption's d-th component) and take the integer dot product with the
+# image's phash bits as {-1,+1}^60. Range [-60, 60]; >= ALIGN_KEEP_MIN
+# keeps. Every step replays verbatim in DuckDB (same md5 slice trick as
+# the shuffle keys).
+ALIGN_DIM = 60
+ALIGN_KEEP_MIN = 0
+PAIR_MIN_SIDE = 48            # least(w,h) floor (DataComp uses 200 @ full res)
+PAIR_MAX_ASPECT_PCT = 200     # greatest/least * 100, integer percent
+PAIR_CAPTION_MIN_TOKENS = 2   # CLIP-style caption sanity window
+PAIR_CAPTION_MAX_TOKENS = 77
+
+
+def alignment_score_udf():
+    """Arrow UDF: (caption, phash) -> integer alignment score. Token
+    hashes are md5-60bit (`conv(substring(md5(t),1,15),16,10)` — the
+    engine-wide DuckDB-replayable trick), memoized per batch; the
+    per-row work is one 60-wide numpy fold per token."""
+    import hashlib
+    import re
+
+    dims = np.arange(ALIGN_DIM, dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def score(caption: pd.Series, phash: pd.Series) -> pd.Series:
+        cache: dict = {}
+        out = np.empty(len(caption), dtype=np.int64)
+        for i, (cap, ph) in enumerate(zip(caption, phash)):
+            acc = np.zeros(ALIGN_DIM, dtype=np.int64)
+            for t in re.split(r"\s+", (cap or "").lower()):
+                if not t:
+                    continue
+                h = cache.get(t)
+                if h is None:
+                    h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                    cache[t] = h
+                acc += ((h >> dims) & 1) * 2 - 1
+            sgn = np.where(acc >= 0, 1, -1)
+            pbits = ((int(ph) >> dims) & 1) * 2 - 1
+            out[i] = int((sgn * pbits).sum())
+        return pd.Series(out)
+
+    return score
+
+
+def pair_alignment(pages: DataFrame,
+                   keep_min: int = ALIGN_KEEP_MIN) -> DataFrame:
+    """(image_id, align_score, keep) per image+caption pair. One narrow
+    Arrow map over exactly (image_id, caption, phash) — the bytes column
+    never enters the plan, so at 10^10 pairs the scan reads ~tens of
+    bytes per row, not the payload."""
+    sc = alignment_score_udf()(F.col("caption"), F.col("phash"))
+    return (pages.select("image_id", sc.alias("align_score"))
+            .withColumn("keep", F.col("align_score") >= F.lit(keep_min)))
+
+
+def _caption_tokens_col(caption):
+    """Native token count: split on whitespace runs, drop empties —
+    mirrors the UDF's tokenizer and DuckDB's list_filter replay."""
+    return F.size(F.filter(F.split(F.lower(caption), r"\s+"),
+                           lambda x: x != ""))
+
+
+def pair_filters(pages: DataFrame,
+                 min_side: int = PAIR_MIN_SIDE,
+                 max_aspect_pct: int = PAIR_MAX_ASPECT_PCT,
+                 cap_min: int = PAIR_CAPTION_MIN_TOKENS,
+                 cap_max: int = PAIR_CAPTION_MAX_TOKENS,
+                 align_min: int = ALIGN_KEEP_MIN) -> DataFrame:
+    """DataComp-style image-text pair filtering chain with per-stage
+    accounting (the hygiene_pipeline convention applied to the image
+    corpus): resolution floor -> aspect-ratio ceiling -> caption token
+    window -> alignment threshold. Emits one row per pair with every
+    gate's verdict, `dropped_at` = the FIRST failing stage (fixed order,
+    'kept' if none) and the final keep — all integers/booleans/labels,
+    single narrow pass, no shuffle (plan-asserted in the audit)."""
+    t = _caption_tokens_col(F.col("caption"))
+    sc = alignment_score_udf()(F.col("caption"), F.col("phash"))
+    # integer percent, DIV truncation — w/h are positive so Spark DIV and
+    # DuckDB // agree
+    aspect_pct = F.expr("(greatest(w, h) * 100) DIV least(w, h)")
+    df = pages.select(
+        "image_id", "w", "h",
+        t.cast("long").alias("cap_tokens"),
+        sc.alias("align_score"),
+        (F.least("w", "h") >= F.lit(min_side)).alias("side_ok"),
+        (aspect_pct <= F.lit(max_aspect_pct)).alias("aspect_ok"))
+    df = df.withColumn(
+        "caption_ok", (F.col("cap_tokens") >= F.lit(cap_min))
+        & (F.col("cap_tokens") <= F.lit(cap_max)))
+    df = df.withColumn("align_ok", F.col("align_score") >= F.lit(align_min))
+    dropped = (F.when(~F.col("side_ok"), F.lit("dims"))
+               .when(~F.col("aspect_ok"), F.lit("aspect"))
+               .when(~F.col("caption_ok"), F.lit("caption"))
+               .when(~F.col("align_ok"), F.lit("alignment"))
+               .otherwise(F.lit("kept")))
+    return (df.withColumn("dropped_at", dropped)
+            .withColumn("keep", F.col("dropped_at") == "kept"))

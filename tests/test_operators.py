@@ -1046,3 +1046,49 @@ def test_webdataset_shards_roundtrip_and_determinism(spark, fixtures):
              for r in webdataset_shards(pages.repartition(7),
                                         with_bytes=False).collect()}
     assert again == {r["shard_id"]: r["tar_md5"] for r in out}
+
+
+def test_pair_alignment_properties(spark):
+    """Independent invariants of the CLIP-stand-in alignment score (the
+    DuckDB oracle is the full value check; these pin the algebra):
+    empty caption -> closed form 2*popcount(low60(phash)) - 60; flipping
+    all 60 phash bits negates the score; token order/extra whitespace
+    don't change it; range is [-60, 60]."""
+    from ai_intel_web_scraper_spark.operators import multimodal as MM
+    mask = (1 << MM.ALIGN_DIM) - 1
+    ph = 0x0123456789ABCDEF
+    rows = [("empty", "", ph),
+            ("a", "wet stone harbor", ph),
+            ("a_flip", "wet stone harbor", ph ^ mask),
+            ("a_shuffled", "harbor   wet stone", ph)]
+    df = spark.createDataFrame(rows, "image_id string, caption string, "
+                                     "phash long")
+    got = {r["image_id"]: r["align_score"]
+           for r in MM.pair_alignment(df).collect()}
+    assert got["empty"] == 2 * bin(ph & mask).count("1") - MM.ALIGN_DIM
+    assert got["a_flip"] == -got["a"]
+    assert got["a_shuffled"] == got["a"]
+    assert all(-MM.ALIGN_DIM <= v <= MM.ALIGN_DIM for v in got.values())
+
+
+def test_pair_filters_stage_accounting(spark):
+    """Each gate can be the first-failing stage, in the fixed order
+    dims -> aspect -> caption -> alignment; keep only when all pass."""
+    from ai_intel_web_scraper_spark.operators import multimodal as MM
+    cap = "a bright harbor on shore"
+    rows = [("small", 10, 96, cap, 0),          # fails dims (and aspect)
+            ("stretched", 120, 48, cap, 0),     # fails aspect only (250%)
+            ("nocap", 64, 64, "", 0),           # fails caption window
+            ("longcap", 64, 64, " ".join(["w"] * 100), 0),
+            ("ok_or_align", 64, 64, cap, 0)]    # depends on score sign
+    df = spark.createDataFrame(
+        [(i, w, h, c, p) for i, w, h, c, p in rows],
+        "image_id string, w int, h int, caption string, phash long")
+    got = {r["image_id"]: (r["dropped_at"], r["keep"])
+           for r in MM.pair_filters(df).collect()}
+    assert got["small"] == ("dims", False)
+    assert got["stretched"] == ("aspect", False)
+    assert got["nocap"] == ("caption", False)
+    assert got["longcap"] == ("caption", False)
+    assert got["ok_or_align"][0] in ("kept", "alignment")
+    assert got["ok_or_align"][1] == (got["ok_or_align"][0] == "kept")

@@ -176,6 +176,10 @@ AUDIT = {
                       "!ArrowEvalPython", "!MapInPandas"],
     # WebDataset sink: one cogroup stage builds each tar executor-side
     "webdataset_export": ["FlatMapGroupsInPandas"],
+    # r4 pair curation: ONE Arrow batch stage over the scan, no shuffle,
+    # and the bytes column pruned out of the read entirely
+    "pair_alignment": ["ArrowEvalPython", "!Exchange", "!bytes"],
+    "pair_filters": ["ArrowEvalPython", "!Exchange", "!bytes"],
 }
 FORBIDDEN = "BatchEvalPython"  # row-at-a-time Python UDF — never acceptable
 
