@@ -1796,6 +1796,107 @@ def q_pair_alignment(spark, sf_dir):
     return pair_alignment(pages)
 
 
+def q_frontier_authority(spark, sf_dir):
+    """Frontier priority composition (r4): integer PageRank over the
+    fixture web's CANONICAL link graph (engine-side link resolution via
+    the crawl scheduler's Arrow resolve UDF — SURVEY C3/C10), composed
+    with the seed list's declared priorities into one integer frontier
+    rank (`graph.py::authority_over` + AUTH_SEED_W). This is the
+    authority signal a 10^10-URL scheduler joins against its pending
+    frontier; keyed by URL directly — no dense-id/global-window pass.
+    The oracle resolves the same out_links in pure Python
+    (`functions.urls.canonicalize_url`, the oracle-crawler convention),
+    inlines the resolved edge set as a literal relation, and replays the
+    8 unrolled integer PR iterations + the seed compose in DuckDB."""
+    from ai_intel_web_scraper_spark.crawl.scheduler import resolve_udf
+    paths = _crawl_fixture_paths()
+    wg = spark.read.parquet(paths["web_graph"])
+    parents = wg.select(F.col("url").alias("src"),
+                        F.explode("out_links").alias("link"))
+    r = resolve_udf("link", F.col("src"))
+    cand = (parents.select("src", r["url"].alias("dst"))
+            .where(F.col("dst").isNotNull()))
+    known = wg.select(F.col("url").alias("dst")).distinct()
+    edges = cand.join(known, "dst").select("src", "dst").distinct()
+    nodes = wg.select(F.col("url").alias("node")).distinct()
+    pr = G.authority_over(nodes, edges)
+    seeds = (spark.read.parquet(paths["seeds"])
+             .groupBy(F.col("url").alias("node"))
+             .agg(F.max(F.floor(F.col("priority") * 1e6)).cast("long")
+                  .alias("seed_ppm")))
+    boost = F.coalesce(F.col("seed_ppm"), F.lit(0))
+    return (pr.join(seeds, "node", "left")
+            .select(F.col("node").alias("url"),
+                    F.col("r").alias("authority_r"),
+                    boost.alias("seed_ppm"),
+                    (F.col("r") + boost * F.lit(G.AUTH_SEED_W))
+                    .cast("long").alias("frontier_rank")))
+
+
+def _authority_lit() -> tuple[list, list, list]:
+    """(urls, resolved distinct edges incl. dangling self-loops, seed
+    rows) for the frontier_authority oracle — link resolution replayed
+    in plain Python over the fixture parquet."""
+    import pyarrow.parquet as pq
+
+    from ai_intel_web_scraper_spark.functions.urls import canonicalize_url
+    paths = _crawl_fixture_paths()
+    tbl = pq.read_table(paths["web_graph"], columns=["url", "out_links"])
+    urls = tbl["url"].to_pylist()
+    known = set(urls)
+    edges = set()
+    for u, links in zip(urls, tbl["out_links"].to_pylist()):
+        for link in links or []:
+            cu = canonicalize_url(link, base_url=u)
+            if cu is not None and cu in known:
+                edges.add((u, cu))
+    has_out = {s for s, _ in edges}
+    for u in urls:
+        if u not in has_out:
+            edges.add((u, u))
+    st = pq.read_table(paths["seeds"], columns=["url", "priority"])
+    seeds = list(zip(st["url"].to_pylist(), st["priority"].to_pylist()))
+    return urls, sorted(edges), seeds
+
+
+def _frontier_authority_sql() -> str:
+    """Unrolled integer-PR replay over the literal resolved edge set,
+    keyed by URL (same recurrence as _pagerank_sql), + seed compose."""
+    urls, edges, seeds = _authority_lit()
+    n = len(urls)
+    K = G.PR_ITERS
+    SCALE, NUM, DEN = G.PR_SCALE, G.PR_DAMP_NUM, G.PR_DAMP_DEN
+    base = (DEN - NUM) * SCALE // (DEN * n)
+    parts = [
+        "nodes AS (SELECT * FROM "
+        + _sql_values_table([(u,) for u in urls], ["node"]) + ")",
+        "edges AS (SELECT * FROM "
+        + _sql_values_table(edges, ["src", "dst"]) + ")",
+        "deg AS (SELECT src, count(*)::BIGINT AS outdeg "
+        "FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, {SCALE // n}::BIGINT AS r FROM nodes)",
+    ]
+    for it in range(K):
+        parts.append(
+            f"r{it + 1} AS (SELECT n.node, "
+            f"({base} + ({NUM} * coalesce(s.c, 0)) // {DEN})::BIGINT AS r "
+            f"FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst AS node, sum(r.r // d.outdeg)::BIGINT AS c "
+            f"FROM edges e JOIN r{it} r ON r.node = e.src "
+            f"JOIN deg d ON d.src = e.src GROUP BY e.dst) s USING (node))")
+    parts.append(
+        "seedp AS (SELECT url AS node, "
+        "max(floor(priority * 1000000.0))::BIGINT AS seed_ppm FROM "
+        + _sql_values_table(seeds, ["url", "priority"])
+        + " GROUP BY url)")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT r.node AS url, r.r AS authority_r, "
+            f"coalesce(s.seed_ppm, 0)::BIGINT AS seed_ppm, "
+            f"(r.r + coalesce(s.seed_ppm, 0) * {G.AUTH_SEED_W})::BIGINT "
+            f"AS frontier_rank "
+            f"FROM r{K} r LEFT JOIN seedp s USING (node)")
+
+
 def q_pair_filters(spark, sf_dir):
     """DataComp-style pair filtering chain (r4): resolution floor ->
     aspect ceiling -> caption token window -> alignment threshold, with
@@ -2493,16 +2594,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "mixture_sample": q_mixture_sample,
         "shard_spans": q_shard_spans,
-        "minhash_verified": q_minhash_verified,
         "process_pipeline": q_process_pipeline,
         "stream_sessions": q_stream_sessions,
         "stream_dedup": q_stream_dedup,
-        # --- new in r4: image-pair curation (alignment + filter chain) --
+        # --- new in r4: image-pair curation + frontier authority --------
         "pair_alignment": q_pair_alignment,
         "pair_filters": q_pair_filters,
+        "frontier_authority": q_frontier_authority,
         # --- past the 50-query window: stable greens (driver rows in
         # --- CORRECTNESS_r02/r03), still runnable + repo-SQL-checked ---
         "minhash_greedy": q_minhash_greedy,        # r3 green, rotated out
+        "minhash_verified": q_minhash_verified,    # r3 green, rotated out
         "embedding_neardup": q_embedding_neardup,  # r3 green, rotated out
         "recursive_chunks": q_recursive_chunks,
         "chunk_dispatch": q_chunk_dispatch,
@@ -3946,6 +4048,7 @@ def oracle_sql() -> dict[str, str]:
         # pair_alignment / pair_filters: DuckDB recomputes the md5-60bit
         # alignment scores and the whole gate chain from the fixture's
         # (image_id, phash, caption, w, h) literal relation.
+        "frontier_authority": _frontier_authority_sql(),
         "pair_alignment": f"""
             WITH pg AS (SELECT * FROM {_sql_values_table(
                 _pair_lit_rows(),

@@ -53,7 +53,8 @@ def link_graph(spark, n: int = PR_N) -> DataFrame:
 
 def pagerank(edges: DataFrame, n_nodes: int,
              iters: int = PR_ITERS, scale: int = PR_SCALE,
-             checkpoint_every: int = 3) -> DataFrame:
+             checkpoint_every: int = 3,
+             nodes: DataFrame | None = None) -> DataFrame:
     """Fixed-iteration integer PageRank over (src, dst) edges with node
     ids in [0, n_nodes). Returns (node, r) where r is the quantized rank
     after `iters` steps of
@@ -63,10 +64,18 @@ def pagerank(edges: DataFrame, n_nodes: int,
 
     Nodes may have no in-links (they settle at BASE); the edge generator
     guarantees no dangling nodes, and callers with dangling nodes should
-    add self-loops first."""
+    add self-loops first.
+
+    `nodes` optionally supplies the node set as a single-column
+    DataFrame of ANY orderable key type (e.g. canonical URL strings) —
+    the recurrence only ever joins on key equality, so dense integer ids
+    are not required (no global row_number pass at 10^10 nodes);
+    `n_nodes` must still be the exact node count (it sets BASE and the
+    uniform init mass)."""
     sp = edges.sparkSession
     base = ((PR_DAMP_DEN - PR_DAMP_NUM) * scale) // (PR_DAMP_DEN * n_nodes)
-    nodes = sp.range(n_nodes).select(F.col("id").alias("node"))
+    if nodes is None:
+        nodes = sp.range(n_nodes).select(F.col("id").alias("node"))
     deg = edges.groupBy("src").agg(F.count("*").alias("_outdeg"))
     ed = edges.join(deg, "src")
     ranks = nodes.select("node", F.lit(scale // n_nodes).alias("r"))
@@ -84,6 +93,27 @@ def pagerank(edges: DataFrame, n_nodes: int,
         if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+# Weight turning a seed's priority (ppm) into rank units when composing
+# authority with operator-declared priorities (seed lists, sitemaps).
+AUTH_SEED_W = 1000
+
+
+def authority_over(nodes: DataFrame, edges: DataFrame,
+                   iters: int = PR_ITERS) -> DataFrame:
+    """PageRank over an ARBITRARY node key (canonical URLs here): adds
+    the self-loops the recurrence requires for dangling nodes (left-anti
+    against the out-edge set), counts nodes once (single-row collect),
+    and runs the integer recurrence keyed by the node column directly —
+    no dense-id assignment pass, so nothing global-windows 10^10 URLs.
+    `edges` must already be DISTINCT (src, dst) pairs."""
+    outs = edges.select(F.col("src").alias("node")).distinct()
+    dangling = nodes.join(outs, "node", "left_anti")
+    full = edges.unionByName(
+        dangling.select(F.col("node").alias("src"),
+                        F.col("node").alias("dst")))
+    return pagerank(full, nodes.count(), iters=iters, nodes=nodes)
 
 
 def toprank_hosts(edges: DataFrame, n_nodes: int, k: int = 20,

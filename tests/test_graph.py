@@ -94,3 +94,22 @@ def test_connected_components_match_union_find_on_cc_graph(spark):
     want = {i: comp_min[find(i)] for i in range(n)}
     assert got == want
     assert len(set(got.values())) == n // block
+
+
+def test_authority_over_equals_dense_id_pagerank(spark):
+    """String-keyed PageRank (authority_over) must produce the same rank
+    multiset as the dense-id recurrence on the isomorphic graph, with
+    dangling nodes self-looped (here: node 'u3' has no out-links)."""
+    from ai_intel_web_scraper_spark.operators import graph as G
+    from pyspark.sql import functions as F
+    names = [f"u{i}" for i in range(6)]
+    raw = [(0, 1), (1, 2), (2, 0), (4, 2), (5, 2), (0, 2)]  # u3 dangling
+    nodes = spark.createDataFrame([(n,) for n in names], "node string")
+    edges = spark.createDataFrame([(names[a], names[b]) for a, b in raw],
+                                  "src string, dst string")
+    got = {r["node"]: r["r"]
+           for r in G.authority_over(nodes, edges).collect()}
+    int_edges = spark.createDataFrame(raw + [(3, 3)], "src long, dst long")
+    want = {names[r["node"]]: r["r"]
+            for r in G.pagerank(int_edges, 6).collect()}
+    assert got == want and len(got) == 6

@@ -180,6 +180,8 @@ AUDIT = {
     # and the bytes column pruned out of the read entirely
     "pair_alignment": ["ArrowEvalPython", "!Exchange", "!bytes"],
     "pair_filters": ["ArrowEvalPython", "!Exchange", "!bytes"],
+    # r4 authority compose: equi-joins only through the PR loop
+    "frontier_authority": ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
 }
 FORBIDDEN = "BatchEvalPython"  # row-at-a-time Python UDF — never acceptable
 
