@@ -184,6 +184,15 @@ class CrawlConfig:
     write_payload: bool = True    # join image bytes into the fetched sink
     max_rounds: int = 200
     round_seconds: float = S.ROUND_SECONDS  # virtual wall-clock per round
+    # Snapshot retention (Iceberg expire_snapshots analog): every
+    # `expire_every` committed rounds, retain the most recent
+    # `expire_keep` manifests and vacuum the dirs/blobs only older ones
+    # referenced. None = never expire (the correctness-test default:
+    # time travel to ANY snapshot stays available). A continuous crawler
+    # at one-snapshot-per-round MUST set this or manifest count and
+    # superseded-compaction dirs grow without bound.
+    expire_every: int | None = None
+    expire_keep: int = 8
 
 
 class CrawlEngine:
@@ -882,6 +891,10 @@ class CrawlEngine:
         for r in range(start_round, start_round + limit):
             m = self.run_round(r)
             out.append(m)
+            if (self.cfg.expire_every
+                    and r % self.cfg.expire_every == 0):
+                m["expired"] = self.store.expire_snapshots(
+                    keep_last=self.cfg.expire_keep)
             if verbose:
                 print(f"round {r}: {m}")
             if m["frontier_size"] == 0:

@@ -72,7 +72,12 @@ class SnapshotStore:
             snap_id = self.current_snapshot_id()
         if snap_id is None:
             return None
-        with open(self._snap_path(snap_id)) as f:
+        path = self._snap_path(snap_id)
+        if not os.path.exists(path):
+            # expired (expire_snapshots) — parent chains cut at the
+            # retention horizon read as "no such snapshot", not a crash
+            return None
+        with open(path) as f:
             return json.load(f)
 
     # --------------------------------------------------------------- writes
@@ -192,17 +197,78 @@ class SnapshotStore:
 
     def history(self) -> list[dict]:
         """Snapshot lineage (Iceberg `history()` analog): one entry per
-        committed snapshot, newest last — drives time-travel reads via
-        ``read(table, snap_id=...)`` and resume-from-checkpoint."""
+        RETAINED snapshot, newest last — drives time-travel reads via
+        ``read(table, snap_id=...)`` and resume-from-checkpoint. The walk
+        stops at the retention horizon after `expire_snapshots`."""
         out = []
         snap_id = self.current_snapshot_id()
         while snap_id is not None:
             s = self.snapshot(snap_id)
+            if s is None:       # expired parent: chain cut, not a crash
+                break
             out.append({"snapshot_id": s["snapshot_id"],
                         "parent_id": s["parent_id"], "round": s["round"],
                         "committed_at": s.get("committed_at")})
             snap_id = s["parent_id"]
         return list(reversed(out))
+
+    def expire_snapshots(self, keep_last: int = 5) -> dict:
+        """Iceberg `expire_snapshots` + `remove_orphan_files` analog — the
+        maintenance a CONTINUOUS crawler needs: an always-on frontier
+        commits one snapshot per round, so manifests and superseded data
+        dirs (every `compact` leaves the old dirs referenced only by old
+        manifests) grow without bound unless expired.
+
+        Retains the most recent `keep_last` manifests (CURRENT always
+        included), deletes older manifest files, then deletes every table
+        dir and blob referenced by NO retained manifest. Dirs and blobs
+        staged for the NEXT commit are protected (they are in no manifest
+        yet — deleting them would corrupt the upcoming commit). Reads and
+        resume at retained snapshots are bit-identical before/after
+        (pytest-proven); `history()` parent chains cut cleanly at the
+        horizon. Returns removal counts."""
+        import glob
+        import shutil
+        cur = self.current_snapshot_id()
+        if cur is None:
+            return {"snapshots": 0, "dirs": 0, "blobs": 0}
+        all_ids = sorted(
+            int(os.path.basename(p)[5:-5]) for p in glob.glob(
+                os.path.join(self.root, "snapshots", "snap-*.json")))
+        keep = set(all_ids[-keep_last:]) | {cur}
+        ref_dirs: set[tuple[str, str]] = set()
+        ref_blobs: set[str] = set()
+        for i in sorted(keep):
+            s = self.snapshot(i)
+            if not s:
+                continue
+            for t, dirs in s.get("tables", {}).items():
+                ref_dirs.update((t, d) for d in dirs)
+            ref_blobs.update(s.get("blobs", {}).values())
+        with self._stage_lock:
+            for t, st in self._staged.items():
+                ref_dirs.update((t, d) for d in st["dirs"])
+            ref_blobs.update(self._staged_blobs.values())
+        removed = {"snapshots": 0, "dirs": 0, "blobs": 0}
+        for i in all_ids:
+            if i not in keep:
+                os.remove(self._snap_path(i))
+                removed["snapshots"] += 1
+        tables_root = os.path.join(self.root, "tables")
+        if os.path.isdir(tables_root):
+            for t in sorted(os.listdir(tables_root)):
+                tdir = os.path.join(tables_root, t)
+                for d in sorted(os.listdir(tdir)):
+                    if (t, d) not in ref_dirs:
+                        shutil.rmtree(os.path.join(tdir, d),
+                                      ignore_errors=True)
+                        removed["dirs"] += 1
+        blob_root = os.path.join(self.root, "blobs")
+        for b in sorted(os.listdir(blob_root)):
+            if b not in ref_blobs:
+                os.remove(os.path.join(blob_root, b))
+                removed["blobs"] += 1
+        return removed
 
     # ---------------------------------------------------------------- reads
     def read(self, table: str, snap_id: int | None = None) -> DataFrame:

@@ -307,3 +307,88 @@ def test_manifest_records_per_file_lineage(engine):
                     listed_files += 1
     assert listed_files > 0
     assert added_rows == store.read("url_seen").count()
+
+
+def test_expire_snapshots_vacuums_unreferenced_state(spark, fixtures,
+                                                     tmp_path):
+    """Iceberg expire_snapshots + remove_orphan_files analog: after a
+    multi-round crawl + compaction, expiring to the last 2 snapshots
+    deletes the older manifests and every dir/blob only they referenced,
+    while reads at retained snapshots and resume stay bit-identical and
+    history() cuts cleanly at the horizon."""
+    import os
+    wh = str(tmp_path / "wh")
+    eng = CrawlEngine(spark, fixtures, wh,
+                      CrawlConfig(write_payload=False, expected_urls=1 << 14))
+    eng.run(max_rounds=4)
+    store = eng.store
+    store.compact("url_seen")
+    store.commit(round_no=store.snapshot()["round"],
+                 metrics={"event": "compact"})
+    cur = store.current_snapshot_id()
+    keep_prev = cur - 1
+    want_cur = {r["url"] for r in store.read("url_seen").collect()}
+    want_prev = {r["url"] for r in
+                 store.read("url_seen", snap_id=keep_prev).collect()}
+    n_dirs_before = sum(len(os.listdir(os.path.join(wh, "tables", t)))
+                        for t in os.listdir(os.path.join(wh, "tables")))
+    removed = store.expire_snapshots(keep_last=2)
+    assert removed["snapshots"] >= 2 and removed["dirs"] >= 1
+    n_dirs_after = sum(len(os.listdir(os.path.join(wh, "tables", t)))
+                       for t in os.listdir(os.path.join(wh, "tables")))
+    assert n_dirs_after == n_dirs_before - removed["dirs"]
+    # retained reads bit-identical; expired snapshot unreadable, not crashy
+    assert {r["url"] for r in store.read("url_seen").collect()} == want_cur
+    assert {r["url"] for r in
+            store.read("url_seen", snap_id=keep_prev).collect()} == want_prev
+    assert store.snapshot(cur - 3) is None
+    hist = store.history()
+    assert [h["snapshot_id"] for h in hist] == [keep_prev, cur]
+    # a fresh store over the same warehouse resumes identically
+    from ai_intel_web_scraper_spark.crawl.statestore import SnapshotStore
+    store2 = SnapshotStore(spark, wh)
+    assert {r["url"] for r in store2.read("url_seen").collect()} == want_cur
+
+
+def test_expire_snapshots_protects_staged_uncommitted_dirs(spark, tmp_path):
+    """Dirs staged for the NEXT commit are in no manifest yet; vacuum
+    must not delete them or the upcoming commit would reference missing
+    data."""
+    from ai_intel_web_scraper_spark.crawl.statestore import SnapshotStore
+    wh = str(tmp_path / "wh2")
+    store = SnapshotStore(spark, wh, schemas={"t": "x long"})
+    for i in range(3):
+        store.stage_write("t", spark.range(i * 10, i * 10 + 10)
+                          .selectExpr("id as x"), "append")
+        store.commit(round_no=i)
+    store.stage_write("t", spark.range(100, 110).selectExpr("id as x"),
+                      "append")                     # staged, uncommitted
+    removed = store.expire_snapshots(keep_last=1)
+    assert removed["snapshots"] == 2 and removed["dirs"] == 0
+    store.commit(round_no=3)
+    got = sorted(r["x"] for r in store.read("t").collect())
+    assert got == sorted(list(range(0, 30)) + list(range(100, 110)))
+
+
+def test_crawl_with_periodic_expiry_matches_unexpired_crawl(spark, fixtures,
+                                                            tmp_path):
+    """Running the engine with expire_every=2/expire_keep=2 must produce
+    the exact same fetched table as the default never-expire run —
+    retention is pure maintenance, invisible to crawl semantics."""
+    def run(wh, **kw):
+        eng = CrawlEngine(spark, fixtures, wh,
+                          CrawlConfig(write_payload=False,
+                                      expected_urls=1 << 14, **kw))
+        eng.run(max_rounds=4)
+        return {(r["url"], r["round"], r["discovery_seq"])
+                for r in eng.store.read("fetched").collect()}, eng.store
+    base, _ = run(str(tmp_path / "wa"))
+    got, store = run(str(tmp_path / "wb"), expire_every=2, expire_keep=2)
+    assert got == base and len(got) > 0
+    assert len(store.history()) <= 3  # horizon enforced (keep 2 + commit)
+    # and in the scale-default partitioned-bloom mode, whose shard table
+    # is itself snapshot state the vacuum must not pull out from under
+    # the next round
+    got_p, _ = run(str(tmp_path / "wc"), expire_every=2, expire_keep=2,
+                   bloom_mode="partitioned")
+    assert got_p == base
