@@ -60,6 +60,8 @@ EXTRA = [
     "kmeans_clusters", "ann_ivf_trained", "pq_topk", "ivf_pq_topk",
     "recrawl_schedule", "image_text_qa", "sitemap_ingest",
     "webdataset_export",
+    # round-4 additions (image-pair curation + frontier authority)
+    "pair_alignment", "pair_filters", "frontier_authority",
 ]
 
 
