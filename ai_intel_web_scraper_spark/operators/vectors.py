@@ -167,6 +167,47 @@ def ivf_topk(embeddings: DataFrame, query: list[float], k: int,
     return topk_by_score(cand, cosine_col(vec_col, query), k, id_col)
 
 
+def write_ivf_index(embeddings: DataFrame, path: str,
+                    cents: list[list[float]],
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Materialize the inverted-list layout the ivf_topk docstrings
+    promise: embeddings written parquet-partitioned BY CLUSTER ID, so a
+    probe over n_probe lists is literal partition pruning — the scan
+    touches n_probe directories out of k, never the corpus. At 10^10
+    vectors this (or its Iceberg `partition by cluster` equivalent) is
+    the difference between reading 0.1% and 100% of the index per
+    query."""
+    cluster, _ = assignment_cols(cents, vec_col)
+    (embeddings.withColumn("cluster", cluster)
+     .write.mode("overwrite").partitionBy("cluster").parquet(path))
+
+
+def ivf_topk_pruned(spark, path: str, query: list[float], k: int,
+                    cents: list[list[float]], n_probe: int = IVF_PROBE,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """ivf_topk's query side over a `write_ivf_index` layout: rank the
+    probe lists from the codebook (driver-side constant work), then scan
+    ONLY those partitions (the `cluster IN probe` predicate becomes
+    PartitionFilters — asserted by tests) and exact-re-rank within.
+    Same scores as the assignment-on-the-fly path (tested equal)."""
+    import math
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(y * y for y in b)) or 1.0
+        return num / (na * nb)
+
+    ranked = sorted(((round(cos(query, c), 9), i)
+                     for i, c in enumerate(cents)),
+                    key=lambda t: (-t[0], t[1]))
+    probe = [i for _, i in ranked[:n_probe]]
+    cand = spark.read.parquet(path).where(F.col("cluster").isin(probe))
+    return topk_by_score(cand, cosine_col(vec_col, query), k, id_col)
+
+
 def lsh_table_buckets_udf(dim: int, n_tables: int = N_TABLES,
                           bits: int = BITS_PER_TABLE):
     """array of per-TABLE bucket values (banding): one independent

@@ -182,3 +182,27 @@ def test_assign_auto_selects_arrow_above_cell_threshold(emb):
         F.col("vec_id"), cl.alias("cluster"), qd.alias("qdist")).collect()}
     got = {r["vec_id"]: (r["cluster"], r["qdist"]) for r in auto.collect()}
     assert got == lit
+
+
+def test_ivf_partitioned_index_prunes_and_matches(emb, tmp_path):
+    """write_ivf_index + ivf_topk_pruned: the probe scans ONLY the
+    probed cluster partitions (PartitionFilters carries the cluster
+    predicate; partition count = n_probe) and returns exactly the
+    scores of the assignment-on-the-fly IVF path."""
+    from ai_intel_web_scraper_spark.operators import vectors as V
+    spark = emb.sparkSession
+    cents = KM.dequantize(KM.kmeans_fit_sampled(emb))
+    path = str(tmp_path / "ivf_idx")
+    V.write_ivf_index(emb, path, cents)
+    q = [0.15 * ((i * 7) % 5 - 2) for i in range(64)]
+    pruned = V.ivf_topk_pruned(spark, path, q, 25, cents)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cluster" in m.group(1), plan
+    base = V.ivf_topk(emb, q, 25, cents=cents)
+    def key(df):
+        return [(r["vec_id"], round(r["score"], 9))
+                for r in df.collect()]
+    assert key(pruned) == key(base)
