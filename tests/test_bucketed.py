@@ -80,3 +80,41 @@ def test_mismatched_bucket_counts_fall_back_to_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_aqe_splits_planted_skew_join(spark):
+    """The brief's skew lever, evidenced: a join where one key holds ~90%
+    of the rows gets its oversized partition split by AQE's skew-join
+    rule (skew=true in the final adaptive plan) instead of serializing
+    on one task. Thresholds are lowered so the toy fixture trips the
+    same machinery a hot-host frontier would at scale."""
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16KB",
+    }
+    prev = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("v"))
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        j = big.join(right, "k")
+        # collect() executes THIS DataFrame's QueryExecution, so the
+        # adaptive plan we inspect afterwards is the final one (count()
+        # would execute a different plan instance)
+        rows = j.collect()
+        assert len(rows) == 180_000 + 100   # k=0 matches + identity keys
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
