@@ -920,6 +920,23 @@ def q_minhash_verified(spark, sf_dir):
             .select("id_a", "id_b", "jaccard"))
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental (delta-vs-index) near-dup detection (r4): documents
+    split deterministically into an indexed corpus (doc_id % 5 != 0) and
+    this round's new batch (% 5 == 0); only the NEW batch is shingled
+    and probed against the index's band rows
+    (`dedup.incremental_minhash_verified` — the continuous-crawl shape
+    whose per-round cost scales with the delta). Output = exact-verified
+    pairs spanning new-vs-index or new-vs-new, never index-vs-index;
+    the oracle recomputes exact Jaccard over all pairs in SQL and
+    applies the same boundary restriction."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    idx = docs.where(F.col("doc_id") % 5 != 0)
+    return D.incremental_minhash_verified(new, idx, "doc_id", "text",
+                                          threshold=MINHASH_THRESHOLD)
+
+
 def q_minhash_greedy(spark, sf_dir):
     """SURVEY P9 end-to-end (reference deduplicator.py:105-158): MinHash-LSH
     candidates -> EXACT insert-order greedy keep (connected components +
@@ -2594,17 +2611,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "mixture_sample": q_mixture_sample,
         "shard_spans": q_shard_spans,
-        "process_pipeline": q_process_pipeline,
         "stream_sessions": q_stream_sessions,
         "stream_dedup": q_stream_dedup,
         # --- new in r4: image-pair curation + frontier authority --------
         "pair_alignment": q_pair_alignment,
         "pair_filters": q_pair_filters,
         "frontier_authority": q_frontier_authority,
+        "incremental_dedup": q_incremental_dedup,
         # --- past the 50-query window: stable greens (driver rows in
         # --- CORRECTNESS_r02/r03), still runnable + repo-SQL-checked ---
         "minhash_greedy": q_minhash_greedy,        # r3 green, rotated out
         "minhash_verified": q_minhash_verified,    # r3 green, rotated out
+        "process_pipeline": q_process_pipeline,    # r3 green, rotated out
         "embedding_neardup": q_embedding_neardup,  # r3 green, rotated out
         "recursive_chunks": q_recursive_chunks,
         "chunk_dispatch": q_chunk_dispatch,
@@ -3626,6 +3644,13 @@ def oracle_sql() -> dict[str, str]:
             {jaccard_all}
             SELECT id_a, id_b, jaccard FROM jac
             WHERE jaccard >= {MINHASH_THRESHOLD}""",
+        "incremental_dedup": f"""
+            {jaccard_all}
+            SELECT id_a, id_b, jaccard,
+                   ((id_a % 5 = 0) <> (id_b % 5 = 0)) AS vs_index
+            FROM jac
+            WHERE jaccard >= {MINHASH_THRESHOLD}
+              AND (id_a % 5 = 0 OR id_b % 5 = 0)""",
         "minhash_greedy": f"""
             {jaccard_all}
             SELECT doc_id FROM documents

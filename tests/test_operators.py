@@ -1092,3 +1092,27 @@ def test_pair_filters_stage_accounting(spark):
     assert got["longcap"] == ("caption", False)
     assert got["ok_or_align"][0] in ("kept", "alignment")
     assert got["ok_or_align"][1] == (got["ok_or_align"][0] == "kept")
+
+
+def test_incremental_dedup_covers_full_rebuild_boundary_pairs(spark, fixtures):
+    """Probing the delta against the index must find exactly the
+    full-rebuild pairs that touch the delta (and none that don't):
+    incremental = minhash_verified_pairs(all) restricted to pairs with
+    >= 1 new-side member."""
+    from ai_intel_web_scraper_spark.operators import dedup as D
+    import os
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    idx = docs.where(F.col("doc_id") % 5 != 0)
+    inc = {(r["id_a"], r["id_b"], r["jaccard"], r["vs_index"]) for r in
+           D.incremental_minhash_verified(new, idx, "doc_id", "text",
+                                          threshold=0.5).collect()}
+    full = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+            D.minhash_verified_pairs(docs, "doc_id", "text",
+                                     threshold=0.5).collect()}
+    want = {(a, b, j, (a % 5 == 0) != (b % 5 == 0))
+            for a, b, j in full if a % 5 == 0 or b % 5 == 0}
+    assert inc == want and len(inc) > 0
+    # index-vs-index pairs exist in the full rebuild but must be absent
+    assert any(a % 5 != 0 and b % 5 != 0 for a, b, _ in full)

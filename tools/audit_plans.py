@@ -182,6 +182,9 @@ AUDIT = {
     "pair_filters": ["ArrowEvalPython", "!Exchange", "!bytes"],
     # r4 authority compose: equi-joins only through the PR loop
     "frontier_authority": ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # r4 incremental dedup: band equi-joins, never an all-pairs scan
+    "incremental_dedup": ["ArrowEvalPython", "!CartesianProduct",
+                          "!BroadcastNestedLoopJoin"],
 }
 FORBIDDEN = "BatchEvalPython"  # row-at-a-time Python UDF — never acceptable
 
