@@ -1813,6 +1813,41 @@ def q_pair_alignment(spark, sf_dir):
     return pair_alignment(pages)
 
 
+HOST_BLOCK_KEEP_PERMILLE = 500  # block hosts whose pair keep-rate < 50%
+
+
+def q_host_blocklist(spark, sf_dir):
+    """Corpus-quality -> crawl-policy feedback (r4): aggregate the
+    image-pair filter chain per HOST (pages joined to the web graph's
+    image_id -> host mapping) and block hosts whose keep rate falls
+    under HOST_BLOCK_KEEP_PERMILLE — the signal a continuous crawler
+    feeds back into its exclude rules (SURVEY C6) so low-quality farms
+    stop consuming fetch budget. Integer permille (n_keep*1000 DIV
+    n_pages), map-side partial agg, broadcast-joinable host map."""
+    from ai_intel_web_scraper_spark.operators.multimodal import pair_filters
+    paths = _crawl_fixture_paths()
+    pages = spark.read.parquet(paths["pages"])
+    hosts = (spark.read.parquet(paths["web_graph"])
+             .select("image_id", "host"))
+    pf = pair_filters(pages).select("image_id", "keep")
+    agg = (pf.join(hosts, "image_id")
+           .groupBy("host")
+           .agg(F.count("*").alias("n_pages"),
+                F.sum(F.col("keep").cast("long")).alias("n_keep")))
+    permille = F.expr("n_keep * 1000 DIV n_pages")
+    return agg.select(
+        "host", "n_pages", "n_keep", permille.alias("keep_permille"),
+        (permille < F.lit(HOST_BLOCK_KEEP_PERMILLE)).alias("blocked"))
+
+
+def _host_map_lit_rows() -> list[tuple]:
+    """(image_id, host) from the fixture web graph — oracle input."""
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(_crawl_fixture_paths()["web_graph"],
+                        columns=["image_id", "host"])
+    return list(zip(tbl["image_id"].to_pylist(), tbl["host"].to_pylist()))
+
+
 def q_frontier_authority(spark, sf_dir):
     """Frontier priority composition (r4): integer PageRank over the
     fixture web's CANONICAL link graph (engine-side link resolution via
@@ -2611,18 +2646,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "mixture_sample": q_mixture_sample,
         "shard_spans": q_shard_spans,
-        "stream_sessions": q_stream_sessions,
         "stream_dedup": q_stream_dedup,
         # --- new in r4: image-pair curation + frontier authority --------
         "pair_alignment": q_pair_alignment,
         "pair_filters": q_pair_filters,
         "frontier_authority": q_frontier_authority,
         "incremental_dedup": q_incremental_dedup,
+        "host_blocklist": q_host_blocklist,
         # --- past the 50-query window: stable greens (driver rows in
         # --- CORRECTNESS_r02/r03), still runnable + repo-SQL-checked ---
         "minhash_greedy": q_minhash_greedy,        # r3 green, rotated out
         "minhash_verified": q_minhash_verified,    # r3 green, rotated out
         "process_pipeline": q_process_pipeline,    # r3 green, rotated out
+        "stream_sessions": q_stream_sessions,      # r3 green, rotated out
         "embedding_neardup": q_embedding_neardup,  # r3 green, rotated out
         "recursive_chunks": q_recursive_chunks,
         "chunk_dispatch": q_chunk_dispatch,
@@ -4108,6 +4144,32 @@ def oracle_sql() -> dict[str, str]:
                    (side_ok AND aspect_ok AND caption_ok AND align_ok)
                        AS keep
             FROM g""",
+        "host_blocklist": f"""
+            WITH pg AS (SELECT * FROM {_sql_values_table(
+                _pair_lit_rows(),
+                ["image_id", "phash", "caption", "w", "h"])}),
+            hm AS (SELECT * FROM {_sql_values_table(
+                _host_map_lit_rows(), ["image_id", "host"])}),
+            {",".join(_align_sql_parts())},
+            g AS (SELECT pg.image_id,
+                  (least(pg.w, pg.h) >= {MM.PAIR_MIN_SIDE}
+                   AND (greatest(pg.w, pg.h) * 100) // least(pg.w, pg.h)
+                       <= {MM.PAIR_MAX_ASPECT_PCT}
+                   AND len(list_filter(regexp_split_to_array(
+                       lower(pg.caption), '\s+'), x -> x <> ''))
+                       BETWEEN {MM.PAIR_CAPTION_MIN_TOKENS}
+                           AND {MM.PAIR_CAPTION_MAX_TOKENS}
+                   AND sc.align_score >= {MM.ALIGN_KEEP_MIN}) AS keep
+                  FROM pg JOIN sc USING (image_id)),
+            a AS (SELECT hm.host, count(*)::BIGINT AS n_pages,
+                         sum(CASE WHEN g.keep THEN 1 ELSE 0 END)::BIGINT
+                             AS n_keep
+                  FROM g JOIN hm USING (image_id) GROUP BY hm.host)
+            SELECT host, n_pages, n_keep,
+                   (n_keep * 1000 // n_pages)::BIGINT AS keep_permille,
+                   (n_keep * 1000 // n_pages)
+                       < {HOST_BLOCK_KEEP_PERMILLE} AS blocked
+            FROM a""",
         # image_text_qa: independent SQL recompute of the QA labels from
         # the fixture's (image_id, phash, caption) literal relation.
         "image_text_qa": f"""

@@ -185,6 +185,8 @@ AUDIT = {
     # r4 incremental dedup: band equi-joins, never an all-pairs scan
     "incremental_dedup": ["ArrowEvalPython", "!CartesianProduct",
                           "!BroadcastNestedLoopJoin"],
+    # r4 quality->policy feedback: partial agg + equi-join, bytes pruned
+    "host_blocklist": ["partial_count", "!bytes", "!CartesianProduct"],
 }
 FORBIDDEN = "BatchEvalPython"  # row-at-a-time Python UDF — never acceptable
 
