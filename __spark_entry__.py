@@ -1046,6 +1046,30 @@ def q_stratified_sample(spark, sf_dir):
             .select("source", "doc_id", "sample_rank"))
 
 
+ADAPTIVE_QUALITY_PCT = 25
+
+
+def q_adaptive_quality(spark, sf_dir):
+    """Per-SOURCE adaptive quality gating (r4): instead of one global
+    cutoff, each source keeps documents at or above its own 25th
+    quality percentile — the stratified-threshold technique real
+    curation pipelines use so a clean source's median isn't judged by a
+    noisy source's floor. Composes quality_score (permille-quantized —
+    integers only reach the hash) with the percentile_disc rank device
+    of group_quantiles; the cutoff frame is tiny and broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    qm = docs.select(
+        "doc_id", "source",
+        F.floor(X.quality_score_col(F.col("text")) * 1000)
+        .cast("long").alias("qmill"))
+    cut = (S.group_quantiles(qm, ["source"], "qmill",
+                             qs=(ADAPTIVE_QUALITY_PCT,))
+           .select("source", F.col("value").alias("cutoff")))
+    return (qm.join(F.broadcast(cut), "source")
+            .select("doc_id", "qmill", "cutoff",
+                    (F.col("qmill") >= F.col("cutoff")).alias("keep")))
+
+
 def q_group_quantiles(spark, sf_dir):
     """Exact per-source doc-length percentiles (P50/P90/P99) via
     percentile_disc rank arithmetic — integer-exact, no interpolation."""
@@ -2647,7 +2671,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hygiene_pipeline": q_hygiene_pipeline,
         "pack_shards": q_pack_shards,
         "mixture_sample": q_mixture_sample,
-        "shard_spans": q_shard_spans,
         "stream_dedup": q_stream_dedup,
         # --- new in r4: image-pair curation + frontier authority --------
         "pair_alignment": q_pair_alignment,
@@ -2655,12 +2678,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_authority": q_frontier_authority,
         "incremental_dedup": q_incremental_dedup,
         "host_blocklist": q_host_blocklist,
+        "adaptive_quality": q_adaptive_quality,
         # --- past the 50-query window: stable greens (driver rows in
         # --- CORRECTNESS_r02/r03), still runnable + repo-SQL-checked ---
         "minhash_greedy": q_minhash_greedy,        # r3 green, rotated out
         "minhash_verified": q_minhash_verified,    # r3 green, rotated out
         "process_pipeline": q_process_pipeline,    # r3 green, rotated out
         "stream_sessions": q_stream_sessions,      # r3 green, rotated out
+        "shard_spans": q_shard_spans,              # r3 green, rotated out
         "embedding_neardup": q_embedding_neardup,  # r3 green, rotated out
         "recursive_chunks": q_recursive_chunks,
         "chunk_dispatch": q_chunk_dispatch,
@@ -3482,6 +3507,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*)::BIGINT AS n_docs,
                    count(DISTINCT md5(lower(text)))::BIGINT AS n_distinct
             FROM documents""",
+        "adaptive_quality": f"""
+            WITH qm AS (SELECT doc_id, source,
+              floor(round(
+                least({wc} / 100.0, 1.0) * 0.5
+                + least({qs_stop} / 3.0, 1.0) * 0.3
+                + (1.0 - least(
+                    (len(regexp_extract_all(text, '[^\w\s]'))
+                     / greatest(length(text), 1)) * 10.0, 1.0)) * 0.2,
+                6) * 1000)::BIGINT AS qmill
+              FROM documents),
+            r AS (SELECT source, qmill,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY qmill) AS rn,
+                         count(*) OVER (PARTITION BY source) AS n
+                  FROM qm),
+            cut AS (SELECT source, qmill AS cutoff FROM r
+                    WHERE rn = ({ADAPTIVE_QUALITY_PCT} * n + 99) // 100)
+            SELECT qm.doc_id, qm.qmill, cut.cutoff,
+                   qm.qmill >= cut.cutoff AS keep
+            FROM qm JOIN cut USING (source)""",
         "quality_score": f"""
             SELECT doc_id, round(
               least({wc} / 100.0, 1.0) * 0.5

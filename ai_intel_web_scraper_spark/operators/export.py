@@ -127,3 +127,55 @@ def webdataset_shards(pages: DataFrame,
         return pd.DataFrame(row)
 
     return src.groupBy("shard_id").applyInPandas(build, schema=fields)
+
+
+def read_webdataset(shards: DataFrame,
+                    with_bytes: bool = True) -> DataFrame:
+    """The loader side of the WebDataset cycle: parse shard tar bytes
+    back into (image_id, fmt, caption[, bytes]) sample rows — what a
+    training job's input pipeline does with the exported shards. One
+    narrow mapInPandas over (shard_id, tar_bytes); each task streams
+    only its own shards (tar members pair up as <id>.<fmt> + <id>.txt).
+    Round-trip contract (pytest): read_webdataset(webdataset_shards(p))
+    reproduces p's (image_id, fmt, caption, bytes) exactly.
+
+    Truncated or corrupt shard bytes degrade to zero rows for that shard
+    (the multimodal decode convention), never a task failure."""
+    import io
+    import tarfile
+
+    import pandas as pd
+
+    fields = ("image_id string, fmt string, caption string"
+              + (", bytes binary" if with_bytes else ""))
+
+    def parse(batches):
+        for pdf in batches:
+            for _i, r in pdf.iterrows():
+                out: dict[str, dict] = {}
+                try:
+                    with tarfile.open(
+                            fileobj=io.BytesIO(bytes(r["tar_bytes"])),
+                            mode="r") as tar:
+                        for m in tar.getmembers():
+                            stem, _, ext = m.name.rpartition(".")
+                            d = out.setdefault(stem, {})
+                            data = tar.extractfile(m).read()
+                            if ext == "txt":
+                                d["caption"] = data.decode("utf-8")
+                            else:
+                                d["fmt"] = ext
+                                d["bytes"] = data
+                except (tarfile.TarError, OSError, ValueError):
+                    continue
+                rows = [
+                    {"image_id": k, "fmt": v.get("fmt", ""),
+                     "caption": v.get("caption", ""),
+                     **({"bytes": v.get("bytes", b"")}
+                        if with_bytes else {})}
+                    for k, v in sorted(out.items())]
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    return shards.select("shard_id", "tar_bytes").mapInPandas(
+        parse, schema=fields)

@@ -60,8 +60,10 @@ EXTRA = [
     "kmeans_clusters", "ann_ivf_trained", "pq_topk", "ivf_pq_topk",
     "recrawl_schedule", "image_text_qa", "sitemap_ingest",
     "webdataset_export",
-    # round-4 additions (image-pair curation + frontier authority)
+    # round-4 additions (image-pair curation, frontier authority,
+    # incremental dedup, policy feedback, adaptive gating)
     "pair_alignment", "pair_filters", "frontier_authority",
+    "incremental_dedup", "host_blocklist", "adaptive_quality",
 ]
 
 

@@ -1116,3 +1116,22 @@ def test_incremental_dedup_covers_full_rebuild_boundary_pairs(spark, fixtures):
     assert inc == want and len(inc) > 0
     # index-vs-index pairs exist in the full rebuild but must be absent
     assert any(a % 5 != 0 and b % 5 != 0 for a, b, _ in full)
+
+
+def test_webdataset_roundtrip_reader(spark, fixtures):
+    """read_webdataset(webdataset_shards(pages)) reproduces every
+    (image_id, fmt, caption, bytes) sample exactly; corrupt shard bytes
+    degrade to zero rows, never a task failure."""
+    from ai_intel_web_scraper_spark.operators.export import (
+        read_webdataset, webdataset_shards)
+    pages = spark.read.parquet(fixtures["pages"])
+    shards = webdataset_shards(pages)
+    got = {(r["image_id"], r["fmt"], r["caption"], bytes(r["bytes"]))
+           for r in read_webdataset(shards).collect()}
+    want = {(r["image_id"], r["fmt"], r["caption"], bytes(r["bytes"]))
+            for r in pages.select("image_id", "fmt", "caption",
+                                  "bytes").collect()}
+    assert got == want and len(got) > 100
+    corrupt = spark.createDataFrame(
+        [(99, b"not a tar at all")], "shard_id int, tar_bytes binary")
+    assert read_webdataset(corrupt).count() == 0

@@ -187,6 +187,10 @@ AUDIT = {
                           "!BroadcastNestedLoopJoin"],
     # r4 quality->policy feedback: partial agg + equi-join, bytes pruned
     "host_blocklist": ["partial_count", "!bytes", "!CartesianProduct"],
+    # r4 stratified gating: percentile rank window on the group key +
+    # broadcast cutoff join; native exprs only
+    "adaptive_quality": [r"windowspecdefinition\(source", "BroadcastHashJoin",
+                         "!ArrowEvalPython", "!MapInPandas"],
 }
 FORBIDDEN = "BatchEvalPython"  # row-at-a-time Python UDF — never acceptable
 
