@@ -36,6 +36,7 @@ from ai_intel_web_scraper_spark.operators import queryanalysis as QA
 from ai_intel_web_scraper_spark.operators import ranking as R
 from ai_intel_web_scraper_spark.operators import sketches as SK
 from ai_intel_web_scraper_spark.operators import stats as S
+from ai_intel_web_scraper_spark.streaming import events as SE
 from ai_intel_web_scraper_spark.operators import temporal as TM
 from ai_intel_web_scraper_spark.operators import text as X
 from ai_intel_web_scraper_spark.operators import urlrules as _UR
@@ -778,6 +779,24 @@ def q_stream_windowed_counts(spark, sf_dir):
         spark, os.path.join(sf_dir, "events.parquet"),
         lambda s: windowed_counts(_events_cents(s)))
     return spark.createDataFrame(rows)
+
+
+def q_stream_enrich(spark, sf_dir):
+    """Stream-static broadcast enrichment (r4): the canonical Structured
+    Streaming join shape — event stream joined to a constant-size
+    category dim broadcast into every micro-batch, then watermarked
+    tumbling-window counts/cent-sums per category
+    (`streaming/events.py::enriched_windowed_counts`). Oracle = the
+    identical batch SQL with the mapping inlined as a literal relation
+    (stream must equal batch)."""
+    from ai_intel_web_scraper_spark.streaming.events import (
+        enriched_windowed_counts, run_stream_once)
+    rows = run_stream_once(
+        spark, os.path.join(sf_dir, "events.parquet"),
+        lambda s: enriched_windowed_counts(_events_cents(s), spark))
+    return spark.createDataFrame(
+        rows, "win_start timestamp, win_end timestamp, category string, "
+              "n long, total_value double")
 
 
 def q_stream_hll(spark, sf_dir):
@@ -2670,7 +2689,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": q_lm_quality,
         "hygiene_pipeline": q_hygiene_pipeline,
         "pack_shards": q_pack_shards,
-        "mixture_sample": q_mixture_sample,
         "stream_dedup": q_stream_dedup,
         # --- new in r4: image-pair curation + frontier authority --------
         "pair_alignment": q_pair_alignment,
@@ -2679,6 +2697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "host_blocklist": q_host_blocklist,
         "adaptive_quality": q_adaptive_quality,
+        "stream_enrich": q_stream_enrich,
         # --- past the 50-query window: stable greens (driver rows in
         # --- CORRECTNESS_r02/r03), still runnable + repo-SQL-checked ---
         "minhash_greedy": q_minhash_greedy,        # r3 green, rotated out
@@ -2686,6 +2705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "process_pipeline": q_process_pipeline,    # r3 green, rotated out
         "stream_sessions": q_stream_sessions,      # r3 green, rotated out
         "shard_spans": q_shard_spans,              # r3 green, rotated out
+        "mixture_sample": q_mixture_sample,        # r3 green, rotated out
         "embedding_neardup": q_embedding_neardup,  # r3 green, rotated out
         "recursive_chunks": q_recursive_chunks,
         "chunk_dispatch": q_chunk_dispatch,
@@ -3676,6 +3696,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (
               SELECT 1 FROM documents s WHERE s.doc_id < 50
                 AND md5(lower(s.text)) = md5(lower(d.text)))""",
+        "stream_enrich": f"""
+            SELECT date_trunc('hour', ts) AS win_start,
+                   date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+                   m.category, count(*)::BIGINT AS n,
+                   round(sum(CAST(round(value * 100) AS BIGINT))::DOUBLE, 4)
+                       AS total_value
+            FROM events
+            JOIN (VALUES {", ".join(
+                f"('{k}', '{v}')" for k, v in SE.EVENT_CATEGORY.items()
+            )}) m(event_type, category) USING (event_type)
+            GROUP BY 1, 2, 3""",
         "stream_windowed_counts": """
             SELECT date_trunc('hour', ts) AS win_start,
                    date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,

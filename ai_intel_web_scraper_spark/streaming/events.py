@@ -240,3 +240,37 @@ def streaming_recrawl_state(events: DataFrame,
                                     stateStructType=state_schema,
                                     outputMode="update",
                                     timeoutConf="NoTimeout"))
+
+
+# Stream-static enrichment: the dimension a streaming pipeline joins
+# against every micro-batch (category rollup of raw event types). Kept
+# as module data so the DuckDB oracle regenerates the identical mapping.
+EVENT_CATEGORY = {
+    "click": "engagement",
+    "view": "engagement",
+    "signup": "conversion",
+    "purchase": "conversion",
+    "error": "ops",
+}
+
+
+def enriched_windowed_counts(events: DataFrame, spark=None,
+                             window: str = "1 hour",
+                             watermark: str = "2 hours") -> DataFrame:
+    """Stream-static broadcast enrichment + windowed aggregation — the
+    canonical Structured Streaming join shape (stream side stays
+    append-mode; the static dim is broadcast into every micro-batch, no
+    stream-stream state). Counts and exact-cent sums per (window,
+    category). The dim is constant-size module data, so at any stream
+    rate the join is a broadcast hash join against megabytes."""
+    sp = spark or events.sparkSession
+    dim = sp.createDataFrame(list(EVENT_CATEGORY.items()),
+                             "event_type string, category string")
+    return (events.withWatermark("ts", watermark)
+            .join(F.broadcast(dim), "event_type")
+            .groupBy(F.window("ts", window).alias("w"), "category")
+            .agg(F.count("*").alias("n"),
+                 F.sum("value").alias("total_value"))
+            .select(F.col("w.start").alias("win_start"),
+                    F.col("w.end").alias("win_end"),
+                    "category", "n", "total_value"))

@@ -233,3 +233,47 @@ def test_streaming_recrawl_accumulates_to_batch_result(spark, sf_dir):
             for r in recrawl_schedule(ev, "user_id", "ts", "event_type",
                                       "event_id").collect()}
     assert got == want
+
+
+def test_stream_enrich_multi_batch_equals_batch(spark, tmp_path):
+    """The stream-static enrichment must accumulate across MULTIPLE
+    micro-batches (one file per trigger) to exactly the batch join+agg
+    result — the broadcast dim join is stateless per batch, the windowed
+    agg carries the state."""
+    import os
+    import uuid
+    from ai_intel_web_scraper_spark.streaming.events import (
+        EVENT_CATEGORY, enriched_windowed_counts)
+    src = spark.read.parquet(
+        os.path.join(os.environ.get("SPARK_GRAFT_SF_DIR",
+                                    "/root/testdata/sf0.001"),
+                     "events.parquet"))
+    d = str(tmp_path / "batches")
+    # time-ordered 3-file split so watermarks only ever move forward
+    from pyspark.sql import Window as W
+    src.orderBy("ts").coalesce(1).withColumn(
+        "_b", (F.row_number().over(W.orderBy("ts")) % 3)
+    ).write.partitionBy("_b").parquet(d)
+    from ai_intel_web_scraper_spark.streaming.events import EVENTS_SCHEMA
+    name = f"enr_{uuid.uuid4().hex[:6]}"
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    q = (enriched_windowed_counts(stream, spark).writeStream
+         .outputMode("complete").format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["win_start"], r["category"]): (r["n"], round(r["total_value"], 4))
+           for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    spark.catalog.dropTempView(name)
+    dim = spark.createDataFrame(list(EVENT_CATEGORY.items()),
+                                "event_type string, category string")
+    want = {(r["win_start"], r["category"]): (r["n"], round(r["total_value"], 4))
+            for r in (src.join(dim, "event_type")
+                      .groupBy(F.window("ts", "1 hour").alias("w"), "category")
+                      .agg(F.count("*").alias("n"),
+                           F.sum("value").alias("total_value"))
+                      .select(F.col("w.start").alias("win_start"), "category",
+                              "n", "total_value")).collect()}
+    assert got == want and len(got) > 0
