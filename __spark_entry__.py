@@ -1766,6 +1766,99 @@ def _wds_expected_rows() -> list[tuple]:
     return out
 
 
+def _pipeline_wds_rows() -> list[tuple]:
+    """(shard_id, n_samples, size_bytes, tar_md5) for the COMPOSED image
+    pipeline (filter -> phash-dedup -> shard), recomputed OUT of Spark:
+    the pair-filter gates and alignment score replayed in plain Python
+    (hashlib md5, same constants), exact-phash keep-first by min
+    image_id, then the deterministic tar recipe. One literal relation
+    value-hash-checks the whole lifecycle."""
+    import hashlib
+    import io
+    import re
+    import tarfile
+
+    import pyarrow.parquet as pq
+    from ai_intel_web_scraper_spark.operators.export import (
+        WDS_SAMPLES_PER_SHARD)
+    tbl = pq.read_table(
+        _crawl_fixture_paths()["pages"],
+        columns=["image_id", "bytes", "fmt", "caption", "phash", "w", "h"])
+    rows = sorted(zip(*(tbl[c].to_pylist() for c in
+                        ("image_id", "bytes", "fmt", "caption",
+                         "phash", "w", "h"))))
+    mask = (1 << MM.ALIGN_DIM) - 1
+
+    def align(caption, phash):
+        acc = [0] * MM.ALIGN_DIM
+        for t in re.split(r"\s+", (caption or "").lower()):
+            if not t:
+                continue
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for d in range(MM.ALIGN_DIM):
+                acc[d] += 1 if (h >> d) & 1 else -1
+        return sum((1 if a >= 0 else -1) * (1 if (phash >> d) & 1 else -1)
+                   for d, a in enumerate(acc))
+
+    kept = []
+    for iid, data, fmt, cap, ph, w, h in rows:
+        toks = [t for t in re.split(r"\s+", (cap or "").lower()) if t]
+        if (min(w, h) >= MM.PAIR_MIN_SIDE
+                and (max(w, h) * 100) // min(w, h) <= MM.PAIR_MAX_ASPECT_PCT
+                and MM.PAIR_CAPTION_MIN_TOKENS <= len(toks)
+                <= MM.PAIR_CAPTION_MAX_TOKENS
+                and align(cap, ph) >= MM.ALIGN_KEEP_MIN):
+            kept.append((iid, data, fmt, cap, ph))
+    seen_ph = set()
+    uniq = []
+    for iid, data, fmt, cap, ph in kept:      # rows sorted by image_id
+        if ph in seen_ph:
+            continue
+        seen_ph.add(ph)
+        uniq.append((iid, data, fmt, cap))
+    shards: dict[int, list] = {}
+    for iid, data, fmt, cap in uniq:
+        shards.setdefault(int(iid[4:12]) // WDS_SAMPLES_PER_SHARD,
+                          []).append((iid, data, fmt, cap))
+    out = []
+    for sid, members in sorted(shards.items()):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w",
+                          format=tarfile.USTAR_FORMAT) as tar:
+            for iid, data, fmt, cap in members:
+                for name, payload in ((f"{iid}.{fmt}", bytes(data)),
+                                      (f"{iid}.txt", cap.encode("utf-8"))):
+                    ti = tarfile.TarInfo(name=name)
+                    ti.size = len(payload)
+                    ti.mtime = 0
+                    ti.mode = 0o644
+                    tar.addfile(ti, io.BytesIO(payload))
+        data = buf.getvalue()
+        out.append((sid, len(members), len(data),
+                    hashlib.md5(data).hexdigest()))
+    return out
+
+
+def q_image_pipeline(spark, sf_dir):
+    """The COMPOSED image-corpus lifecycle as one driver query (r4):
+    DataComp-style pair filtering -> exact-phash keep-first dedup ->
+    deterministic WebDataset shard export. The emitted per-shard tar
+    md5s value-hash the ENTIRE pipeline (every gate, the dedup rule,
+    member ordering, byte layout) against an out-of-Spark Python
+    recompute inlined as a literal relation — the strongest end-to-end
+    check the suite has for the image side."""
+    from ai_intel_web_scraper_spark.operators.multimodal import pair_filters
+    from ai_intel_web_scraper_spark.operators.export import webdataset_shards
+    from pyspark.sql import Window
+    pages = spark.read.parquet(_crawl_fixture_paths()["pages"])
+    keeps = pair_filters(pages).where("keep").select("image_id")
+    kept = pages.join(keeps, "image_id")
+    wr = Window.partitionBy("phash").orderBy("image_id")
+    uniq = (kept.withColumn("_rn", F.row_number().over(wr))
+            .where(F.col("_rn") == 1).drop("_rn"))
+    return webdataset_shards(uniq, with_bytes=False)
+
+
 def q_webdataset_export(spark, sf_dir):
     """WebDataset shard sink (`operators/export.py:webdataset_shards`):
     the image+caption corpus packed into deterministic tar shards
@@ -2688,7 +2781,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "lm_quality": q_lm_quality,
         "hygiene_pipeline": q_hygiene_pipeline,
-        "pack_shards": q_pack_shards,
         "stream_dedup": q_stream_dedup,
         # --- new in r4: image-pair curation + frontier authority --------
         "pair_alignment": q_pair_alignment,
@@ -2698,6 +2790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_blocklist": q_host_blocklist,
         "adaptive_quality": q_adaptive_quality,
         "stream_enrich": q_stream_enrich,
+        "image_pipeline": q_image_pipeline,
         # --- past the 50-query window: stable greens (driver rows in
         # --- CORRECTNESS_r02/r03), still runnable + repo-SQL-checked ---
         "minhash_greedy": q_minhash_greedy,        # r3 green, rotated out
@@ -2706,6 +2799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions": q_stream_sessions,      # r3 green, rotated out
         "shard_spans": q_shard_spans,              # r3 green, rotated out
         "mixture_sample": q_mixture_sample,        # r3 green, rotated out
+        "pack_shards": q_pack_shards,              # r3 green, rotated out
         "embedding_neardup": q_embedding_neardup,  # r3 green, rotated out
         "recursive_chunks": q_recursive_chunks,
         "chunk_dispatch": q_chunk_dispatch,
@@ -4155,6 +4249,11 @@ def oracle_sql() -> dict[str, str]:
                                      "decode_ok"])}""",
         # webdataset_export: every shard tar rebuilt out of Spark, digest
         # compared — the sink's bytes themselves are value-checked.
+        "image_pipeline": f"""
+            SELECT shard_id, n_samples, size_bytes, tar_md5
+            FROM {_sql_values_table(
+                _pipeline_wds_rows(),
+                ["shard_id", "n_samples", "size_bytes", "tar_md5"])}""",
         "webdataset_export": f"""
             SELECT shard_id, n_samples, size_bytes, tar_md5
             FROM {_sql_values_table(

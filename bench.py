@@ -64,7 +64,7 @@ EXTRA = [
     # incremental dedup, policy feedback, adaptive gating)
     "pair_alignment", "pair_filters", "frontier_authority",
     "incremental_dedup", "host_blocklist", "adaptive_quality",
-    "stream_enrich",
+    "stream_enrich", "image_pipeline",
 ]
 
 
