@@ -191,6 +191,11 @@ AUDIT = {
     # broadcast cutoff join; native exprs only
     "adaptive_quality": [r"windowspecdefinition\(source", "BroadcastHashJoin",
                          "!ArrowEvalPython", "!MapInPandas"],
+    # r4 composed lifecycle: phash keep-first window feeding the tar
+    # cogroup; never a nested loop
+    "image_pipeline": [r"windowspecdefinition\(phash",
+                       "FlatMapGroupsInPandas",
+                       "!CartesianProduct", "!BroadcastNestedLoopJoin"],
 }
 FORBIDDEN = "BatchEvalPython"  # row-at-a-time Python UDF — never acceptable
 
