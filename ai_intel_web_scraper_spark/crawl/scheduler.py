@@ -193,6 +193,11 @@ class CrawlConfig:
     # superseded-compaction dirs grow without bound.
     expire_every: int | None = None
     expire_keep: int = 8
+    # Policy feedback (SURVEY C6 upgrade): hosts on this list are
+    # rejected at URL-policy time — the wiring for quality-driven
+    # blocklists (operators: host_blocklist). Empty default keeps the
+    # policy plan byte-identical to earlier rounds.
+    blocked_hosts: tuple = ()
 
 
 class CrawlEngine:
@@ -289,15 +294,21 @@ class CrawlEngine:
         robots disallow path-prefixes (SURVEY C18, graft addition)."""
         out = (df.join(self._maybe_bcast(cfg), "host", "left")
                .withColumn("_path", F.regexp_replace("url", r"^https?://[^/]*", "")))
-        return (out.withColumn(
-            "reject",
-            F.when(F.col("crawl_delay").isNull(), F.lit("unknown_host"))
-             .when(F.expr("exists(exclude_patterns, p -> instr(url, p) > 0)"),
-                   F.lit("excluded"))
-             .when(F.expr("exists(disallow, d -> startswith(_path, d))"),
-                   F.lit("robots"))
-             .otherwise(F.lit(None).cast("string")))
-            .drop("_path"))
+        reject = F.when(F.col("crawl_delay").isNull(),
+                        F.lit("unknown_host"))
+        if self.cfg.blocked_hosts:
+            reject = reject.when(
+                F.col("host").isin(list(self.cfg.blocked_hosts)),
+                F.lit("blocked_host"))
+        reject = (reject
+                  .when(F.expr(
+                      "exists(exclude_patterns, p -> instr(url, p) > 0)"),
+                      F.lit("excluded"))
+                  .when(F.expr(
+                      "exists(disallow, d -> startswith(_path, d))"),
+                      F.lit("robots"))
+                  .otherwise(F.lit(None).cast("string")))
+        return out.withColumn("reject", reject).drop("_path")
 
     # ------------------------------------------------------------ bootstrap
     def bootstrap(self) -> None:

@@ -45,7 +45,9 @@ def _load_tables(fixtures: dict) -> tuple[dict, list, dict, dict]:
 
 def oracle_crawl(fixtures: dict, max_rounds: int = 200,
                  round_seconds: float = S.ROUND_SECONDS,
-                 rank_mode: str = "bfs") -> OracleResult:
+                 rank_mode: str = "bfs",
+                 blocked_hosts: frozenset | set = frozenset()
+                 ) -> OracleResult:
     graph, seeds, pol, rob = _load_tables(fixtures)
     if rank_mode == "bfs":
         rank_key = lambda r: (r["depth"], r["seq"])  # noqa: E731
@@ -67,6 +69,8 @@ def oracle_crawl(fixtures: dict, max_rounds: int = 200,
                 "disallow": list(r.get("disallow") or [])}
 
     def rejected(url: str, cfg: dict) -> bool:
+        if url_host(url) in blocked_hosts:
+            return True
         if any(pat in url for pat in cfg["exclude"]):
             return True
         path = url_path(url)

@@ -542,3 +542,41 @@ def test_sitemap_preseed_crawl_parity(spark, fixtures):
     assert all(fetched_depth[u] == 0 for u in hit)
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_blocked_hosts_policy_engine_oracle_parity(spark, fixtures):
+    """Quality-driven host blocklist wired into the crawl: engine and
+    pure-Python oracle agree exactly on the fetched set with a host
+    blocked, no fetched row touches the blocked host, and the blocked
+    host WAS fetched in the unblocked baseline (the policy actually
+    bites)."""
+    import shutil
+    from ai_intel_web_scraper_spark.crawl.scheduler import (CrawlConfig,
+                                                            CrawlEngine)
+    from ai_intel_web_scraper_spark.oracle.crawler import oracle_crawl
+    def engine_run(bl):
+        wh = f"/tmp/spark_graft_block_wh_{int(bool(bl))}"
+        shutil.rmtree(wh, ignore_errors=True)
+        eng = CrawlEngine(spark, fixtures, wh,
+                          CrawlConfig(write_payload=False,
+                                      expected_urls=1 << 14,
+                                      blocked_hosts=tuple(sorted(bl))))
+        eng.run(max_rounds=4)
+        return [(r["url"], r["round"], r["discovery_seq"], r["host"])
+                for r in eng.store.read("fetched")
+                .orderBy("round", "depth", "discovery_seq").collect()]
+
+    base = engine_run(set())
+    # block a host the baseline actually fetched (not the most-fetched
+    # one, so the crawl frontier stays alive)
+    from collections import Counter
+    counts = Counter(h for _, _, _, h in base)
+    blocked = {counts.most_common()[1][0]}
+    assert any(h in blocked for _, _, _, h in base)      # baseline fetches it
+    got = engine_run(blocked)
+    assert all(h not in blocked for _, _, _, h in got)   # policy bites
+    orc = oracle_crawl(fixtures, max_rounds=4, blocked_hosts=blocked)
+    want = [(r["url"], r["round"], r["discovery_seq"], r["host"])
+            for r in orc.fetched]
+    assert [(u, rd, sq) for u, rd, sq, _ in got] \
+        == [(u, rd, sq) for u, rd, sq, _ in want]
