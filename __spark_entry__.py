@@ -37,6 +37,7 @@ from ai_intel_web_scraper_spark.operators import ranking as R
 from ai_intel_web_scraper_spark.operators import sketches as SK
 from ai_intel_web_scraper_spark.operators import stats as S
 from ai_intel_web_scraper_spark.streaming import events as SE
+from ai_intel_web_scraper_spark.functions import robots as RB
 from ai_intel_web_scraper_spark.operators import temporal as TM
 from ai_intel_web_scraper_spark.operators import text as X
 from ai_intel_web_scraper_spark.operators import urlrules as _UR
@@ -1713,6 +1714,34 @@ def _sitemap_fixture_rows() -> list[tuple]:
     return rows
 
 
+def _robots_lit_rows() -> list[tuple]:
+    """(host, body) raw robots bodies from the crawl fixture — oracle
+    INPUTS for the robots-sitemap discovery query (DuckDB re-parses the
+    same bodies with its own regexp machinery)."""
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(_crawl_fixture_paths()["robots"],
+                        columns=["host", "body"])
+    return list(zip(tbl["host"].to_pylist(), tbl["body"].to_pylist()))
+
+
+def q_robots_sitemaps(spark, sf_dir):
+    """Robots-declared sitemap discovery (r4): parse `Sitemap:` global
+    directives (case-insensitive, file order) out of the RAW robots.txt
+    bodies with one native regexp + posexplode — the channel that feeds
+    `sitemap_ingest` -> `sitemaps_to_seeds` and closes the robots ->
+    sitemap -> frontier-preseed loop. Oracle re-parses the same literal
+    bodies in DuckDB (cross-engine parser parity, the sitemap_ingest
+    convention)."""
+    from ai_intel_web_scraper_spark.functions.robots import (
+        ROBOTS_SITEMAP_RE)
+    rob = spark.read.parquet(_crawl_fixture_paths()["robots"])
+    return (rob.select(
+        "host",
+        F.posexplode(F.regexp_extract_all(
+            "body", F.lit(ROBOTS_SITEMAP_RE), 1))
+        .alias("pos", "sitemap_url")))
+
+
 def q_sitemap_ingest(spark, sf_dir):
     """Sitemap ingestion (`sources/sitemaps.py`): parse <url> entries —
     loc, lastmod (integer epoch days, NULL-degrading), priority (integer
@@ -2776,7 +2805,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_analysis": q_query_analysis,
         "bpe_tokens": q_bpe_tokens,
         "bpe_chunks": q_bpe_chunks,
-        "repetition_signals": q_repetition_signals,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
         "lm_quality": q_lm_quality,
@@ -2791,6 +2819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_quality": q_adaptive_quality,
         "stream_enrich": q_stream_enrich,
         "image_pipeline": q_image_pipeline,
+        "robots_sitemaps": q_robots_sitemaps,
         # --- past the 50-query window: stable greens (driver rows in
         # --- CORRECTNESS_r02/r03), still runnable + repo-SQL-checked ---
         "minhash_greedy": q_minhash_greedy,        # r3 green, rotated out
@@ -2800,6 +2829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_spans": q_shard_spans,              # r3 green, rotated out
         "mixture_sample": q_mixture_sample,        # r3 green, rotated out
         "pack_shards": q_pack_shards,              # r3 green, rotated out
+        "repetition_signals": q_repetition_signals,  # r3 green, rotated out
         "embedding_neardup": q_embedding_neardup,  # r3 green, rotated out
         "recursive_chunks": q_recursive_chunks,
         "chunk_dispatch": q_chunk_dispatch,
@@ -4259,6 +4289,18 @@ def oracle_sql() -> dict[str, str]:
             FROM {_sql_values_table(
                 _wds_expected_rows(),
                 ["shard_id", "n_samples", "size_bytes", "tar_md5"])}""",
+        # robots_sitemaps: DuckDB re-parses the SAME raw robots bodies
+        # with its own regexp engine (cross-parser check); the bounded
+        # generate_series + WHERE is the repo's lateral-posexplode trick.
+        "robots_sitemaps": f"""
+            WITH r AS (SELECT host,
+                regexp_extract_all(body,
+                  '{RB.ROBOTS_SITEMAP_RE}', 1) AS l
+              FROM {_sql_values_table(_robots_lit_rows(),
+                                      ["host", "body"])})
+            SELECT host, (i - 1)::INT AS pos, l[i] AS sitemap_url
+            FROM r, generate_series(1, 8) t(i)
+            WHERE i <= len(l)""",
         # sitemap_ingest: DuckDB re-parses the SAME literal bodies with
         # its own regexp/date machinery — cross-engine parser parity.
         "sitemap_ingest": f"""

@@ -103,3 +103,20 @@ def robots_udf(agent: str = "spark-frontier"):
     def fn(body: pd.Series) -> pd.DataFrame:
         return parse_robots_frame(body, agent)
     return fn
+
+
+# Sitemap: is a GLOBAL directive (RFC 9309 / sitemaps.org) — valid
+# anywhere in the file, outside user-agent groups, case-insensitive.
+# The pattern is shared verbatim with the DuckDB oracle (RE2-compatible):
+# value = everything up to whitespace or a trailing comment.
+ROBOTS_SITEMAP_RE = r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^#\s]+)"
+
+
+def robots_sitemap_urls(text: str | None) -> list[str]:
+    """Sitemap URLs declared in a robots.txt body, in file order (the
+    frontier-preseed discovery channel: robots -> sitemap fetch ->
+    `sources/sitemaps.py` parse -> seeds)."""
+    import re
+    if not text:
+        return []
+    return re.findall(ROBOTS_SITEMAP_RE, text)

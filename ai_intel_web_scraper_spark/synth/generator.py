@@ -46,7 +46,7 @@ _NOUN = ["bridge", "kettle", "orchard", "canyon", "lantern", "harbor", "spindle"
 _SIZES = np.array([32, 64, 96], dtype=np.int32)
 
 N_BUCKETS = 16  # web_graph/pages disk partitioning (maps to Iceberg bucket(N))
-FX_VERSION = 3  # bump to invalidate cached /tmp fixture dirs on content change
+FX_VERSION = 4  # bump to invalidate cached /tmp fixture dirs on content change
 
 
 @dataclass
@@ -240,6 +240,18 @@ class WebSpec:
         override = float(rng.choice([0.3, 0.5, 1.0])) if rng.random() < 0.3 else None
         return disallow, override
 
+    def robots_sitemaps(self, k: int) -> list[str]:
+        """Sitemap: directive URLs for host k (deterministic; ~half the
+        hosts declare 1-2 sitemaps). Mixed-case directive keys downstream
+        exercise case-insensitive parsing; the engine must read these
+        from the RAW body (ground-truth column is oracle-only)."""
+        rng = self._rng(31, k)
+        if rng.random() >= 0.5:
+            return []
+        n = 1 + int(rng.integers(0, 2))
+        return [f"https://{self.host(k)}/sitemap{i or ''}.xml"
+                for i in range(n)]
+
     def is_seed_host(self, k: int) -> bool:
         return self._rng(23, k).random() < self.seed_frac or k == 0
 
@@ -329,11 +341,17 @@ def write_config_tables(spec: WebSpec, paths: dict) -> None:
         # the engine receives only the RAW robots.txt body (as a crawler
         # would fetch it) and must parse it; the pre-parsed columns are the
         # oracle's ground truth — crawl parity proves the parser
+        sm = spec.robots_sitemaps(k)
         body = "User-agent: *\n" + "".join(f"Disallow: {d}\n" for d in dis)
         if ovr is not None:
             body += f"Crawl-delay: {ovr}\n"
+        # Sitemap: is a GLOBAL directive (outside UA groups); alternate
+        # the key's case so parsers must be case-insensitive
+        for i, u in enumerate(sm):
+            body += f"{'Sitemap' if i % 2 == 0 else 'sitemap'}: {u}\n"
         rob.append({"host": spec.host(k), "disallow": dis,
-                    "crawl_delay_override": ovr, "body": body})
+                    "crawl_delay_override": ovr, "body": body,
+                    "sitemap_urls": sm})
     pq.write_table(pa.Table.from_pylist(pol, schema=pa.schema([
         ("host", pa.string()), ("crawl_delay", pa.float64()),
         ("max_pages", pa.int32()), ("max_depth", pa.int32()),
@@ -341,7 +359,8 @@ def write_config_tables(spec: WebSpec, paths: dict) -> None:
         paths["politeness"])
     pq.write_table(pa.Table.from_pylist(rob, schema=pa.schema([
         ("host", pa.string()), ("disallow", pa.list_(pa.string())),
-        ("crawl_delay_override", pa.float64()), ("body", pa.string())])),
+        ("crawl_delay_override", pa.float64()), ("body", pa.string()),
+        ("sitemap_urls", pa.list_(pa.string()))])),
         paths["robots"])
 
 

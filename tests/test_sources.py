@@ -281,3 +281,26 @@ def test_sitemap_driver_fixture_python_replay(spark):
                 ppm = SITEMAP_DEFAULT_PRIORITY_PPM
             want.append((host, m.group(1), day, ppm))
     assert got == sorted(want) and len(got) > 200
+
+
+def test_robots_sitemap_discovery_matches_ground_truth(spark, fixtures):
+    """The native-regexp Sitemap: extraction over RAW robots bodies must
+    equal the generator's oracle-only ground-truth column, in file
+    order, including mixed-case directive keys; the Python helper
+    agrees."""
+    from ai_intel_web_scraper_spark.functions.robots import (
+        ROBOTS_SITEMAP_RE, robots_sitemap_urls)
+    from pyspark.sql import functions as F
+    rob = spark.read.parquet(fixtures["robots"])
+    got = {(r["host"], r["pos"]): r["u"] for r in rob.select(
+        "host", F.posexplode(F.regexp_extract_all(
+            "body", F.lit(ROBOTS_SITEMAP_RE), 1)).alias("pos", "u"))
+        .collect()}
+    want = {}
+    py = {}
+    for r in rob.select("host", "body", "sitemap_urls").collect():
+        for i, u in enumerate(r["sitemap_urls"]):
+            want[(r["host"], i)] = u
+        for i, u in enumerate(robots_sitemap_urls(r["body"])):
+            py[(r["host"], i)] = u
+    assert got == want == py and len(got) > 0

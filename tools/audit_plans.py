@@ -196,6 +196,9 @@ AUDIT = {
     "image_pipeline": [r"windowspecdefinition\(phash",
                        "FlatMapGroupsInPandas",
                        "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # r4 robots sitemap discovery: one Generate over a narrow scan
+    "robots_sitemaps": ["Generate", "!Exchange",
+                        "!ArrowEvalPython", "!MapInPandas"],
 }
 FORBIDDEN = "BatchEvalPython"  # row-at-a-time Python UDF — never acceptable
 
