@@ -1179,7 +1179,8 @@ def _crawl_fixture_paths() -> dict:
         with open(marker, "w") as f:
             f.write("ok")
     return {n: os.path.join(out, f"{n}.parquet")
-            for n in ("pages", "web_graph", "seeds", "politeness", "robots")}
+            for n in ("pages", "web_graph", "seeds", "politeness", "robots",
+                      "sitemaps")}
 
 
 def _sql_lit_cell(v) -> str:

@@ -198,6 +198,11 @@ class CrawlConfig:
     # blocklists (operators: host_blocklist). Empty default keeps the
     # policy plan byte-identical to earlier rounds.
     blocked_hosts: tuple = ()
+    # Parse the fixtures' sitemap bodies at bootstrap and append the
+    # discovered URLs to the seed list (robots -> sitemap -> frontier
+    # preseed; `sources/sitemaps.py`). Off by default: the baseline
+    # parity corpus seeds only from the seed list.
+    preseed_sitemaps: bool = False
 
 
 class CrawlEngine:
@@ -345,7 +350,18 @@ class CrawlEngine:
         self._host_pdf = hs
         self.store.stage_write_arrow("host_state", hs, "replace")
 
-        seeds = (sp.read.parquet(self.fixtures["seeds"])
+        raw_seeds = sp.read.parquet(self.fixtures["seeds"])
+        if self.cfg.preseed_sitemaps:
+            # robots-declared sitemaps -> parse raw bodies -> seed rows
+            # (SURVEY sitemap ingest; engine-internal discovery channel)
+            from ..sources.sitemaps import (SITEMAP_SEED_BASE,
+                                            parse_sitemaps,
+                                            sitemaps_to_seeds)
+            bodies = sp.read.parquet(self.fixtures["sitemaps"])
+            extra = sitemaps_to_seeds(parse_sitemaps(bodies),
+                                      base_seq=SITEMAP_SEED_BASE)
+            raw_seeds = raw_seeds.unionByName(extra)
+        seeds = (raw_seeds
                  .select(resolve_udf("url", F.lit(None).cast("string")).alias("r"),
                          "seed_seq", "priority")
                  .select(F.col("r.url").alias("url"), F.col("r.host").alias("host"),

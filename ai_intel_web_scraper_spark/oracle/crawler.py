@@ -43,12 +43,46 @@ def _load_tables(fixtures: dict) -> tuple[dict, list, dict, dict]:
     return graph, seeds, pol, rob
 
 
+def _sitemap_seed_rows(fixtures: dict) -> list[dict]:
+    """Independent Python replay of the engine's sitemap preseed:
+    parse every fixture sitemap body (block regex, loc, full-decimal
+    clamped priority ppm), rank by (ppm desc, url asc), emit seed rows
+    from SITEMAP_SEED_BASE — must equal `parse_sitemaps` +
+    `sitemaps_to_seeds` exactly (crawl parity is the check)."""
+    import re
+    from ..sources.sitemaps import (SITEMAP_DEFAULT_PRIORITY_PPM,
+                                    SITEMAP_SEED_BASE)
+    entries = []
+    for r in pq.read_table(fixtures["sitemaps"]).to_pylist():
+        for blk in re.findall(r"(?s)<url>(.*?)</url>", r["body"]):
+            m = re.search(r"<loc>\s*([^<\s][^<]*?)\s*</loc>", blk)
+            if not m:
+                continue
+            pm = re.search(
+                r"<priority>\s*([01])(?:\.(\d{1,6})\d*)?\s*</priority>",
+                blk)
+            if pm:
+                ppm = min(int(pm.group(1)) * 1_000_000
+                          + int((pm.group(2) or "").ljust(6, "0")),
+                          1_000_000)
+            else:
+                ppm = SITEMAP_DEFAULT_PRIORITY_PPM
+            entries.append((m.group(1), ppm))
+    entries.sort(key=lambda t: (-t[1], t[0]))
+    return [{"seed_seq": SITEMAP_SEED_BASE + i, "url": u,
+             "priority": ppm / 1e6}
+            for i, (u, ppm) in enumerate(entries)]
+
+
 def oracle_crawl(fixtures: dict, max_rounds: int = 200,
                  round_seconds: float = S.ROUND_SECONDS,
                  rank_mode: str = "bfs",
-                 blocked_hosts: frozenset | set = frozenset()
-                 ) -> OracleResult:
+                 blocked_hosts: frozenset | set = frozenset(),
+                 preseed_sitemaps: bool = False) -> OracleResult:
     graph, seeds, pol, rob = _load_tables(fixtures)
+    if preseed_sitemaps:
+        seeds = sorted(seeds + _sitemap_seed_rows(fixtures),
+                       key=lambda r: r["seed_seq"])
     if rank_mode == "bfs":
         rank_key = lambda r: (r["depth"], r["seq"])  # noqa: E731
     else:  # priority: seed priority desc, then BFS order (engine parity)

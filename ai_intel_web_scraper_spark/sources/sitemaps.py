@@ -23,6 +23,9 @@ from pyspark.sql import functions as F
 
 # sitemap.xml spec default priority, in ppm
 SITEMAP_DEFAULT_PRIORITY_PPM = 500_000
+# seed_seq base for sitemap-discovered preseed rows: far above any list
+# seed's seq so BFS tie-breaks stay stable; shared with the oracle crawler
+SITEMAP_SEED_BASE = 1_000_000
 
 _URL_BLOCK_RE = r"(?s)<url>(.*?)</url>"
 _INDEX_BLOCK_RE = r"(?s)<sitemap>(.*?)</sitemap>"

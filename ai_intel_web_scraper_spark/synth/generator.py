@@ -46,7 +46,7 @@ _NOUN = ["bridge", "kettle", "orchard", "canyon", "lantern", "harbor", "spindle"
 _SIZES = np.array([32, 64, 96], dtype=np.int32)
 
 N_BUCKETS = 16  # web_graph/pages disk partitioning (maps to Iceberg bucket(N))
-FX_VERSION = 4  # bump to invalidate cached /tmp fixture dirs on content change
+FX_VERSION = 5  # bump to invalidate cached /tmp fixture dirs on content change
 
 
 @dataclass
@@ -363,12 +363,40 @@ def write_config_tables(spec: WebSpec, paths: dict) -> None:
         ("sitemap_urls", pa.list_(pa.string()))])),
         paths["robots"])
 
+    # sitemap BODIES for every robots-declared sitemap URL: sitemap s of
+    # host k lists the host's pages with index % n_sitemaps == s (disjoint
+    # subsets, so no URL carries two priorities), every 2nd entry with an
+    # explicit priority and every 3rd with a lastmod — the engine parses
+    # these raw bodies when CrawlConfig.preseed_sitemaps is on
+    sm = []
+    for k in range(spec.n_hosts):
+        urls = spec.robots_sitemaps(k)
+        n_sm = len(urls)
+        pages_k = int(spec.pages_per_host[k])
+        for s, smu in enumerate(urls):
+            entries = []
+            for i in range(s, pages_k, max(n_sm, 1)):
+                e = f"<url><loc>{spec.url(k, i)}</loc>"
+                if i % 2 == 0:
+                    e += f"<priority>0.{(k + i) % 9 + 1}</priority>"
+                if i % 3 == 0:
+                    e += f"<lastmod>2024-0{(i % 9) + 1}-15</lastmod>"
+                entries.append(e + "</url>")
+            sm.append({"host": spec.host(k), "url": smu,
+                       "body": ('<?xml version="1.0"?><urlset>'
+                                + "".join(entries) + "</urlset>")})
+    pq.write_table(pa.Table.from_pylist(sm, schema=pa.schema([
+        ("host", pa.string()), ("url", pa.string()),
+        ("body", pa.string())])),
+        paths["sitemaps"])
+
 
 def generate_fixtures(spec: WebSpec, out_dir: str, with_bytes: bool = True) -> dict:
     """Pure-Python writer (test scale). Returns table paths."""
     os.makedirs(out_dir, exist_ok=True)
     paths = {n: os.path.join(out_dir, n + ".parquet") for n in
-             ("pages", "web_graph", "seeds", "politeness", "robots")}
+             ("pages", "web_graph", "seeds", "politeness", "robots",
+              "sitemaps")}
 
     pages_buf: list[dict] = []
     graph_buf: list[dict] = []
@@ -392,7 +420,8 @@ def generate_fixtures_spark(spark, spec: WebSpec, out_dir: str,
 
     os.makedirs(out_dir, exist_ok=True)
     paths = {n: os.path.join(out_dir, n + ".parquet") for n in
-             ("pages", "web_graph", "seeds", "politeness", "robots")}
+             ("pages", "web_graph", "seeds", "politeness", "robots",
+              "sitemaps")}
     sd, nh, tp, zs, sf, ml, bs, mph, dfr, da = (
         spec.seed, spec.n_hosts, spec.total_pages, spec.zipf_s,
         spec.seed_frac, spec.max_links, spec.budget_scale,

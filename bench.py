@@ -128,7 +128,8 @@ def crawl_fixtures(spark, n_hosts: int, total_pages: int, with_bytes: bool,
         with open(done, "w") as f:
             f.write(f"{time.time() - t0:.1f}")
     return {n: os.path.join(out, f"{n}.parquet")
-            for n in ("pages", "web_graph", "seeds", "politeness", "robots")}
+            for n in ("pages", "web_graph", "seeds", "politeness", "robots",
+                      "sitemaps")}
 
 
 def run_crawl(spark, n_hosts: int, total_pages: int,

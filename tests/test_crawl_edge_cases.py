@@ -580,3 +580,37 @@ def test_blocked_hosts_policy_engine_oracle_parity(spark, fixtures):
             for r in orc.fetched]
     assert [(u, rd, sq) for u, rd, sq, _ in got] \
         == [(u, rd, sq) for u, rd, sq, _ in want]
+
+
+def test_engine_internal_sitemap_preseed_parity(spark, fixtures):
+    """CrawlConfig.preseed_sitemaps=True: the engine parses the fixture
+    sitemap BODIES at bootstrap (robots -> sitemap -> seeds, fully
+    engine-internal) and must match the oracle crawler's independent
+    Python replay of the same channel exactly; the preseed must also
+    actually change the crawl vs the baseline (new URLs fetched), and
+    list-seed duplicates collapse keep-first by seq on both sides."""
+    import shutil
+    from ai_intel_web_scraper_spark.crawl.scheduler import (CrawlConfig,
+                                                            CrawlEngine)
+    from ai_intel_web_scraper_spark.oracle.crawler import oracle_crawl
+
+    def engine_run(preseed):
+        wh = f"/tmp/spark_graft_smps_wh_{int(preseed)}"
+        shutil.rmtree(wh, ignore_errors=True)
+        eng = CrawlEngine(spark, fixtures, wh,
+                          CrawlConfig(write_payload=False,
+                                      expected_urls=1 << 14,
+                                      preseed_sitemaps=preseed))
+        eng.run(max_rounds=4)
+        return [(r["url"], r["round"], r["discovery_seq"])
+                for r in eng.store.read("fetched")
+                .orderBy("round", "depth", "discovery_seq").collect()]
+
+    got = engine_run(True)
+    want = [(r["url"], r["round"], r["discovery_seq"])
+            for r in oracle_crawl(fixtures, max_rounds=4,
+                                  preseed_sitemaps=True).fetched]
+    assert got == want and len(got) > 0
+    base = set(engine_run(False))
+    assert set(got) != base                 # the channel changed the crawl
+    assert any(seq >= 1_000_000 for _, _, seq in got)  # preseeds fetched
