@@ -2758,11 +2758,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Rotation policy (SURVEY §2.7): never-checked / recently-fixed queries
     # lead; stable driver greens (r2/r3 rows on file) sit past position 50.
     # r4 window = the 23 late-r3 queries that never had a driver row +
-    # the 3-query shipping_priority isolation experiment + the 5
+    # the 3-query shipping_priority isolation experiment + the 9
     # new-in-r4 queries (pair_alignment, pair_filters,
-    # frontier_authority, incremental_dedup, host_blocklist) + 19 r3
-    # greens kept in-window (flagship crawl/codec/corpus paths and
-    # everything touched by this round's code changes).
+    # frontier_authority, incremental_dedup, host_blocklist,
+    # adaptive_quality, stream_enrich, image_pipeline, robots_sitemaps)
+    # + 15 r3 greens kept in-window (flagship crawl/codec/corpus paths
+    # and everything touched by this round's code changes).
     return {
         # --- never driver-checked before r4 (all repo-SQL-checked at
         # --- sf0.01 AND sf0.1): the late-r3 operator families ----------
