@@ -103,6 +103,9 @@ def main() -> None:
                      lambda: qs["semdedup"](spark, big)),
         "dup_spans": (lambda: qs["dup_spans"](spark, BASE_SF),
                       lambda: qs["dup_spans"](spark, big)),
+        "incremental_dedup": (
+            lambda: qs["incremental_dedup"](spark, BASE_SF),
+            lambda: qs["incremental_dedup"](spark, big)),
         "pq_topk": (lambda: qs["pq_topk"](spark, BASE_SF),
                     lambda: qs["pq_topk"](spark, big)),
         "pack_shards": (lambda: qs["pack_shards"](spark, BASE_SF),
