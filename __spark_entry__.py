@@ -183,7 +183,7 @@ def q_budget_prefix(spark, sf_dir):
     # between engines (DuckDB windows use segment trees), so the budget
     # comparison is defined on exact integers
     li = _t(spark, sf_dir, "lineitem")
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
     # (l_orderkey, l_linenumber) is not unique in this dataset; adding the
     # amount as tie-break makes the order total (equal amounts commute in
     # the running sum, so the kept multiset is well-defined)
@@ -197,7 +197,7 @@ def q_budget_prefix(spark, sf_dir):
 
 def q_history_compaction(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("long")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
     return (R.history_compaction(
         ev.withColumn("_ord", F.struct("ts", "event_id")),
         ["user_id"], "_ord", cents, BUDGET_EVENTS * 100)
@@ -606,11 +606,16 @@ def _ship_top10(spark, sf_dir):
     li = (_t(spark, sf_dir, "lineitem")
           .where(F.col("l_shipdate") > "1996-01-01")
           .select("l_orderkey", "l_extendedprice", "l_discount"))
-    # Exact hundredth-cent units: each inner round() is of a value within
-    # 1e-9 of an integer (source data is 2-dp), so every engine agrees;
-    # round(price*(1-disc)*100) hit .5-tie divergence between engines.
-    cents = (F.round(F.col("l_extendedprice") * 100).cast("long")
-             * (100 - F.round(F.col("l_discount") * 100).cast("long")))
+    # Exact hundredth-cent units, round()-free (r5): floor(x*100 + 0.5)
+    # uses only IEEE-exact ops (multiply, add, floor) so it is HALF_UP
+    # by construction on every engine AND every engine version. The r4
+    # probes pinned the historical red to this column; r5 sweeps showed
+    # the container's DuckDB 1.0.0 round() actually AGREES with Spark on
+    # 16k adversarial doubles — the divergence is version-dependent:
+    # newer DuckDB rounds DOUBLE half-even, disagreeing with Spark's
+    # HALF_UP exactly at .5 ties (tests/test_quantize.py pins this).
+    cents = (F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+             * (100 - F.floor(F.col("l_discount") * 100 + 0.5).cast("long")))
     return (orders.join(F.broadcast(cust),
                         orders["o_custkey"] == cust["c_custkey"])
             .join(li, orders["o_orderkey"] == li["l_orderkey"])
@@ -648,12 +653,13 @@ def q_ship_probe_revenue(spark, sf_dir):
     return _ship_top10(spark, sf_dir).select("o_orderkey", "revenue_cents")
 
 
-# Shared DuckDB CTE for the three isolation queries above (identical to
-# the thrice-red shipping_priority oracle's aggregation).
+# Shared DuckDB CTE for the isolation queries above. r5: quantization is
+# round()-free on BOTH engines (see _ship_top10) — floor/+/* are
+# IEEE-exact, so the cents value is engine-independent for any input.
 _SHIP_TOP10_SQL = """
     SELECT o_orderkey, o_orderdate,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
                AS revenue_cents
     FROM orders
     JOIN customer ON o_custkey = c_custkey
@@ -766,7 +772,7 @@ def q_bin_pack(spark, sf_dir):
 
 def _events_cents(s):
     return s.withColumn(
-        "value", F.round(F.col("value") * 100).cast("long").cast("double"))
+        "value", F.floor(F.col("value") * 100 + 0.5).cast("long").cast("double"))
 
 
 def q_stream_windowed_counts(spark, sf_dir):
@@ -857,7 +863,7 @@ def q_sql_top_events(spark, sf_dir):
     return spark.sql("""
         SELECT user_id, event_id, event_type, cents FROM (
           SELECT user_id, event_id, event_type,
-                 CAST(round(value * 100) AS BIGINT) AS cents,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
                  row_number() OVER (PARTITION BY user_id
                                     ORDER BY value DESC, event_id) AS rn
           FROM events_v) WHERE rn = 1""")
@@ -1723,6 +1729,20 @@ def _robots_lit_rows() -> list[tuple]:
     tbl = pq.read_table(_crawl_fixture_paths()["robots"],
                         columns=["host", "body"])
     return list(zip(tbl["host"].to_pylist(), tbl["body"].to_pylist()))
+
+
+def _robots_series_bound() -> int:
+    """Unroll bound for the robots_sitemaps oracle's positional
+    generate_series: derived from the ACTUAL literal rows (max
+    `Sitemap:` declarations in any body, same regex as both engines)
+    instead of a hardcoded 8 — a richer future fixture can no longer
+    silently truncate the oracle while the engine's posexplode stays
+    uncapped. (ADVICE r5)"""
+    import re as _re
+    from ai_intel_web_scraper_spark.functions.robots import (
+        ROBOTS_SITEMAP_RE)
+    return max([len(_re.findall(ROBOTS_SITEMAP_RE, body))
+                for _h, body in _robots_lit_rows()] + [1])
 
 
 def q_robots_sitemaps(spark, sf_dir):
@@ -2632,7 +2652,7 @@ def q_range_windows(spark, sf_dir):
     return (j.groupBy("window_id")
             .agg(F.count("*").cast("long").alias("n_events"),
                  F.countDistinct("user_id").cast("long").alias("n_users"),
-                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                 F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
                  .alias("value_cents")))
 
 
@@ -3195,13 +3215,13 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY l_orderkey ORDER BY l_linenumber, cents
                        ROWS UNBOUNDED PRECEDING) AS run
               FROM (SELECT l_orderkey, l_linenumber,
-                           CAST(round(l_extendedprice * 100) AS BIGINT)
+                           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
                                AS cents
                     FROM lineitem)) WHERE run <= {BUDGET_LINEITEM * 100}""",
         "history_compaction": f"""
             SELECT user_id, event_id FROM (
               SELECT user_id, event_id,
-                     sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                     sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
                        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
                        ROWS UNBOUNDED PRECEDING) AS run
               FROM events) WHERE run <= {BUDGET_EVENTS * 100}""",
@@ -3610,7 +3630,7 @@ def oracle_sql() -> dict[str, str]:
               FROM generate_series(0, {TM.WIN_N - 1}) AS t(i))
             SELECT w.window_id, count(*)::BIGINT AS n_events,
                    count(DISTINCT e.user_id)::BIGINT AS n_users,
-                   sum(round(e.value * 100)::BIGINT)::BIGINT
+                   sum(floor(e.value * 100 + 0.5)::BIGINT)::BIGINT
                        AS value_cents
             FROM events e JOIN w
               ON epoch_us(e.ts) >= w.start_us
@@ -3659,7 +3679,7 @@ def oracle_sql() -> dict[str, str]:
                 least({wc} / 100.0, 1.0) * 0.5
                 + least({qs_stop} / 3.0, 1.0) * 0.3
                 + (1.0 - least(
-                    (len(regexp_extract_all(text, '[^\w\s]'))
+                    (len(regexp_extract_all(text, '[^\\w\\s]'))
                      / greatest(length(text), 1)) * 10.0, 1.0)) * 0.2,
                 6) * 1000)::BIGINT AS qmill
               FROM documents),
@@ -3826,7 +3846,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS win_start,
                    date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
                    m.category, count(*)::BIGINT AS n,
-                   round(sum(CAST(round(value * 100) AS BIGINT))::DOUBLE, 4)
+                   round(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::DOUBLE, 4)
                        AS total_value
             FROM events
             JOIN (VALUES {", ".join(
@@ -3837,7 +3857,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS win_start,
                    date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
                    event_type, count(*)::BIGINT AS n,
-                   round(sum(CAST(round(value * 100) AS BIGINT))::DOUBLE, 4)
+                   round(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::DOUBLE, 4)
                        AS total_value
             FROM events GROUP BY 1, 2, 3""",
         "length_quantiles": """
@@ -3848,7 +3868,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_top_events": """
             SELECT user_id, event_id, event_type, cents FROM (
               SELECT user_id, event_id, event_type,
-                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
                      row_number() OVER (PARTITION BY user_id
                                         ORDER BY value DESC, event_id) AS rn
               FROM events) WHERE rn = 1""",
@@ -3871,9 +3891,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT '3_deduped', count(*)::BIGINT FROM deduped""",
         "stream_budget_state": """
             SELECT user_id, count(*)::BIGINT AS n_events,
-                   round(sum(CAST(round(value * 100) AS BIGINT))::DOUBLE, 4)
+                   round(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::DOUBLE, 4)
                        AS total_value,
-                   sum(CAST(round(value * 100) AS BIGINT)) > 80000
+                   sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) > 80000
                        AS over_budget
             FROM events GROUP BY user_id""",
         "minhash_pairs": f"""
@@ -4293,7 +4313,8 @@ def oracle_sql() -> dict[str, str]:
                 ["shard_id", "n_samples", "size_bytes", "tar_md5"])}""",
         # robots_sitemaps: DuckDB re-parses the SAME raw robots bodies
         # with its own regexp engine (cross-parser check); the bounded
-        # generate_series + WHERE is the repo's lateral-posexplode trick.
+        # generate_series + WHERE is the repo's lateral-posexplode trick
+        # (bound derived from the literal rows, never a hardcoded cap).
         "robots_sitemaps": f"""
             WITH r AS (SELECT host,
                 regexp_extract_all(body,
@@ -4301,7 +4322,7 @@ def oracle_sql() -> dict[str, str]:
               FROM {_sql_values_table(_robots_lit_rows(),
                                       ["host", "body"])})
             SELECT host, (i - 1)::INT AS pos, l[i] AS sitemap_url
-            FROM r, generate_series(1, 8) t(i)
+            FROM r, generate_series(1, {_robots_series_bound()}) t(i)
             WHERE i <= len(l)""",
         # sitemap_ingest: DuckDB re-parses the SAME literal bodies with
         # its own regexp/date machinery — cross-engine parser parity.
@@ -4377,7 +4398,7 @@ def oracle_sql() -> dict[str, str]:
                    AND (greatest(pg.w, pg.h) * 100) // least(pg.w, pg.h)
                        <= {MM.PAIR_MAX_ASPECT_PCT}
                    AND len(list_filter(regexp_split_to_array(
-                       lower(pg.caption), '\s+'), x -> x <> ''))
+                       lower(pg.caption), '\\s+'), x -> x <> ''))
                        BETWEEN {MM.PAIR_CAPTION_MIN_TOKENS}
                            AND {MM.PAIR_CAPTION_MAX_TOKENS}
                    AND sc.align_score >= {MM.ALIGN_KEEP_MIN}) AS keep
@@ -4417,7 +4438,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.phash, b.phash)) <= 6""",
         "stream_sessions": """
             WITH o AS (
-              SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+              SELECT user_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
               FROM events),
             f AS (SELECT *, CASE WHEN pts IS NULL

@@ -239,9 +239,22 @@ class SnapshotStore:
         ref_dirs: set[tuple[str, str]] = set()
         ref_blobs: set[str] = set()
         for i in sorted(keep):
-            s = self.snapshot(i)
+            try:
+                s = self.snapshot(i)
+            except Exception as e:
+                s = None
+                err = e
+            else:
+                err = None
             if not s:
-                continue
+                # A RETAINED manifest that cannot be read must abort the
+                # vacuum: silently skipping it would treat its dirs/blobs
+                # as unreferenced and delete live data on a transient
+                # read failure. (ADVICE r5)
+                raise RuntimeError(
+                    f"expire_snapshots: retained manifest snap-{i} "
+                    "unreadable; aborting vacuum (no files removed)"
+                ) from err
             for t, dirs in s.get("tables", {}).items():
                 ref_dirs.update((t, d) for d in dirs)
             ref_blobs.update(s.get("blobs", {}).values())
@@ -260,9 +273,12 @@ class SnapshotStore:
                 tdir = os.path.join(tables_root, t)
                 for d in sorted(os.listdir(tdir)):
                     if (t, d) not in ref_dirs:
-                        shutil.rmtree(os.path.join(tdir, d),
-                                      ignore_errors=True)
-                        removed["dirs"] += 1
+                        path = os.path.join(tdir, d)
+                        shutil.rmtree(path, ignore_errors=True)
+                        # count only confirmed removals (rmtree with
+                        # ignore_errors can fail silently)
+                        if not os.path.exists(path):
+                            removed["dirs"] += 1
         blob_root = os.path.join(self.root, "blobs")
         for b in sorted(os.listdir(blob_root)):
             if b not in ref_blobs:

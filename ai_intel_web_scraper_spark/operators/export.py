@@ -158,9 +158,18 @@ def read_webdataset(shards: DataFrame,
                             fileobj=io.BytesIO(bytes(r["tar_bytes"])),
                             mode="r") as tar:
                         for m in tar.getmembers():
+                            # extractfile() returns None for non-regular
+                            # members (a corrupt typeflag byte can turn a
+                            # file into a directory/link) — skip instead
+                            # of AttributeError-ing the whole task.
+                            if not m.isfile():
+                                continue
+                            f = tar.extractfile(m)
+                            if f is None:
+                                continue
                             stem, _, ext = m.name.rpartition(".")
                             d = out.setdefault(stem, {})
-                            data = tar.extractfile(m).read()
+                            data = f.read()
                             if ext == "txt":
                                 d["caption"] = data.decode("utf-8")
                             else:

@@ -85,26 +85,54 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     keep right rows unique on (key, ts) when oracle-checking against it).
 
     `tolerance_us` additionally voids matches older than the given
-    microsecond gap (pandas `merge_asof(tolerance=...)` analog)."""
+    microsecond gap (pandas `merge_asof(tolerance=...)` analog).
+
+    Orderability (ADVICE r5): the tie ordering sorts only the ORDERABLE
+    right columns (map-typed columns are excluded from the sort key, so
+    a map-bearing right frame no longer fails analysis). Consequence:
+    if two right rows tie on (key, ts) AND on every orderable right
+    column, differing only in map values, the matched map is
+    partition-order dependent — keep such rows unique on the orderable
+    prefix (or on (key, ts)) when determinism matters."""
+    def _orderable(dt) -> bool:
+        # MapType cannot be sort-ordered in Spark; arrays/structs can,
+        # unless they contain a map anywhere inside.
+        from pyspark.sql import types as T
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
+    rtypes = {f.name: f.dataType for f in right.schema.fields}
+    ord_cols = [c for c in right_cols if _orderable(rtypes[c])]
     rstruct = F.struct(
         F.col(right_ts).alias("_rts"),
         *[F.col(c) for c in right_cols]).alias("_r")
+    okey = F.struct(
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c) for c in ord_cols]).alias("_okey")
     r = right.select(F.col(on).alias("_k"),
                      F.col(right_ts).alias("_ts"),
-                     F.lit(0).alias("_tag"), rstruct)
+                     F.lit(0).alias("_tag"), rstruct, okey)
     lstruct = F.struct(*[F.col(c) for c in left.columns]).alias("_l")
     l = left.select(F.col(on).alias("_k"), F.col(left_ts).alias("_ts"),
                     F.lit(1).alias("_tag"), lstruct)
     r = r.withColumn("_l", F.lit(None).cast(l.schema["_l"].dataType))
-    l = l.withColumn("_r", F.lit(None).cast(r.schema["_r"].dataType))
+    l = (l.withColumn("_r", F.lit(None).cast(r.schema["_r"].dataType))
+          .withColumn("_okey",
+                      F.lit(None).cast(r.schema["_okey"].dataType)))
     # right rows sort before left rows at equal ts (tag 0 < 1), so an
-    # exactly-simultaneous right row IS matched (non-strict <=). The _r
-    # struct is the deterministic tiebreaker among right rows tied on
-    # (key, ts): last() then picks the greatest (rts, *right_cols)
-    # struct, run- and partition-order-independent (left rows carry a
-    # NULL _r and compare equal, which is fine — their relative order
-    # can't change which preceding right row last() sees).
-    w = (Window.partitionBy("_k").orderBy("_ts", "_tag", "_r")
+    # exactly-simultaneous right row IS matched (non-strict <=). The
+    # _okey struct (rts + the ORDERABLE right cols) is the deterministic
+    # tiebreaker among right rows tied on (key, ts): last() then picks
+    # the greatest such struct, run- and partition-order-independent
+    # (left rows carry a NULL _okey and compare equal, which is fine —
+    # their relative order can't change which preceding right row
+    # last() sees).
+    w = (Window.partitionBy("_k").orderBy("_ts", "_tag", "_okey")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     m = (r.unionByName(l.select(*r.columns))
          .withColumn("_m", F.last("_r", ignorenulls=True).over(w))

@@ -370,6 +370,33 @@ def test_expire_snapshots_protects_staged_uncommitted_dirs(spark, tmp_path):
     assert got == sorted(list(range(0, 30)) + list(range(100, 110)))
 
 
+def test_expire_snapshots_aborts_on_unreadable_retained_manifest(
+        spark, tmp_path):
+    """ADVICE r5: a RETAINED manifest that cannot be read must abort the
+    vacuum — silently skipping it would treat its dirs/blobs as
+    unreferenced and delete live data. Nothing may be removed."""
+    import glob
+    import os
+    import pytest as _pytest
+    from ai_intel_web_scraper_spark.crawl.statestore import SnapshotStore
+    wh = str(tmp_path / "wh3")
+    store = SnapshotStore(spark, wh, schemas={"t": "x long"})
+    for i in range(3):
+        store.stage_write("t", spark.range(i * 10, i * 10 + 10)
+                          .selectExpr("id as x"), "append")
+        store.commit(round_no=i)
+    snaps = sorted(glob.glob(os.path.join(wh, "snapshots", "snap-*.json")))
+    dirs_before = {p for p in glob.glob(os.path.join(wh, "tables", "t", "*"))}
+    with open(snaps[-2], "w") as f:      # corrupt a RETAINED manifest
+        f.write("{not json")
+    with _pytest.raises(RuntimeError, match="unreadable"):
+        store.expire_snapshots(keep_last=2)
+    assert {p for p in glob.glob(os.path.join(wh, "tables", "t", "*"))} \
+        == dirs_before
+    assert len(glob.glob(os.path.join(wh, "snapshots", "snap-*.json"))) \
+        == len(snaps)
+
+
 def test_crawl_with_periodic_expiry_matches_unexpired_crawl(spark, fixtures,
                                                             tmp_path):
     """Running the engine with expire_every=2/expire_keep=2 must produce

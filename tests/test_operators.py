@@ -1135,3 +1135,32 @@ def test_webdataset_roundtrip_reader(spark, fixtures):
     corrupt = spark.createDataFrame(
         [(99, b"not a tar at all")], "shard_id int, tar_bytes binary")
     assert read_webdataset(corrupt).count() == 0
+
+
+def test_webdataset_reader_skips_non_regular_members(spark):
+    """ADVICE r5: tar.extractfile() returns None for non-regular members
+    (a corrupt typeflag can turn a file into a directory); the reader
+    must skip them — degrade, never AttributeError the task."""
+    import io
+    import tarfile
+    from ai_intel_web_scraper_spark.operators.export import read_webdataset
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tar:
+        d = tarfile.TarInfo("0001.dir")        # directory member
+        d.type = tarfile.DIRTYPE
+        tar.addfile(d)
+        ti = tarfile.TarInfo("0002.png")
+        ti.size = 3
+        tar.addfile(ti, io.BytesIO(b"abc"))
+        tx = tarfile.TarInfo("0002.txt")
+        tx.size = 3
+        tar.addfile(tx, io.BytesIO(b"cap"))
+        ln = tarfile.TarInfo("0003.png")       # symlink member
+        ln.type = tarfile.SYMTYPE
+        ln.linkname = "0002.png"
+        tar.addfile(ln)
+    shards = spark.createDataFrame([(1, buf.getvalue())],
+                                   "shard_id int, tar_bytes binary")
+    rows = read_webdataset(shards).collect()
+    assert [(r["image_id"], r["fmt"], r["caption"], bytes(r["bytes"]))
+            for r in rows] == [("0002", "png", "cap", b"abc")]

@@ -116,6 +116,33 @@ def test_ivf_pq_is_pq_restricted_to_probed_lists(emb):
     assert got == want and 0 < len(probed_ids) < len(full)
 
 
+def test_ivf_pq_non_default_ks(emb):
+    """Non-default coarse_k/pq_k (ADVICE r5: these previously had zero
+    coverage — the DuckDB oracle replays only the module constants).
+    Same restriction invariant as above, but with a 4-centroid coarse
+    quantizer and 4-centroid subspace codebooks built independently."""
+    q = [float((i * 7 % 19) - 9) / 9.0 for i in range(64)]
+    ck, pk = 4, 4
+    coarse = KM.kmeans_fit(emb, k=ck)
+    assert len(coarse) == ck
+    qq = _quant(q)
+    probe = sorted(range(len(coarse)), key=lambda i: (
+        sum((a - c) ** 2 for a, c in zip(qq, coarse[i])), i))[:PQ.IVFPQ_PROBE]
+    probed_ids = {r["vec_id"]
+                  for r in KM.kmeans_assign(emb, coarse).collect()
+                  if r["cluster"] in probe}
+    books = PQ.pq_train(emb, k=pk)
+    assert all(len(b) == pk for b in books)
+    full = PQ.pq_adc_topk(PQ.pq_encode(emb, books), q, books,
+                          10 ** 9).collect()
+    want = [(r["vec_id"], r["adc"]) for r in full
+            if r["vec_id"] in probed_ids][:25]
+    got = [(r["vec_id"], r["adc"])
+           for r in PQ.ivf_pq_topk(emb, q, 25, coarse_k=ck,
+                                   pq_k=pk).collect()]
+    assert got == want and 0 < len(probed_ids) < len(full)
+
+
 def test_pq_partition_invariant(emb):
     q = [0.1] * 64
     a = PQ.pq_topk(emb, q, 25).collect()

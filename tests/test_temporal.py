@@ -188,3 +188,26 @@ def test_asof_right_tie_is_deterministic_max_struct(spark):
                 assert [x["asof"]["px"] for x in r] == [107]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_asof_map_typed_right_column(spark):
+    """ADVICE r5: a map-typed right column must not fail analysis (maps
+    are not sort-orderable in Spark; the tie key now projects only the
+    orderable right columns). Ties on (key, ts) stay deterministic via
+    the orderable prefix; the map payload rides along in the match."""
+    quotes = spark.createDataFrame(
+        [(1, _ts(5), 101, {"venue": "A"}),
+         (1, _ts(5), 107, {"venue": "B"}),
+         (1, _ts(3), 99, {"venue": "C"})],
+        "k long, ts timestamp, px long, attrs map<string,string>")
+    trades = spark.createDataFrame(
+        [(1, _ts(6), 1), (1, _ts(4), 2)],
+        "k long, ts timestamp, qty long")
+    for rep in (quotes, quotes.repartition(5)):
+        got = {r["qty"]: (r["asof"]["px"], dict(r["asof"]["attrs"]))
+               for r in TM.asof_join(trades, rep, "k", "ts", "ts",
+                                     ["px", "attrs"]).collect()}
+        # qty=1 matches the (ts=5, px=107) row — the greatest ORDERABLE
+        # prefix among the tied pair; qty=2 matches the lone ts=3 row.
+        assert got == {1: (107, {"venue": "B"}),
+                       2: (99, {"venue": "C"})}
