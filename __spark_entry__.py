@@ -1476,6 +1476,43 @@ def _sql_values_table(rows: list[tuple], cols: list[str]) -> str:
     return f"(SELECT * FROM (VALUES {body}) t({', '.join(cols)}))"
 
 
+def q_authority_crawl(spark, sf_dir):
+    """rank_mode="authority" (r5): the quality->crawl feedback loop LIVE
+    in the engine — each round recomputes integer PageRank over the
+    edges recorded so far (`operators/graph.py::authority_over`) and
+    ranks the frontier by authority composed with the stored priority
+    (`crawl/semantics.py` contract). fetch_slot is in the output, so the
+    value hash pins the RANKED ORDER itself, not just the fetched set.
+    Oracle: the pure-Python crawler replays the identical integer
+    recurrence; its fetched rows become a literal relation."""
+    import shutil
+    from ai_intel_web_scraper_spark.crawl.scheduler import (CrawlConfig,
+                                                            CrawlEngine)
+    wh = "/tmp/spark_graft_entry_wh_auth"
+    shutil.rmtree(wh, ignore_errors=True)
+    eng = CrawlEngine(spark, _crawl_fixture_paths(), wh,
+                      CrawlConfig(expected_urls=1 << 12,
+                                  write_payload=False,
+                                  rank_mode="authority",
+                                  round_seconds=120.0))
+    eng.run(max_rounds=4)
+    return (eng.store.read("fetched")
+            .select("url", "host", "depth", "round", "discovery_seq",
+                    "fetch_slot")
+            .orderBy("round", "depth", "discovery_seq"))
+
+
+def _authority_crawl_expected() -> list[tuple]:
+    """Pure-Python oracle crawl under rank_mode="authority" with the
+    exact q_authority_crawl engine config."""
+    from ai_intel_web_scraper_spark.functions.urls import url_host
+    from ai_intel_web_scraper_spark.oracle.crawler import oracle_crawl
+    res = oracle_crawl(_crawl_fixture_paths(), max_rounds=4,
+                       round_seconds=120.0, rank_mode="authority")
+    return [(r["url"], url_host(r["url"]), r["depth"], r["round"],
+             r["discovery_seq"], r["fetch_slot"]) for r in res.fetched]
+
+
 def _crawl_frontier_expected() -> list[tuple]:
     """Run the pure-Python oracle crawler (oracle/crawler.py — the golden
     implementation the parity suite gates on) over the entry fixtures with
@@ -2842,6 +2879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_enrich": q_stream_enrich,
         "image_pipeline": q_image_pipeline,
         "robots_sitemaps": q_robots_sitemaps,
+        # --- new in r5: the authority feedback loop live in the engine --
+        "authority_crawl": q_authority_crawl,
         # --- past the 50-query window: stable greens (driver rows in
         # --- CORRECTNESS_r02/r03), still runnable + repo-SQL-checked ---
         "minhash_greedy": q_minhash_greedy,        # r3 green, rotated out
@@ -4292,6 +4331,14 @@ def oracle_sql() -> dict[str, str]:
             FROM {_sql_values_table(_crawl_frontier_expected(),
                                     ["url", "host", "depth", "round",
                                      "discovery_seq"])}""",
+        # authority_crawl: pure-Python oracle crawl under the authority
+        # contract (integer-PR compose each round), fetch_slot included
+        # so the hash pins the ranked order
+        "authority_crawl": f"""
+            SELECT url, host, depth, round, discovery_seq, fetch_slot
+            FROM {_sql_values_table(_authority_crawl_expected(),
+                                    ["url", "host", "depth", "round",
+                                     "discovery_seq", "fetch_slot"])}""",
         "image_features": f"""
             SELECT image_id, w, h, fmt, mean_r, mean_g, mean_b, phash,
                    decode_ok

@@ -180,7 +180,15 @@ class CrawlConfig:
     #   the driver never holds the host set. Required at 10^8-host scale.
     host_state_mode: str = "pandas"
     expected_urls: int = 1 << 20
-    rank_mode: str = "bfs"        # "bfs" (oracle-parity) | "priority"
+    # "bfs": (depth, discovery_seq) — reference FIFO parity.
+    # "priority": stored priority desc (seed ppm / hash-derived link
+    #   score), BFS tiebreak.
+    # "authority": the quality->crawl feedback loop (r5) — each round
+    #   recomputes integer PageRank over the edges recorded so far and
+    #   ranks the frontier by authority composed with the stored
+    #   priority (crawl/semantics.py "authority rank" contract). The
+    #   stored frontier priority column is never overwritten.
+    rank_mode: str = "bfs"
     write_payload: bool = True    # join image bytes into the fetched sink
     max_rounds: int = 200
     round_seconds: float = S.ROUND_SECONDS  # virtual wall-clock per round
@@ -249,6 +257,42 @@ class CrawlEngine:
         return (self.store.read("url_seen")
                 .select(self._bucket("url_hash").alias("bucket"),
                         "url_hash", "url"))
+
+    def _authority_rank_view(self, frontier: DataFrame) -> DataFrame:
+        """rank_mode="authority" (r5): the quality->crawl feedback loop.
+        Integer PageRank (`operators/graph.py::authority_over`) over the
+        DISTINCT policy-accepted edges recorded so far, nodes = url_seen,
+        composed with each frontier row's STORED priority into the rank
+        the politeness windows order by:
+
+            rank = authority_r(url) + floor(priority * 1e6) * AUTH_SEED_W
+
+        (`crawl/semantics.py` "authority rank" contract; the oracle
+        crawler replays the identical integer recurrence in pure
+        Python.) Returns a VIEW with `priority` replaced by the composed
+        rank — the stored frontier column is never overwritten, so the
+        composition is recomputed fresh as the graph grows.
+
+        Scale shape: 2 shuffles per PR iteration over (url, rank) pairs
+        — signatures/keys only, never page payloads; dangling self-loops
+        via left-anti; node count is one scalar agg. A production crawl
+        refreshes this every K rounds and keys by url_hash; the per-
+        round refresh here keeps the parity contract exact."""
+        from ..operators.graph import AUTH_SEED_W, authority_over
+        edges = (self.store.read("edges")
+                 .where(F.col("reject").isNull())
+                 .select(F.col("src_url").alias("src"),
+                         F.col("dst_url").alias("dst"))
+                 .distinct())
+        nodes = self.store.read("url_seen").select(
+            F.col("url").alias("node")).distinct()
+        pr = authority_over(nodes, edges)
+        composed = (F.coalesce(F.col("r"), F.lit(0))
+                    + F.floor(F.col("priority") * 1e6).cast("long")
+                    * F.lit(AUTH_SEED_W)).cast("double")
+        return (frontier.join(pr, frontier["url"] == pr["node"], "left")
+                .withColumn("priority", composed)
+                .drop("node", "r"))
 
     # Sidecar validity marker: the url_seen sidecar (bloom blob, bloom
     # shard rows, or cuckoo shard rows) is only trustworthy if the LAST
@@ -522,8 +566,10 @@ class CrawlEngine:
         # then the quota-bounded survivor set joins the full row back. At
         # 10^10-frontier scale this is the difference between shuffling
         # hashes and shuffling the web's URLs.
-        narrow = frontier.select("url_hash", "host", "depth", "priority",
-                                 "discovery_seq")
+        rank_view = (self._authority_rank_view(frontier)
+                     if cfg.rank_mode == "authority" else frontier)
+        narrow = rank_view.select("url_hash", "host", "depth", "priority",
+                                  "discovery_seq")
         ranked = politeness_rank(
             narrow, quota_cfg, order_cols, cfg.n_salt, round_no,
             cfg.round_seconds, max_quota=max_quota,

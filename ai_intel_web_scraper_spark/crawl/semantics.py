@@ -58,6 +58,65 @@ def child_seq(parent_seq: int, pos: int) -> int:
     return parent_seq * (1 << SEQ_LEVEL_BITS) + pos + 1
 
 
+# --------------------------------------------------- authority rank (r5)
+# rank_mode="authority": the quality/authority feedback loop. At the
+# START of round R (R >= 1) both implementations compute integer
+# PageRank (operators/graph.py recurrence: PR_ITERS iterations,
+# PR_SCALE quantization, 85/100 damping, dangling nodes get one
+# self-loop) over
+#   nodes = url_seen as of round R-1,
+#   edges = DISTINCT policy-ACCEPTED same-host candidate links recorded
+#           through round R-1 (the engine's `edges` table with
+#           reject IS NULL; the oracle's accumulated candidate set),
+# and rank each frontier row by
+#   compose_rank = authority_r(url) + floor(priority * 1e6) * AUTH_SEED_W
+# descending, then (depth, discovery_seq) ascending. `priority` is the
+# row's STORED priority (seed ppm/1e6 or the hash-derived link score) —
+# the stored frontier column is never overwritten, so the composition
+# is recomputed fresh each round as the graph grows. All arithmetic is
+# 64-bit integer (the floor of an IEEE product is deterministic), so
+# engine and oracle rank bit-identically.
+
+
+def authority_ranks(nodes, edges, iters: int | None = None) -> dict:
+    """Pure-Python replay of `operators/graph.py::authority_over`:
+    integer PageRank over arbitrary hashable node keys with self-loops
+    added for dangling nodes. `edges` is an iterable of DISTINCT
+    (src, dst) pairs. Returns {node: quantized_rank}. Oracle-side only
+    (sequential, test scale); the engine runs the DataFrame twin."""
+    from ..operators.graph import (PR_DAMP_DEN, PR_DAMP_NUM, PR_ITERS,
+                                   PR_SCALE)
+    iters = PR_ITERS if iters is None else iters
+    nodes = list(nodes)
+    n = len(nodes)
+    if n == 0:
+        return {}
+    edges = set(edges)
+    has_out = {s for s, _ in edges}
+    full = list(edges) + [(u, u) for u in nodes if u not in has_out]
+    outdeg: dict = {}
+    for s, _ in full:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // (PR_DAMP_DEN * n)
+    r = {u: PR_SCALE // n for u in nodes}
+    for _ in range(iters):
+        sums = dict.fromkeys(nodes, 0)
+        for s, d in full:
+            sums[d] += r[s] // outdeg[s]
+        r = {u: base + (PR_DAMP_NUM * sums[u]) // PR_DAMP_DEN
+             for u in nodes}
+    return r
+
+
+def compose_rank(authority_r: int, priority: float) -> int:
+    """The shared frontier-rank composition (engine twin:
+    `CrawlEngine._authority_rank_view`)."""
+    import math
+
+    from ..operators.graph import AUTH_SEED_W
+    return int(authority_r) + int(math.floor(priority * 1e6)) * AUTH_SEED_W
+
+
 def host_round_quota(crawl_delay: float,
                      round_seconds: float = ROUND_SECONDS) -> int:
     """URLs a host may be scheduled per round (>= 1). `round_seconds` is the

@@ -30,6 +30,9 @@ class OracleResult:
     failures: list[dict] = field(default_factory=list)
     url_seen: set[str] = field(default_factory=set)
     rounds: list[dict] = field(default_factory=list)
+    # DISTINCT policy-accepted candidate edges (engine `edges` table
+    # with reject IS NULL) — the authority rank mode's input graph
+    edge_set: set = field(default_factory=set)
 
 
 def _load_tables(fixtures: dict) -> tuple[dict, list, dict, dict]:
@@ -85,7 +88,7 @@ def oracle_crawl(fixtures: dict, max_rounds: int = 200,
                        key=lambda r: r["seed_seq"])
     if rank_mode == "bfs":
         rank_key = lambda r: (r["depth"], r["seq"])  # noqa: E731
-    else:  # priority: seed priority desc, then BFS order (engine parity)
+    else:  # priority/authority: rank desc, then BFS order (engine parity)
         rank_key = lambda r: (-r["priority"], r["depth"], r["seq"])  # noqa: E731
 
     def host_cfg(host: str) -> dict | None:
@@ -113,6 +116,7 @@ def oracle_crawl(fixtures: dict, max_rounds: int = 200,
     res = OracleResult()
     frontier: list[dict] = []  # rows: url host depth seq attempt
     fetched_count: dict[str, int] = {}
+    edge_set = res.edge_set  # accumulated per the semantics contract
 
     # bootstrap (round 0): canonicalize seeds, policy-filter, add-before-enqueue
     for srow in seeds:
@@ -133,6 +137,14 @@ def oracle_crawl(fixtures: dict, max_rounds: int = 200,
     for round_no in range(1, max_rounds + 1):
         if not frontier:
             break
+        if rank_mode == "authority":
+            # fresh integer-PR compose each round over the graph so far
+            # (nodes = url_seen, edges = accumulated accepted candidates);
+            # the stored row priority is composed in, never overwritten
+            auth = S.authority_ranks(res.url_seen, edge_set)
+            rank_key = lambda r, _a=auth: (  # noqa: E731
+                -S.compose_rank(_a.get(r["url"], 0), r["priority"]),
+                r["depth"], r["seq"])
         by_host: dict[str, list[dict]] = {}
         for row in frontier:
             by_host.setdefault(row["host"], []).append(row)
@@ -182,6 +194,7 @@ def oracle_crawl(fixtures: dict, max_rounds: int = 200,
                             continue
                         if rejected(cu, cfg):
                             continue
+                        edge_set.add((row["url"], cu))
                         candidates.append({
                             "url": cu, "host": host,
                             "depth": row["depth"] + 1,

@@ -198,6 +198,48 @@ def test_priority_rank_mode_matches_oracle(spark, fixtures, oracle):
     assert any(bfs_slots[k] != prio_slots[k] for k in common)
 
 
+def test_authority_rank_mode_matches_oracle(spark, fixtures, oracle):
+    """rank_mode='authority' (r5): the engine recomputes integer PageRank
+    over the recorded edge table each round and ranks the frontier by the
+    composed authority score; the oracle replays the identical integer
+    recurrence in pure Python. Full fetch-row parity, and the order must
+    actually differ from BFS (the feedback loop changes the crawl)."""
+    wh = "/tmp/spark_graft_wh_auth"
+    shutil.rmtree(wh, ignore_errors=True)
+    eng = CrawlEngine(spark, fixtures, wh,
+                      CrawlConfig(rank_mode="authority",
+                                  write_payload=False))
+    eng.run()
+    want_res = oracle_crawl(fixtures, rank_mode="authority")
+    got = [(r["url"], r["round"], r["fetch_slot"]) for r in
+           eng.store.read("fetched")
+           .select("url", "round", "depth", "discovery_seq", "fetch_slot")
+           .orderBy("round", "depth", "discovery_seq").collect()]
+    want = [(r["url"], r["round"], r["fetch_slot"])
+            for r in want_res.fetched]
+    assert sorted(got) == sorted(want)
+    # the authority loop must change some fetch slots vs plain BFS
+    bfs_slots = {(r["url"], r["round"]): r["fetch_slot"]
+                 for r in oracle.fetched}
+    auth_slots = {(r["url"], r["round"]): r["fetch_slot"]
+                  for r in want_res.fetched}
+    common = set(bfs_slots) & set(auth_slots)
+    assert any(bfs_slots[k] != auth_slots[k] for k in common)
+    # better-targeted: among pages the two modes both fetch, the most
+    # linked-to pages (in-degree hubs of the accumulated edge set) are
+    # fetched no later on average under authority than under BFS
+    indeg: dict[str, int] = {}
+    for _s, d in want_res.edge_set:
+        indeg[d] = indeg.get(d, 0) + 1
+    auth_pos = {r["url"]: i for i, r in enumerate(want_res.fetched)}
+    bfs_pos = {r["url"]: i for i, r in enumerate(oracle.fetched)}
+    both = [u for u in auth_pos if u in bfs_pos and indeg.get(u, 0) > 0]
+    hubs = sorted(both, key=lambda u: -indeg[u])[:max(len(both) // 10, 5)]
+    mean_auth = sum(auth_pos[u] for u in hubs) / len(hubs)
+    mean_bfs = sum(bfs_pos[u] for u in hubs) / len(hubs)
+    assert mean_auth <= mean_bfs
+
+
 def test_snapshot_history_and_time_travel(engine, spark):
     """Iceberg-analog time travel: history() lists the commit chain and a
     read at snapshot k returns exactly the state after round k."""
