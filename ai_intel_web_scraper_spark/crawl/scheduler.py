@@ -37,6 +37,7 @@ Crawl semantics contract: see semantics.py (shared with the oracle).
 from __future__ import annotations
 
 import json
+import os
 import time
 from dataclasses import dataclass
 
@@ -211,6 +212,21 @@ class CrawlConfig:
     # preseed; `sources/sitemaps.py`). Off by default: the baseline
     # parity corpus seeds only from the seed list.
     preseed_sitemaps: bool = False
+    # url_seen storage layout for the exact anti-join (r5):
+    # "snapshot": read the snapshot-store parquet (shuffles the full seen
+    #   set into the anti-join every round).
+    # "bucketed": additionally mirror url_seen into a catalog table
+    #   bucketed by url_hash (`sources/bucketed.py`; Iceberg
+    #   bucket(N, url_hash) at the swap point) and run the exact check
+    #   as a co-located hash-equi join + tiny exact-url confirm — the
+    #   10^10-row seen side is never re-shuffled (plan-asserted). The
+    #   snapshot table remains the source of truth: a validity marker
+    #   (buckets + round) forces a rebuild after any mode/bucket change
+    #   or lost catalog, and reads filter round_added <= committed round
+    #   so crash-leftover appends are invisible (duplicates from a
+    #   resumed round are harmless set-semantics extras).
+    seen_layout: str = "snapshot"
+    seen_buckets: int | None = None   # default: max(16, 2 * parallelism)
 
 
 class CrawlEngine:
@@ -257,6 +273,93 @@ class CrawlEngine:
         return (self.store.read("url_seen")
                 .select(self._bucket("url_hash").alias("bucket"),
                         "url_hash", "url"))
+
+    # ------------------------------------------- bucketed url_seen (r5)
+    def _seen_table_name(self) -> str:
+        import hashlib
+        h = hashlib.md5(self.store.root.encode()).hexdigest()[:12]
+        return f"crawl_url_seen_{h}"
+
+    def _seen_buckets(self) -> int:
+        if self.cfg.seen_buckets:
+            return self.cfg.seen_buckets
+        return max(16, 2 * self.spark.sparkContext.defaultParallelism)
+
+    def _seen_layout_valid(self) -> bool:
+        """The bucketed mirror is trustworthy only if the LAST commit
+        maintained it at the current bucket count and the catalog still
+        knows the table (a fresh session's in-memory catalog forgets it;
+        the rebuild is always correct)."""
+        raw = self.store.read_blob("seen_layout_meta")
+        if raw is None:
+            return False
+        try:
+            meta = json.loads(raw)
+        except ValueError:
+            return False
+        snap = self.store.snapshot() or {}
+        return (meta.get("buckets") == self._seen_buckets()
+                and meta.get("round") == snap.get("round")
+                and self.spark.catalog.tableExists(self._seen_table_name()))
+
+    def _seen_catalog_write(self, rows: DataFrame, mode: str) -> None:
+        from ..sources.bucketed import write_bucketed
+        name = self._seen_table_name()
+        if mode == "overwrite":
+            # a fresh session's in-memory catalog forgets the table but
+            # its warehouse dir survives — saveAsTable then fails with
+            # LOCATION_ALREADY_EXISTS; clear both before rebuilding
+            import shutil
+            from urllib.parse import urlparse
+            self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+            wdir = urlparse(
+                self.spark.conf.get("spark.sql.warehouse.dir")).path
+            shutil.rmtree(os.path.join(wdir, name), ignore_errors=True)
+        write_bucketed(rows.select("url_hash", "url", "round_added"),
+                       name, "url_hash", self._seen_buckets(), mode=mode)
+
+    def _rebuild_seen_catalog(self) -> None:
+        self._seen_catalog_write(
+            self.store.read("url_seen"), "overwrite")
+
+    def _anti_seen(self, cand: DataFrame) -> DataFrame:
+        """Exact not-yet-seen filter for candidate rows.
+
+        snapshot layout: one left-anti join on (bucket, url_hash, url) —
+        correct, but the seen side shuffles every round.
+
+        bucketed layout: v1 bucketing elides the Exchange only when the
+        join keys EQUAL the bucket column (probed r5: a superset key
+        re-shuffles both sides), and url_hash alone is not a correctness
+        key at 10^10 URLs (64-bit collisions are expected at that
+        scale). So the exact check runs in two phases:
+          1. candidates ⋈ seen on url_hash ALONE (inner,
+             SortMergeJoin): co-located with the table layout — ZERO
+             Exchange on the seen side, one on the per-round candidate
+             delta. The url-equality check must NOT be a plain filter
+             on the join output: Catalyst would merge it into the join
+             condition, re-keying it to (url_hash, url) and
+             re-shuffling both sides (observed r5). It therefore sits
+             behind a groupBy fence — aggregate max(_seen_url = url)
+             per candidate url, filter on the AGGREGATED flag.
+          2. the truly-seen set (true hits + rare collisions, bounded
+             by the delta) anti-joins back — AQE-broadcastable.
+        Reads filter round_added <= the committed round so appends from
+        a crashed round never leak into a resume."""
+        if self.cfg.seen_layout != "bucketed":
+            return cand.join(self._seen(),
+                             ["bucket", "url_hash", "url"], "left_anti")
+        from ..sources.bucketed import read_bucketed
+        snap_round = int((self.store.snapshot() or {}).get("round", -1))
+        seen = (read_bucketed(self.spark, self._seen_table_name())
+                .where(F.col("round_added") <= F.lit(snap_round))
+                .select("url_hash", F.col("url").alias("_seen_url")))
+        m = cand.select("url_hash", "url").join(seen, "url_hash", "inner")
+        hits = (m.groupBy("url")
+                .agg(F.max(F.col("_seen_url") == F.col("url"))
+                     .alias("_hit"))
+                .where(F.col("_hit")).select("url"))
+        return cand.join(hits, "url", "left_anti")
 
     def _authority_rank_view(self, frontier: DataFrame) -> DataFrame:
         """rank_mode="authority" (r5): the quality->crawl feedback loop.
@@ -450,6 +553,10 @@ class CrawlEngine:
                 self._bloom_add(bloom, frontier)
                 self.store.stage_blob("bloom", bloom.to_bytes())
             self._stage_sidecar_meta(self.cfg.bloom_mode, 0)
+        if self.cfg.seen_layout == "bucketed":
+            self._seen_catalog_write(url_seen, "overwrite")
+            self.store.stage_blob("seen_layout_meta", json.dumps(
+                {"buckets": self._seen_buckets(), "round": 0}).encode())
         self.store.commit(round_no=0, metrics={"round": 0, "event": "bootstrap"})
 
     def _shard_partials(self, df: DataFrame) -> DataFrame:
@@ -501,6 +608,11 @@ class CrawlEngine:
         sp = self.spark
         cfg = self.cfg
         frontier = self.store.read("frontier")
+        if cfg.seen_layout == "bucketed" and not self._seen_layout_valid():
+            # mode switch / bucket-count change / fresh session catalog:
+            # rebuild the bucketed mirror from the committed url_seen
+            # (always correct; the anti-join below reads it lazily)
+            self._rebuild_seen_catalog()
 
         # -- politeness quota (SURVEY C9): two-phase salted ranking ---------
         # quota = min(max(round_seconds/crawl_delay, 1), remaining budget)
@@ -705,8 +817,7 @@ class CrawlEngine:
             probed_cached = probed
             definite_new = probed.where(~F.col("maybe")).drop("maybe")
             to_confirm = probed.where(F.col("maybe")).drop("maybe")
-            confirmed = to_confirm.join(
-                self._seen(), ["bucket", "url_hash", "url"], "left_anti")
+            confirmed = self._anti_seen(to_confirm)
             new_urls = definite_new.unionByName(confirmed).persist()
         else:
             bloom_bytes = self.store.read_blob("bloom")
@@ -731,16 +842,14 @@ class CrawlEngine:
                 probed_cached = probed
                 definite_new = probed.where(~F.col("maybe")).drop("maybe")
                 to_confirm = probed.where(F.col("maybe")).drop("maybe")
-                confirmed = to_confirm.join(
-                    self._seen(), ["bucket", "url_hash", "url"], "left_anti")
+                confirmed = self._anti_seen(to_confirm)
                 new_urls = definite_new.unionByName(confirmed)
             else:
                 # probing disabled — but keep maintaining an existing
                 # sidecar so re-enabling use_bloom later stays safe
                 bloom = (BloomShards.from_bytes(bloom_bytes)
                          if bloom_bytes is not None else None)
-                new_urls = deduped.join(
-                    self._seen(), ["bucket", "url_hash", "url"], "left_anti")
+                new_urls = self._anti_seen(deduped)
             new_urls = new_urls.persist()
 
         # -- next frontier: unscheduled + retries + new (anti-join, no skew) -
@@ -878,6 +987,19 @@ class CrawlEngine:
         for f in futs:  # join the concurrent sink writes
             f.result()
         pool.shutdown()
+        if cfg.seen_layout == "bucketed":
+            # append the round's delta to the bucketed mirror BEFORE the
+            # commit: a crash in between leaves the marker at R-1 and
+            # reads filter round_added <= committed round, so leftover
+            # rows are invisible until the resumed round re-commits
+            # (duplicates are set-semantics extras; see CrawlConfig)
+            self._seen_catalog_write(
+                new_urls.select("url_hash", "url",
+                                F.lit(round_no).alias("round_added")),
+                "append")
+            self.store.stage_blob("seen_layout_meta", json.dumps(
+                {"buckets": self._seen_buckets(),
+                 "round": round_no}).encode())
         if cfg.host_state_mode == "dataframe":
             # per-host budget update as a join + staged replace — the host
             # set never transits the driver

@@ -173,14 +173,22 @@ def run_crawl(spark, n_hosts: int, total_pages: int,
     }
 
 
-def sched_fixtures(spark, n_urls: int, n_hosts: int, seen_frac: float) -> dict:
+def sched_fixtures(spark, n_urls: int, n_hosts: int, seen_frac: float,
+                   seen_mult: int = 1) -> dict:
     """Synthetic frontier at scheduling-bench scale (the 10^10-URL story
     downscaled): Zipf-skewed hosts (head host holds ~(1/H)^(1/3) of all
     URLs), deterministic hash-derived priorities, and a url_seen table
     covering ~seen_frac of the frontier. Everything is spark.range + codegen
-    (no Python row generation); written once and cached by tag."""
+    (no Python row generation); written once and cached by tag.
+
+    `seen_mult` > 1 pads url_seen with (seen_mult-1) * n_urls EXTRA rows
+    from a disjoint URL range (pages crawled in earlier rounds that the
+    current frontier never re-links) — the steady-state crawl regime,
+    where the seen set dwarfs the per-round delta. These rows match no
+    candidate, so scheduled counts are layout- and mult-invariant."""
     from pyspark.sql import functions as F
-    tag = f"u{n_urls}_h{n_hosts}_s{seen_frac}_v4"
+    tag = (f"u{n_urls}_h{n_hosts}_s{seen_frac}_v4"
+           + (f"_m{seen_mult}" if seen_mult != 1 else ""))
     out = f"/tmp/spark_graft_sched_fx_{tag}"
     done = os.path.join(out, "_DONE")
     paths = {"frontier": os.path.join(out, "frontier.parquet"),
@@ -225,19 +233,40 @@ def sched_fixtures(spark, n_urls: int, n_hosts: int, seen_frac: float) -> dict:
             F.pmod(F.abs("url_hash"), F.lit(SCHED_BUCKETS)).cast("int"))
         frontier.write.mode("overwrite").parquet(paths["frontier"])
         # ~seen_frac of the frontier is already known (hash-derived subset)
-        (spark.read.parquet(paths["frontier"])
-         .where(F.pmod(F.abs("url_hash"), F.lit(1000))
-                < int(seen_frac * 1000))
-         .select("url", "url_hash", "bucket")
-         .write.mode("overwrite").parquet(paths["url_seen"]))
+        seen_df = (spark.read.parquet(paths["frontier"])
+                   .where(F.pmod(F.abs("url_hash"), F.lit(1000))
+                          < int(seen_frac * 1000))
+                   .select("url", "url_hash", "bucket"))
+        if seen_mult > 1:
+            extra_ids = spark.range(n_urls, n_urls * seen_mult, 1, 64)
+            ex_u = (F.pmod(F.xxhash64("id"), F.lit(1_000_000))
+                    .cast("double") + 500_000.0) / 1_000_000.0
+            ex_host = F.least(F.floor(F.pow(ex_u, F.lit(3.0)) * n_hosts),
+                              F.lit(n_hosts - 1)).cast("int")
+            ex_url = F.format_string("https://host%d.example/old/%d",
+                                     ex_host, F.col("id"))
+            from ai_intel_web_scraper_spark.crawl.scheduler import \
+                resolve_udf as _ru
+            extra = (extra_ids.select(ex_url.alias("raw"))
+                     .withColumn("r", _ru("raw",
+                                          F.lit(None).cast("string")))
+                     .select(F.col("r.url").alias("url"),
+                             F.col("r.url_hash").alias("url_hash"))
+                     .withColumn("bucket",
+                                 F.pmod(F.abs("url_hash"),
+                                        F.lit(SCHED_BUCKETS)).cast("int")))
+            seen_df = seen_df.unionByName(extra)
+        seen_df.write.mode("overwrite").parquet(paths["url_seen"])
         # bloom sidecar over url_seen, in BOTH placements: executor-built
         # per-bucket shard rows (the 10^10 shape — written as a parquet
         # table, never driver-merged) and the single broadcast blob
         from ai_intel_web_scraper_spark.crawl.bloom import (
             BloomShards, or_merge_shards_fn, partial_bitmaps)
         import numpy as np
-        bloom = BloomShards.sized_for(max(int(n_urls * seen_frac), 1024),
-                                      SCHED_BUCKETS)
+        bloom = BloomShards.sized_for(
+            max(int(n_urls * seen_frac)
+                + n_urls * (seen_mult - 1), 1024),
+            SCHED_BUCKETS)
         partials = (spark.read.parquet(paths["url_seen"])
                     .select("bucket", "url_hash")
                     .repartition(SCHED_BUCKETS, "bucket")
@@ -283,9 +312,38 @@ def sched_cuckoo_shards(spark, paths: dict, n_urls: int,
     return p
 
 
+def sched_bucketed_seen(spark, paths: dict, n_urls: int,
+                        seen_frac: float, seen_mult: int = 1) -> str:
+    """One-time bucketed catalog mirror of the sched url_seen fixture
+    (built outside the timer, like the sidecar builds): the r5
+    seen_layout="bucketed" path joins candidates against it on url_hash
+    alone, so the big seen side is never re-shuffled per round."""
+    from ai_intel_web_scraper_spark.sources.bucketed import write_bucketed
+    tag = f"u{n_urls}_s{seen_frac}_m{seen_mult}".replace(".", "_")
+    tbl = f"sched_seen_{tag}"
+    if not spark.catalog.tableExists(tbl):
+        buckets = max(16, 2 * spark.sparkContext.defaultParallelism)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        wdir = spark.conf.get("spark.sql.warehouse.dir")
+        from urllib.parse import urlparse
+        shutil.rmtree(os.path.join(urlparse(wdir).path, tbl),
+                      ignore_errors=True)
+        # repartition on the bucket column first: one file per bucket,
+        # so the scan's per-bucket output is globally sorted and the
+        # join elides the seen-side SORT as well as the Exchange (a
+        # compacted Iceberg table gives the same property)
+        write_bucketed(spark.read.parquet(paths["url_seen"])
+                       .select("url_hash", "url")
+                       .repartition(buckets, "url_hash"),
+                       tbl, "url_hash", buckets)
+    return tbl
+
+
 def run_sched(spark, n_urls: int, n_hosts: int, seen_frac: float,
               round_seconds: float, n_salt: int,
-              bloom_mode: str = "partitioned") -> dict:
+              bloom_mode: str = "partitioned",
+              seen_layout: str = "snapshot",
+              seen_mult: int = 1) -> dict:
     """ONE frontier-scheduling round at bench scale — the per-round
     DataFrame job of the crawl engine, timed end-to-end including the
     parquet sink write. This is the north-rule metric surface:
@@ -309,10 +367,13 @@ def run_sched(spark, n_urls: int, n_hosts: int, seen_frac: float,
                                                         cuckoo_probe_fn,
                                                         partitioned_probe_fn)
     from ai_intel_web_scraper_spark.crawl.scheduler import politeness_rank
-    fx = sched_fixtures(spark, n_urls, n_hosts, seen_frac)
+    fx = sched_fixtures(spark, n_urls, n_hosts, seen_frac, seen_mult)
     if bloom_mode == "cuckoo":  # lazy one-time build, outside the timer
         fx["cuckoo_shards"] = sched_cuckoo_shards(spark, fx, n_urls,
                                                   seen_frac)
+    seen_tbl = (sched_bucketed_seen(spark, fx, n_urls, seen_frac,
+                                    seen_mult)
+                if seen_layout == "bucketed" else None)
     rng = np.random.default_rng(42)
     delays = rng.choice([0.3, 0.5, 1.0], size=n_hosts)
     quota_cfg = spark.createDataFrame(pd.DataFrame({
@@ -362,10 +423,28 @@ def run_sched(spark, n_urls: int, n_hosts: int, seen_frac: float,
         probed = resolved.withColumn("maybe",
                                      maybe_seen("bucket", "url_hash"))
     definite_new = probed.where(~F.col("maybe")).drop("maybe")
-    seen = spark.read.parquet(fx["url_seen"]).select("bucket", "url_hash",
-                                                     "url")
-    confirmed = (probed.where(F.col("maybe")).drop("maybe")
-                 .join(seen, ["bucket", "url_hash", "url"], "left_anti"))
+    to_confirm = probed.where(F.col("maybe")).drop("maybe")
+    if seen_tbl is not None:
+        # r5 bucketed layout: co-located hash-equi join (zero Exchange
+        # on the seen side) + groupBy-fenced exact-url confirm — the
+        # CrawlEngine._anti_seen shape. The two-phase form consumes
+        # to_confirm twice; persist it like the engine persists probed
+        # (snapshot mode consumes it once, so its path is unchanged).
+        to_confirm = to_confirm.persist()
+        seen_b = spark.table(seen_tbl).select(
+            "url_hash", F.col("url").alias("_seen_url"))
+        m = (to_confirm.select("url_hash", "url")
+             .join(seen_b, "url_hash", "inner"))
+        hits = (m.groupBy("url")
+                .agg(F.max(F.col("_seen_url") == F.col("url"))
+                     .alias("_hit"))
+                .where(F.col("_hit")).select("url"))
+        confirmed = to_confirm.join(hits, "url", "left_anti")
+    else:
+        seen = spark.read.parquet(fx["url_seen"]).select(
+            "bucket", "url_hash", "url")
+        confirmed = to_confirm.join(seen, ["bucket", "url_hash", "url"],
+                                    "left_anti")
     fresh = definite_new.unionByName(confirmed)
     ranked = politeness_rank(
         fresh.select("url_hash", "host", "depth", "discovery_seq"),
@@ -387,6 +466,7 @@ def run_sched(spark, n_urls: int, n_hosts: int, seen_frac: float,
     return {
         "frontier_urls": n_urls, "deduped": n_urls, "scheduled": n_sched,
         "wall_sec": round(wall, 2), "bloom_mode": bloom_mode,
+        "seen_layout": seen_layout, "seen_mult": seen_mult,
         "throughput_urls_per_sec": round((n_urls + n_sched) / wall, 1),
     }
 
@@ -484,6 +564,14 @@ def main() -> None:
     ap.add_argument("--sched-hosts", type=int, default=2000)
     ap.add_argument("--sched-seen-frac", type=float, default=0.3)
     ap.add_argument("--sched-salt", type=int, default=16)
+    ap.add_argument("--seen-layout", default="snapshot",
+                    choices=["snapshot", "bucketed"],
+                    help="url_seen layout for the sched round's exact "
+                         "anti-join (bucketed = r5 co-located join; the "
+                         "catalog mirror is built outside the timer)")
+    ap.add_argument("--sched-seen-mult", type=int, default=1,
+                    help="pad url_seen to mult*n_urls rows (steady-state "
+                         "crawl regime: seen >> per-round delta)")
     ap.add_argument("--no-aqe", action="store_true",
                     help="disable adaptive query execution for the bench "
                          "session (fixed-shape job; AQE's per-stage driver "
@@ -514,7 +602,8 @@ def main() -> None:
     if args.sched_only:
         sched = run_sched(spark, args.sched_urls, args.sched_hosts,
                           args.sched_seen_frac, args.round_seconds,
-                          args.sched_salt, args.bloom_mode)
+                          args.sched_salt, args.bloom_mode,
+                          args.seen_layout, args.sched_seen_mult)
         queries["sched_round"] = sched["wall_sec"]
     else:
         if not args.crawl_only:

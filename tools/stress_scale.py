@@ -16,8 +16,15 @@ The 10x corpus is built ONCE from the driver's own sf0.1 parquet:
   10x without collapsing into exact duplicates).
 - graphs: the synthetic generators take n directly (10x nodes).
 
-Usage: python tools/stress_scale.py [replicas]   (default 10)
+Usage: python tools/stress_scale.py [replicas] [case ...]  (default 10, all)
 Prints one JSON line {query: {"base_sec": .., "x10_sec": .., "ratio": ..}}.
+
+r5 addition: `semdedup_sqrt_k` re-runs the scaled semdedup point with the
+cluster count sized k ~ sqrt(n) (the Abbas et al. convention the operator
+docstring prescribes — the toy's fixed k=8 makes the within-cluster
+quadratic visible at 20x; production sizing keeps cluster populations
+bounded). The case also asserts the plan SHAPE is unchanged at the larger
+k: still a cluster-equi join, never a nested loop.
 """
 
 from __future__ import annotations
@@ -82,8 +89,10 @@ def _time(fn) -> float:
 
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = set(sys.argv[2:])
     from ai_intel_web_scraper_spark.operators import dedup as D
     from ai_intel_web_scraper_spark.operators import graph as G
+    from ai_intel_web_scraper_spark.operators import vectors as V
     from ai_intel_web_scraper_spark.session import get_spark
     import __spark_entry__ as E
 
@@ -98,9 +107,28 @@ def main() -> None:
         return (D.connected_components(pairs)
                 .select(F.col("id").alias("node"), "comp"))
 
+    sqrt_k = max(8, int(round(8 * replicas ** 0.5)))
+
+    def _semdedup_sized():
+        df = V.semdedup(
+            spark.read.parquet(os.path.join(big, "embeddings.parquet")),
+            n_centroids=sqrt_k)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        import re
+        assert re.search(
+            "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        return df
+
     cases = {
         "semdedup": (lambda: qs["semdedup"](spark, BASE_SF),
                      lambda: qs["semdedup"](spark, big)),
+        # the paper's sizing: k ~ sqrt(n) at the scaled point (same
+        # fixed-k base, so the ratio is directly comparable to
+        # `semdedup`'s); plan shape asserted unchanged at the larger k
+        "semdedup_sqrt_k": (lambda: qs["semdedup"](spark, BASE_SF),
+                            _semdedup_sized),
         "dup_spans": (lambda: qs["dup_spans"](spark, BASE_SF),
                       lambda: qs["dup_spans"](spark, big)),
         "incremental_dedup": (
@@ -122,6 +150,8 @@ def main() -> None:
     _time(lambda: spark.read.parquet(os.path.join(big, "documents.parquet"))
           .limit(1000))
     out = {}
+    if only:
+        cases = {k: v for k, v in cases.items() if k in only}
     for name, (base_fn, big_fn) in cases.items():
         b = _time(base_fn)
         x = _time(big_fn)
