@@ -1513,6 +1513,28 @@ def _authority_crawl_expected() -> list[tuple]:
              r["discovery_seq"], r["fetch_slot"]) for r in res.fetched]
 
 
+def q_bucketed_crawl(spark, sf_dir):
+    """seen_layout="bucketed" (r5) LIVE in the engine: the url_seen
+    mirror bucketed by url_hash + the two-phase exchange-free exact
+    anti-join, run through a full crawl. Layout is pure physics —
+    the fetched table must equal the default layout's bit for bit, so
+    the oracle IS crawl_frontier's expected-row relation."""
+    import shutil
+    from ai_intel_web_scraper_spark.crawl.scheduler import (CrawlConfig,
+                                                            CrawlEngine)
+    wh = "/tmp/spark_graft_entry_wh_bucketed"
+    shutil.rmtree(wh, ignore_errors=True)
+    eng = CrawlEngine(spark, _crawl_fixture_paths(), wh,
+                      CrawlConfig(expected_urls=1 << 12,
+                                  write_payload=False,
+                                  seen_layout="bucketed",
+                                  round_seconds=120.0))
+    eng.run(max_rounds=4)
+    return (eng.store.read("fetched")
+            .select("url", "host", "depth", "round", "discovery_seq")
+            .orderBy("round", "depth", "discovery_seq"))
+
+
 def _crawl_frontier_expected() -> list[tuple]:
     """Run the pure-Python oracle crawler (oracle/crawler.py — the golden
     implementation the parity suite gates on) over the entry fixtures with
@@ -2812,23 +2834,81 @@ def q_mixture_tokens(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks the FIRST 50 keys each round (CORRECTNESS_r{N}).
-    # Rotation policy (SURVEY §2.7): never-checked / recently-fixed queries
-    # lead; stable driver greens (r2/r3 rows on file) sit past position 50.
-    # r4 window = the 23 late-r3 queries that never had a driver row +
-    # the 3-query shipping_priority isolation experiment + the 9
-    # new-in-r4 queries (pair_alignment, pair_filters,
-    # frontier_authority, incremental_dedup, host_blocklist,
-    # adaptive_quality, stream_enrich, image_pipeline, robots_sitemaps)
-    # + 15 r3 greens kept in-window (flagship crawl/codec/corpus paths
-    # and everything touched by this round's code changes).
+    # Rotation policy (SURVEY §2.7): fix-verification and new queries
+    # lead, then the queries with the OLDEST driver evidence, then
+    # everything touched by this round's code changes; stable recent
+    # greens sit past position 50. Standing rule from the r4 verdict:
+    # aim for oldest-evidence age <= 2 rounds (113 keys / 50 per round
+    # means some age-2 stragglers are unavoidable; they lead next round).
+    # r5 window = the 2 revenue keys (round()-free cents fix
+    # verification; ship_probe_date retired — its question was answered
+    # in r4) + 2 new r5 queries (authority_crawl, bucketed_crawl) + the
+    # 27 queries whose last green was r2 + 12 queries touched by r5 code
+    # changes + 7 oldest r3-evidence keys.
     return {
-        # --- never driver-checked before r4 (all repo-SQL-checked at
-        # --- sf0.01 AND sf0.1): the late-r3 operator families ----------
+        # --- fix verification: round()-free revenue_cents (r5 task #1) --
+        "top_revenue_orders": q_top_revenue_orders,
+        "ship_probe_revenue": q_ship_probe_revenue,
+        # --- new in r5: authority feedback + bucketed layout LIVE -------
+        "authority_crawl": q_authority_crawl,
+        "bucketed_crawl": q_bucketed_crawl,
+        # --- stale evidence: last driver green was r2 (27 queries) ------
+        "bench_numbers": q_bench_numbers,
+        "boilerplate_clean": q_boilerplate_clean,
+        "budget_prefix": q_budget_prefix,
+        "cube_stats": q_cube_stats,
+        "date_extraction": q_date_extraction,
+        "events_keep_first": q_events_keep_first,
+        "fingerprint_stats": q_fingerprint_stats,
+        "group_stats": q_group_stats,
+        "history_compaction": q_history_compaction,
+        "json_extract": q_json_extract,
+        "lang_id": q_lang_id,
+        "length_quantiles": q_length_quantiles,
+        "minhash_pairs": q_minhash_pairs,
+        "nation_coverage": q_nation_coverage,
+        "paginated_preseed": q_paginated_preseed,
+        "prefix_dup_groups": q_prefix_dup_groups,
+        "quality_score": q_quality_score,
+        "record_ids": q_record_ids,
+        "relevance": q_relevance,
+        "sentiment_counts": q_sentiment_counts,
+        "source_status": q_source_status,
+        "sql_top_events": q_sql_top_events,
+        "token_count": q_token_count,
+        "token_window_chunks": q_token_window_chunks,
+        "topic_fanout": q_topic_fanout,
+        "topk_cosine": q_topk_cosine,
+        "word_count": q_word_count,
+        # --- touched by r5 code changes (quantization migration, asof
+        # --- tie projection, robots oracle bound, pq k-threading,
+        # --- scheduler rank/anti-join refactor) -------------------------
+        "crawl_frontier": q_crawl_frontier,
+        "asof_clicks": q_asof_clicks,
+        "range_windows": q_range_windows,
+        "robots_sitemaps": q_robots_sitemaps,
+        "pq_topk": q_pq_topk,
+        "ivf_pq_topk": q_ivf_pq_topk,
+        "stream_enrich": q_stream_enrich,
+        "stream_sessions": q_stream_sessions,
+        "stream_windowed_counts": q_stream_windowed_counts,
+        "stream_budget_state": q_stream_budget_state,
+        "adaptive_quality": q_adaptive_quality,
+        "host_blocklist": q_host_blocklist,
+        # --- oldest r3-evidence keys (fill to 50) -----------------------
+        "minhash_greedy": q_minhash_greedy,
+        "minhash_verified": q_minhash_verified,
+        "process_pipeline": q_process_pipeline,
+        "shard_spans": q_shard_spans,
+        "mixture_sample": q_mixture_sample,
+        "pack_shards": q_pack_shards,
+        "repetition_signals": q_repetition_signals,
+        # ---------------- past the 50-query window ----------------------
+        # r4 greens (driver rows in CORRECTNESS_r04), lead candidates for
+        # the r6 window together with the remaining r3 greens below
         "pack_curriculum": q_pack_curriculum,
         "mixture_tokens": q_mixture_tokens,
         "dup_spans": q_dup_spans,
-        "asof_clicks": q_asof_clicks,
-        "range_windows": q_range_windows,
         "pagerank_hosts": q_pagerank,
         "semdedup": q_semdedup,
         "hll_registers": q_hll_registers,
@@ -2840,21 +2920,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_hosts": q_cc_hosts,
         "kmeans_clusters": q_kmeans,
         "ann_ivf_trained": q_ann_ivf_trained,
-        "pq_topk": q_pq_topk,
-        "ivf_pq_topk": q_ivf_pq_topk,
         "recrawl_schedule": q_recrawl_schedule,
         "image_text_qa": q_image_text_qa,
         "sitemap_ingest": q_sitemap_ingest,
         "stream_recrawl": q_stream_recrawl,
         "webdataset_export": q_webdataset_export,
-        # --- shipping_priority isolation (r1-r3 hash-red under three
-        # --- value formulations; see _ship_top10's docstring) ----------
-        "top_revenue_orders": q_top_revenue_orders,
-        "ship_probe_date": q_ship_probe_date,
-        "ship_probe_revenue": q_ship_probe_revenue,
-        # --- r3 driver greens kept in-window: flagship paths + queries
-        # --- whose code was touched in r4 ------------------------------
-        "crawl_frontier": q_crawl_frontier,
+        "ship_probe_date": q_ship_probe_date,   # retired probe (r4 saga)
         "image_features": q_image_features,
         "phash_neardup": q_phash_neardup,
         "text_metrics": q_text_metrics,
@@ -2869,29 +2940,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": q_lm_quality,
         "hygiene_pipeline": q_hygiene_pipeline,
         "stream_dedup": q_stream_dedup,
-        # --- new in r4: image-pair curation + frontier authority --------
         "pair_alignment": q_pair_alignment,
         "pair_filters": q_pair_filters,
         "frontier_authority": q_frontier_authority,
         "incremental_dedup": q_incremental_dedup,
-        "host_blocklist": q_host_blocklist,
-        "adaptive_quality": q_adaptive_quality,
-        "stream_enrich": q_stream_enrich,
         "image_pipeline": q_image_pipeline,
-        "robots_sitemaps": q_robots_sitemaps,
-        # --- new in r5: the authority feedback loop live in the engine --
-        "authority_crawl": q_authority_crawl,
-        # --- past the 50-query window: stable greens (driver rows in
-        # --- CORRECTNESS_r02/r03), still runnable + repo-SQL-checked ---
-        "minhash_greedy": q_minhash_greedy,        # r3 green, rotated out
-        "minhash_verified": q_minhash_verified,    # r3 green, rotated out
-        "process_pipeline": q_process_pipeline,    # r3 green, rotated out
-        "stream_sessions": q_stream_sessions,      # r3 green, rotated out
-        "shard_spans": q_shard_spans,              # r3 green, rotated out
-        "mixture_sample": q_mixture_sample,        # r3 green, rotated out
-        "pack_shards": q_pack_shards,              # r3 green, rotated out
-        "repetition_signals": q_repetition_signals,  # r3 green, rotated out
-        "embedding_neardup": q_embedding_neardup,  # r3 green, rotated out
+        # r3 greens
+        "embedding_neardup": q_embedding_neardup,
         "recursive_chunks": q_recursive_chunks,
         "chunk_dispatch": q_chunk_dispatch,
         "hash_embed": q_hash_embed,
@@ -2912,40 +2967,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hn_source": q_hn_source,
         "global_budget": q_global_budget,
         "new_docs_anti": q_new_docs_anti,
-        "stream_windowed_counts": q_stream_windowed_counts,
-        "stream_budget_state": q_stream_budget_state,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "topk_cosine": q_topk_cosine,
-        "minhash_pairs": q_minhash_pairs,
-        "token_window_chunks": q_token_window_chunks,
-        "topic_fanout": q_topic_fanout,
-        "sql_top_events": q_sql_top_events,
-        "nation_coverage": q_nation_coverage,
-        "budget_prefix": q_budget_prefix,
-        "group_stats": q_group_stats,
-        "bench_numbers": q_bench_numbers,
-        "prefix_dup_groups": q_prefix_dup_groups,
-        "source_status": q_source_status,
-        "events_keep_first": q_events_keep_first,
-        "paginated_preseed": q_paginated_preseed,
-        "sentiment_counts": q_sentiment_counts,
-        "length_quantiles": q_length_quantiles,
-        # (word/relevance/token/quality/lang/fingerprint stay individually
-        # runnable and oracle-checked; text_metrics carries them in-window)
-        "word_count": q_word_count,
-        "relevance": q_relevance,
-        "token_count": q_token_count,
-        "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
-        "fingerprint_stats": q_fingerprint_stats,
-        "date_extraction": q_date_extraction,
-        "record_ids": q_record_ids,
-        "json_extract": q_json_extract,
-        "boilerplate_clean": q_boilerplate_clean,
-        "cube_stats": q_cube_stats,
-        "history_compaction": q_history_compaction,
     }
 
 
@@ -4327,6 +4351,13 @@ def oracle_sql() -> dict[str, str]:
                                     ["image_id", "chunk_index",
                                      "token_count", "chunk_text"])}""",
         "crawl_frontier": f"""
+            SELECT url, host, depth, round, discovery_seq
+            FROM {_sql_values_table(_crawl_frontier_expected(),
+                                    ["url", "host", "depth", "round",
+                                     "discovery_seq"])}""",
+        # bucketed_crawl: layout-invariance — the bucketed-layout crawl
+        # must value-hash EQUAL to the default layout's oracle relation
+        "bucketed_crawl": f"""
             SELECT url, host, depth, round, discovery_seq
             FROM {_sql_values_table(_crawl_frontier_expected(),
                                     ["url", "host", "depth", "round",
