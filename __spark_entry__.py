@@ -1139,6 +1139,39 @@ def q_cms_heavy_hitters(spark, sf_dir):
     return SK.cms_heavy_hitters(words, "word", k=10)
 
 
+# Probe keys guaranteed absent from the word corpus (documents' words
+# never contain '_'), so some probes hash into grid cells the sketch
+# never touched — the exact regime where the r4-ADVICE inner-join bug
+# dropped depths and overestimated. Shared with the oracle SQL.
+CMS_ABSENT_PROBES = [f"__absent_{i}" for i in range(8)]
+CMS_GRID_TOP = 20      # grid over the top-20 words: 80 of 1024 cells
+CMS_PROBE_TOP = 5      # occupied, so empty-cell probes actually occur
+
+
+def q_cms_point_queries(spark, sf_dir):
+    """Count-min POINT queries incl. absent keys (r5; driver evidence
+    for the late-r4 `cms_estimates` left-join fix): the grid is built
+    over only the top-20 words so most cells are EMPTY, then probed
+    with the top-5 words plus 8 keys absent from the corpus. Present
+    keys estimate >= exact; absent keys hitting only empty cells must
+    return 0 — the buggy inner join dropped the empty depths and
+    over-estimated (or dropped the key entirely)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = (docs.select(F.explode(CP.words_col(F.col("text")))
+                         .alias("word"))
+             .where(F.length("word") > 0))
+    counts = (words.groupBy("word").agg(F.count("*").alias("cnt"))
+              .orderBy(F.desc("cnt"), F.asc("word"))
+              .limit(CMS_GRID_TOP))
+    regs = SK.cms_registers(counts, "word", "cnt")
+    probes = (counts.orderBy(F.desc("cnt"), F.asc("word"))
+              .limit(CMS_PROBE_TOP).select("word")
+              .unionByName(spark.createDataFrame(
+                  [(w,) for w in CMS_ABSENT_PROBES], "word string")))
+    return (SK.cms_estimates(regs, probes, "word")
+            .orderBy("word"))
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (Abbas et al. 2023): coarse-cluster
     the embedding table, order each cluster by centroid similarity, drop
@@ -2849,9 +2882,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- fix verification: round()-free revenue_cents (r5 task #1) --
         "top_revenue_orders": q_top_revenue_orders,
         "ship_probe_revenue": q_ship_probe_revenue,
-        # --- new in r5: authority feedback + bucketed layout LIVE -------
+        # --- new in r5: authority feedback + bucketed layout LIVE, and
+        # --- driver evidence for the late-r4 cms_estimates left-join fix
         "authority_crawl": q_authority_crawl,
         "bucketed_crawl": q_bucketed_crawl,
+        "cms_point_queries": q_cms_point_queries,
         # --- stale evidence: last driver green was r2 (27 queries) ------
         "bench_numbers": q_bench_numbers,
         "boilerplate_clean": q_boilerplate_clean,
@@ -2902,10 +2937,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_spans": q_shard_spans,
         "mixture_sample": q_mixture_sample,
         "pack_shards": q_pack_shards,
-        "repetition_signals": q_repetition_signals,
         # ---------------- past the 50-query window ----------------------
         # r4 greens (driver rows in CORRECTNESS_r04), lead candidates for
         # the r6 window together with the remaining r3 greens below
+        "repetition_signals": q_repetition_signals,   # r3 green
         "pack_curriculum": q_pack_curriculum,
         "mixture_tokens": q_mixture_tokens,
         "dup_spans": q_dup_spans,
@@ -4169,6 +4204,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.word, t.exact_cnt, e.cms_est
             FROM top t JOIN est e ON t.word = e.word
             ORDER BY t.exact_cnt DESC, t.word""",
+        # cms_point_queries: grid over the top-20 words only (most cells
+        # EMPTY), probed with present + absent keys; the LEFT JOIN +
+        # coalesce(0) is the semantics under test (an inner join loses
+        # empty-cell depth votes and overestimates / drops keys)
+        "cms_point_queries": f"""
+            WITH wd AS (SELECT unnest(w) AS word
+                        FROM (SELECT {_sql_words()} AS w FROM documents)),
+            counts AS (SELECT word, count(*)::BIGINT AS cnt
+                       FROM wd WHERE length(word) > 0 GROUP BY word
+                       ORDER BY cnt DESC, word LIMIT {CMS_GRID_TOP}),
+            ds AS (SELECT unnest(range(0, {SK.CMS_DEPTH})) AS d),
+            grid AS (
+              SELECT d, bucket, sum(cnt)::BIGINT AS reg_cnt FROM (
+                SELECT ds.d, c.cnt,
+                       ('0x' || substring(md5('{SK.CMS_SEED}:'
+                            || ds.d::VARCHAR || ':' || c.word), 1, 15)
+                        )::BIGINT % {SK.CMS_WIDTH} AS bucket
+                FROM counts c CROSS JOIN ds)
+              GROUP BY d, bucket),
+            probes AS (
+              SELECT word FROM (SELECT word, cnt FROM counts
+                                ORDER BY cnt DESC, word
+                                LIMIT {CMS_PROBE_TOP})
+              UNION ALL
+              SELECT * FROM {_sql_values_table(
+                  [(w,) for w in CMS_ABSENT_PROBES], ["word"])}),
+            pb AS (SELECT p.word, ds.d,
+                          ('0x' || substring(md5('{SK.CMS_SEED}:'
+                               || ds.d::VARCHAR || ':' || p.word), 1, 15)
+                           )::BIGINT % {SK.CMS_WIDTH} AS bucket
+                   FROM probes p CROSS JOIN ds)
+            SELECT pb.word, min(coalesce(g.reg_cnt, 0))::BIGINT AS cms_est
+            FROM pb LEFT JOIN grid g ON g.d = pb.d AND g.bucket = pb.bucket
+            GROUP BY pb.word ORDER BY pb.word""",
         "cursor_source": "SELECT doc_id, n_chars FROM documents",
         "image_roundtrip": """
             SELECT doc_id::VARCHAR AS image_id,
