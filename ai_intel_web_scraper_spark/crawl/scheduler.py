@@ -184,12 +184,21 @@ class CrawlConfig:
     # "bfs": (depth, discovery_seq) — reference FIFO parity.
     # "priority": stored priority desc (seed ppm / hash-derived link
     #   score), BFS tiebreak.
-    # "authority": the quality->crawl feedback loop (r5) — each round
-    #   recomputes integer PageRank over the edges recorded so far and
-    #   ranks the frontier by authority composed with the stored
-    #   priority (crawl/semantics.py "authority rank" contract). The
-    #   stored frontier priority column is never overwritten.
+    # "authority": the quality->crawl feedback loop (r5) — recompute
+    #   integer PageRank over the edges recorded so far and rank the
+    #   frontier by authority composed with the stored priority
+    #   (crawl/semantics.py "authority rank" contract). The stored
+    #   frontier priority column is never overwritten.
     rank_mode: str = "bfs"
+    # Authority refresh cadence: recompute at rounds where
+    # (round-1) % authority_every == 0 and persist the rank table in the
+    # snapshot store; other rounds rank against the committed table
+    # (urls discovered since the refresh rank by seed/link boost alone).
+    # Cadence is anchored to the round NUMBER and the table is
+    # snapshot-committed, so resume is bit-exact at any cadence. A
+    # 10^10-URL crawl cannot re-run PageRank every round; this is the
+    # production knob (oracle mirrors it).
+    authority_every: int = 1
     write_payload: bool = True    # join image bytes into the fetched sink
     max_rounds: int = 200
     round_seconds: float = S.ROUND_SECONDS  # virtual wall-clock per round
@@ -240,6 +249,7 @@ class CrawlEngine:
             "host_state": HOST_STATE_SCHEMA, "metrics": METRICS_SCHEMA,
             "edges": EDGES_SCHEMA, "bloom_shards": "bucket int, bitmap binary",
             "cuckoo_shards": "bucket int, bitmap binary",
+            "authority": "node string, r long",
         })
         self._bloom_m = BloomShards.sized_for(
             self.cfg.expected_urls, self.cfg.n_buckets).m_bits
@@ -361,7 +371,8 @@ class CrawlEngine:
                 .where(F.col("_hit")).select("url"))
         return cand.join(hits, "url", "left_anti")
 
-    def _authority_rank_view(self, frontier: DataFrame) -> DataFrame:
+    def _authority_rank_view(self, frontier: DataFrame,
+                             round_no: int) -> DataFrame:
         """rank_mode="authority" (r5): the quality->crawl feedback loop.
         Integer PageRank (`operators/graph.py::authority_over`) over the
         DISTINCT policy-accepted edges recorded so far, nodes = url_seen,
@@ -373,23 +384,34 @@ class CrawlEngine:
         (`crawl/semantics.py` "authority rank" contract; the oracle
         crawler replays the identical integer recurrence in pure
         Python.) Returns a VIEW with `priority` replaced by the composed
-        rank — the stored frontier column is never overwritten, so the
-        composition is recomputed fresh as the graph grows.
+        rank — the stored frontier column is never overwritten.
+
+        Refresh cadence (`cfg.authority_every`): ranks recompute at
+        rounds with (round-1) % every == 0 and the table is staged into
+        the snapshot (so the cadence survives resume bit-exactly);
+        other rounds rank against the committed table — urls discovered
+        since the last refresh carry authority 0 until the next one.
 
         Scale shape: 2 shuffles per PR iteration over (url, rank) pairs
         — signatures/keys only, never page payloads; dangling self-loops
-        via left-anti; node count is one scalar agg. A production crawl
-        refreshes this every K rounds and keys by url_hash; the per-
-        round refresh here keeps the parity contract exact."""
+        via left-anti; node count is one scalar agg; off-refresh rounds
+        pay only the rank-table join."""
         from ..operators.graph import AUTH_SEED_W, authority_over
-        edges = (self.store.read("edges")
-                 .where(F.col("reject").isNull())
-                 .select(F.col("src_url").alias("src"),
-                         F.col("dst_url").alias("dst"))
-                 .distinct())
-        nodes = self.store.read("url_seen").select(
-            F.col("url").alias("node")).distinct()
-        pr = authority_over(nodes, edges)
+        every = max(1, int(self.cfg.authority_every))
+        if (round_no - 1) % every == 0:
+            edges = (self.store.read("edges")
+                     .where(F.col("reject").isNull())
+                     .select(F.col("src_url").alias("src"),
+                             F.col("dst_url").alias("dst"))
+                     .distinct())
+            nodes = self.store.read("url_seen").select(
+                F.col("url").alias("node")).distinct()
+            self.store.stage_write("authority",
+                                   authority_over(nodes, edges),
+                                   "replace")
+            pr = self.store.read_staged("authority")
+        else:
+            pr = self.store.read("authority")
         composed = (F.coalesce(F.col("r"), F.lit(0))
                     + F.floor(F.col("priority") * 1e6).cast("long")
                     * F.lit(AUTH_SEED_W)).cast("double")
@@ -678,7 +700,7 @@ class CrawlEngine:
         # then the quota-bounded survivor set joins the full row back. At
         # 10^10-frontier scale this is the difference between shuffling
         # hashes and shuffling the web's URLs.
-        rank_view = (self._authority_rank_view(frontier)
+        rank_view = (self._authority_rank_view(frontier, round_no)
                      if cfg.rank_mode == "authority" else frontier)
         narrow = rank_view.select("url_hash", "host", "depth", "priority",
                                   "discovery_seq")

@@ -141,6 +141,18 @@ class SnapshotStore:
         return sum(f["rows"]
                    for stats in st["files"].values() for f in stats)
 
+    def read_staged(self, table: str) -> DataFrame:
+        """This round's STAGED dirs for `table` — lets a producer reuse
+        its own freshly staged write within the round (files, not a
+        recompute of the source plan). Raises if nothing is staged."""
+        with self._stage_lock:
+            st = self._staged.get(table)
+            dirs = list(st["dirs"]) if st else []
+        if not dirs:
+            raise KeyError(f"table {table!r} has no staged dirs")
+        return self.spark.read.parquet(
+            *[os.path.join(self._table_dir(table), d) for d in dirs])
+
     def stage_blob(self, name: str, data: bytes) -> None:
         fname = f"{name}-{uuid.uuid4().hex[:12]}.bin"
         with open(os.path.join(self.root, "blobs", fname), "wb") as f:

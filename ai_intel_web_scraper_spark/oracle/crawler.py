@@ -81,7 +81,8 @@ def oracle_crawl(fixtures: dict, max_rounds: int = 200,
                  round_seconds: float = S.ROUND_SECONDS,
                  rank_mode: str = "bfs",
                  blocked_hosts: frozenset | set = frozenset(),
-                 preseed_sitemaps: bool = False) -> OracleResult:
+                 preseed_sitemaps: bool = False,
+                 authority_every: int = 1) -> OracleResult:
     graph, seeds, pol, rob = _load_tables(fixtures)
     if preseed_sitemaps:
         seeds = sorted(seeds + _sitemap_seed_rows(fixtures),
@@ -138,10 +139,14 @@ def oracle_crawl(fixtures: dict, max_rounds: int = 200,
         if not frontier:
             break
         if rank_mode == "authority":
-            # fresh integer-PR compose each round over the graph so far
-            # (nodes = url_seen, edges = accumulated accepted candidates);
-            # the stored row priority is composed in, never overwritten
-            auth = S.authority_ranks(res.url_seen, edge_set)
+            # integer-PR compose over the graph so far (nodes =
+            # url_seen, edges = accumulated accepted candidates),
+            # refreshed at the engine's cadence — (round-1) % every == 0
+            # — and retained in between (urls discovered since rank by
+            # seed/link boost alone); the stored row priority is
+            # composed in, never overwritten
+            if (round_no - 1) % max(1, authority_every) == 0:
+                auth = S.authority_ranks(res.url_seen, edge_set)
             rank_key = lambda r, _a=auth: (  # noqa: E731
                 -S.compose_rank(_a.get(r["url"], 0), r["priority"]),
                 r["depth"], r["seq"])

@@ -325,6 +325,30 @@ def test_authority_rank_mode_matches_oracle(spark, fixtures, oracle):
     assert mean_auth <= mean_bfs
 
 
+def test_authority_cadence_matches_oracle_across_resume(spark, fixtures):
+    """authority_every=2 (r5): ranks refresh only at odd rounds and the
+    committed rank table carries the even rounds — INCLUDING across a
+    resume: the engine is killed after round 1 (a refresh round) and a
+    fresh instance must rank round 2 from the committed authority table,
+    reproducing the oracle's cadence bit-exactly."""
+    wh = "/tmp/spark_graft_wh_auth_cad"
+    shutil.rmtree(wh, ignore_errors=True)
+    cfg = CrawlConfig(rank_mode="authority", authority_every=2,
+                      write_payload=False)
+    e1 = CrawlEngine(spark, fixtures, wh, cfg)
+    e1.run(max_rounds=1)
+    e2 = CrawlEngine(spark, fixtures, wh, cfg)   # resume at round 2
+    e2.run()
+    want_res = oracle_crawl(fixtures, rank_mode="authority",
+                            authority_every=2)
+    got = sorted((r["url"], r["round"], r["fetch_slot"]) for r in
+                 e2.store.read("fetched")
+                 .select("url", "round", "fetch_slot").collect())
+    want = sorted((r["url"], r["round"], r["fetch_slot"])
+                  for r in want_res.fetched)
+    assert got == want
+
+
 def test_snapshot_history_and_time_travel(engine, spark):
     """Iceberg-analog time travel: history() lists the commit chain and a
     read at snapshot k returns exactly the state after round k."""
