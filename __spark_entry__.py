@@ -2309,6 +2309,151 @@ def q_phash_neardup(spark, sf_dir):
     return phash_hamming_neardup(pages, max_hamming=6)
 
 
+def q_incremental_image_dedup(spark, sf_dir):
+    """Incremental image near-dup (r5) — the continuous-crawl shape on
+    the IMAGE side, twin of `incremental_dedup`: split the fixture's
+    pages by crc32(image_id) parity into archive vs delta, block only
+    the delta and probe the archive's phash block table
+    (`multimodal.incremental_phash_neardup`). The split leaves one
+    planted pair archive-side-only, so the value hash also pins the key
+    semantic: index-vs-index pairs are NEVER derived. Oracle
+    brute-forces all O(n^2) pairs over the generator's ground-truth
+    phashes with the same parity rule applied in Python (zlib.crc32 ==
+    Spark/Java crc32)."""
+    from ai_intel_web_scraper_spark.operators.multimodal import (
+        incremental_phash_neardup)
+    pages = (spark.read.parquet(_crawl_fixture_paths()["pages"])
+             .select("image_id", "phash"))
+    is_new = F.crc32(F.col("image_id").cast("binary")) % 2 == 0
+    return incremental_phash_neardup(pages.where(is_new),
+                                     pages.where(~is_new), max_hamming=6)
+
+
+def _incr_phash_lit_rows() -> list[tuple]:
+    """(image_id, phash, is_new) with the SAME parity rule as
+    q_incremental_image_dedup's engine split."""
+    import zlib
+    return [(iid, ph, zlib.crc32(iid.encode()) % 2 == 0)
+            for iid, ph in _phash_lit_rows()]
+
+
+# ---- video near-dup fixture: deterministic 8x8 grayscale frames. The
+# ---- lowbias32 avalanche mix matters: a weaker per-pixel hash leaves
+# ---- phash bit patterns correlated across (group, frame) and the
+# ---- signature space collapses into accidental cross-group collisions
+# ---- (observed with both raw-Knuth and xor-of-squares patterns).
+
+def _video_mix32(x: int) -> int:
+    m = (1 << 32) - 1
+    x &= m
+    x = ((x ^ (x >> 16)) * 0x45d9f3b) & m
+    x = ((x ^ (x >> 16)) * 0x45d9f3b) & m
+    return x ^ (x >> 16)
+
+
+def _video_frame_px(g: int, m: int, i: int, n: int) -> list:
+    """Pixel values (row-major, 64 ints) of frame i for variant m of
+    video group g with n frames. Variants differ ONLY in a 4-pixel edit
+    to frame n-2 (a sampled frame under every_n=2) — the
+    logo-overlay-changed shape near-dup must tolerate. Grayscale keeps
+    every mean in the phash chain integer-exact on both engines."""
+    px = []
+    for idx in range(64):
+        v = _video_mix32(g * 1000003 + i * 10007 + idx) >> 24
+        if i == n - 2 and idx % 16 == 0:
+            v = (v + 29 * m) % 256
+        px.append(v)
+    return px
+
+
+def _video_sig_rows(sf_dir: str) -> list[tuple]:
+    """(video_id, signature) replayed ANALYTICALLY in pure Python — an
+    independent reimplementation of the whole engine chain (PNG/MJPN
+    codec -> average_phash -> frame-vote SimHash), never importing the
+    codec: frames are synthesized from the formula, the 8x8 phash
+    reduces to per-pixel `v > mean(v)` with exact integer means, and
+    the vote/threshold rules are re-stated from crawl-semantics-style
+    first principles. Corrupt clips (doc_id%55==0) are skipped, exactly
+    as decode_ok=false rows never reach the engine's block join."""
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"])["doc_id"].to_pylist()
+    rows = []
+    for d in ids:
+        d = int(d)
+        if d % 5 != 0 or d % 55 == 0:
+            continue
+        g, m = d // 20, (d % 20) // 5
+        n = 6 + 4 * (g % 2)  # 3 or 5 sampled frames — odd, so the
+        #                      majority vote never ties (an even count
+        #                      pins ~37% of bits to the tie value and
+        #                      collapses signature entropy)
+        votes = [0] * 64
+        for i in range(0, n, 2):
+            px = _video_frame_px(g, m, i, n)
+            mean = sum(px) / 64.0  # integer-valued float64, exact
+            ph = 0
+            for idx, v in enumerate(px):
+                if v > mean:
+                    ph |= 1 << (63 - idx)  # MSB-first, pixel (0,0) = bit 63
+            for j in range(64):
+                votes[j] += 1 if (ph >> j) & 1 else -1
+        sig = 0
+        for j in range(64):
+            if votes[j] > 0:
+                sig |= 1 << j
+        if sig >= 1 << 63:
+            sig -= 1 << 64
+        rows.append((str(d), sig))
+    return rows
+
+
+def q_video_neardup(spark, sf_dir):
+    """Video near-dup (r5): synthesize MJPN clips per document subset
+    (groups of 4 variants differing only in a 4-pixel edit to one
+    sampled frame), then run the REAL chain — random-access frame
+    sampling, per-frame phash, frame-vote SimHash signature
+    (`multimodal.video_signatures`), guaranteed-recall hamming block
+    join (`video_neardup`). Same-group pairs land at distance 0-6;
+    cross-group pairs stay far (no accidental pairs at either sf).
+    doc_id%55==0 clips carry corrupt bytes and must degrade to
+    decode_ok=false (excluded), never fail. Oracle: the analytic
+    signature replay (`_video_sig_rows`) brute-forced O(n^2) in
+    DuckDB — an independent check of the block join's recall."""
+    import numpy as np
+    import pandas as pd
+    from ai_intel_web_scraper_spark.functions.codec import mjpng_encode
+    from ai_intel_web_scraper_spark.operators.multimodal import (
+        video_neardup)
+    docs = _t(spark, sf_dir, "documents").where(
+        F.pmod("doc_id", F.lit(5)) == 0)
+    meta = docs.select(
+        F.col("doc_id").cast("string").alias("video_id"),
+        F.col("doc_id").alias("k"),
+        (F.pmod("doc_id", F.lit(55)) == 0).alias("corrupt"))
+
+    def enc(iterator):
+        for pdf in iterator:
+            rows = []
+            for vid, k, corrupt in zip(pdf["video_id"], pdf["k"],
+                                       pdf["corrupt"]):
+                if corrupt:
+                    rows.append((vid, b"EBML not an mjpn container"))
+                    continue
+                k = int(k)
+                g, m = k // 20, (k % 20) // 5
+                n = 6 + 4 * (g % 2)
+                frames = [np.array(_video_frame_px(g, m, i, n),
+                                   dtype=np.uint8).reshape(8, 8, 1)
+                          .repeat(3, axis=2) for i in range(n)]
+                rows.append((vid, mjpng_encode(frames)))
+            yield pd.DataFrame(rows, columns=["video_id", "bytes"])
+
+    clips = meta.mapInPandas(enc, schema="video_id string, bytes binary")
+    return video_neardup(clips, max_hamming=6, every_n=2)
+
+
 def q_audio_features(spark, sf_dir):
     """Audio path under the value-hash gate (mirrors image_roundtrip):
     synthesize square-wave PCM WAVs per document with stdlib `wave`,
@@ -2875,9 +3020,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # means some age-2 stragglers are unavoidable; they lead next round).
     # r5 window = the 2 revenue keys (round()-free cents fix
     # verification; ship_probe_date retired — its question was answered
-    # in r4) + 2 new r5 queries (authority_crawl, bucketed_crawl) + the
+    # in r4) + 5 new r5 queries (authority_crawl, bucketed_crawl,
+    # cms_point_queries, incremental_image_dedup, video_neardup) + the
     # 27 queries whose last green was r2 + 12 queries touched by r5 code
-    # changes + 7 oldest r3-evidence keys.
+    # changes + 4 oldest r3-evidence keys (mixture_sample / pack_shards
+    # slipped below the fold; they lead the r6 window).
     return {
         # --- fix verification: round()-free revenue_cents (r5 task #1) --
         "top_revenue_orders": q_top_revenue_orders,
@@ -2887,6 +3034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "authority_crawl": q_authority_crawl,
         "bucketed_crawl": q_bucketed_crawl,
         "cms_point_queries": q_cms_point_queries,
+        "incremental_image_dedup": q_incremental_image_dedup,
+        "video_neardup": q_video_neardup,
         # --- stale evidence: last driver green was r2 (27 queries) ------
         "bench_numbers": q_bench_numbers,
         "boilerplate_clean": q_boilerplate_clean,
@@ -2935,9 +3084,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_verified": q_minhash_verified,
         "process_pipeline": q_process_pipeline,
         "shard_spans": q_shard_spans,
+        # ---------------- past the 50-query window ----------------------
+        # (mixture_sample / pack_shards slipped below the fold when the
+        # two late-r5 queries above landed; r3-green age-2, they LEAD
+        # the r6 window with the other remaining r3 greens)
         "mixture_sample": q_mixture_sample,
         "pack_shards": q_pack_shards,
-        # ---------------- past the 50-query window ----------------------
         # r4 greens (driver rows in CORRECTNESS_r04), lead candidates for
         # the r6 window together with the remaining r3 greens below
         "repetition_signals": q_repetition_signals,   # r3 green
@@ -4583,6 +4735,64 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.phash, b.phash))::INT AS hamming
             FROM ph a JOIN ph b ON a.image_id < b.image_id
             WHERE bit_count(xor(a.phash, b.phash)) <= 6""",
+        # Brute-force over ground-truth phashes + the engine's crc32
+        # parity split replayed in Python; (a.is_new OR b.is_new) states
+        # the incremental contract — index-vs-index pairs never emitted.
+        "incremental_image_dedup": f"""
+            WITH ph AS (SELECT * FROM {_sql_values_table(
+                _incr_phash_lit_rows(), ["image_id", "phash", "is_new"])})
+            SELECT a.image_id AS id_a, b.image_id AS id_b,
+                   bit_count(xor(a.phash, b.phash))::INT AS hamming,
+                   (a.is_new <> b.is_new) AS vs_index
+            FROM ph a JOIN ph b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 6
+              AND (a.is_new OR b.is_new)""",
+        # The WHOLE signature chain recomputed inside DuckDB (unrolled
+        # integer CTEs, the kmeans/PageRank convention): lowbias32 mix
+        # -> 8x8 phash (sum/64.0 is integer-exact) -> frame-vote SimHash
+        # assembled into a signed BIGINT -> brute-force O(n^2) pairs.
+        # Independent of the engine's codec/decode path AND of its
+        # guaranteed-recall block join; runs at ANY sf via the
+        # documents view.
+        "video_neardup": """
+            WITH vids AS (
+              SELECT doc_id AS d, doc_id // 20 AS g, (doc_id % 20) // 5 AS m,
+                     6 + 4 * ((doc_id // 20) % 2) AS n
+              FROM documents WHERE doc_id % 5 = 0 AND doc_id % 55 <> 0),
+            px0 AS (
+              SELECT d, g, m, n, i, idx,
+                     (g * 1000003 + i * 10007 + idx) % 4294967296 AS x0
+              FROM vids,
+                   LATERAL unnest(generate_series(0, n - 1, 2)) f(i),
+                   LATERAL unnest(generate_series(0, 63)) p(idx)),
+            px1 AS (SELECT *, (xor(x0, x0 >> 16) * 73244475)
+                              % 4294967296 AS x1 FROM px0),
+            px2 AS (SELECT *, (xor(x1, x1 >> 16) * 73244475)
+                              % 4294967296 AS x2 FROM px1),
+            pxv AS (
+              SELECT d, i, idx,
+                     CASE WHEN i = n - 2 AND idx % 16 = 0
+                          THEN ((xor(x2, x2 >> 16) >> 24) + 29 * m) % 256
+                          ELSE xor(x2, x2 >> 16) >> 24 END AS v
+              FROM px2),
+            means AS (SELECT d, i, sum(v) / 64.0 AS mean
+                      FROM pxv GROUP BY d, i),
+            votes AS (
+              SELECT pxv.d, 63 - idx AS j,
+                     sum(CASE WHEN v > mean THEN 1 ELSE -1 END) AS votes
+              FROM pxv JOIN means ON pxv.d = means.d AND pxv.i = means.i
+              GROUP BY pxv.d, 63 - idx),
+            sigs AS (
+              SELECT d::VARCHAR AS video_id,
+                     sum(CASE WHEN votes > 0 THEN
+                           CASE WHEN j = 63 THEN -9223372036854775807 - 1
+                                ELSE (1::BIGINT << j) END
+                         ELSE 0 END)::BIGINT AS signature
+              FROM votes GROUP BY d)
+            SELECT a.video_id AS id_a, b.video_id AS id_b,
+                   bit_count(xor(a.signature, b.signature))::INT AS hamming
+            FROM sigs a JOIN sigs b ON a.video_id < b.video_id
+            WHERE bit_count(xor(a.signature, b.signature)) <= 6""",
         "stream_sessions": """
             WITH o AS (
               SELECT user_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,

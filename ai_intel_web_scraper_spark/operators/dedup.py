@@ -433,15 +433,17 @@ def simhash_udf(text: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def hamming_block_pairs(df: DataFrame, id_col: str, hash_col: str,
-                        max_hamming: int, bits: int = 64) -> DataFrame:
-    """Shared block-LSH for hamming near-dup (SimHash, image phash):
-    split the hash into max_hamming+1 bit blocks — by pigeonhole ANY pair
-    within max_hamming differs in at most max_hamming blocks, so at least
-    one block matches EXACTLY (guaranteed recall, not probabilistic) —
-    self-equi-join on (block, value), then exact bit_count verify.
-    Narrower blocks (bigger max_hamming) mean more candidates: the
-    guaranteed-recall tradeoff is inherent.
+def hamming_block_rows(df: DataFrame, id_col: str, hash_col: str,
+                       max_hamming: int, bits: int = 64) -> DataFrame:
+    """The persistable block table for hamming LSH — (id, h, blk,
+    blk_val), one row per (item, block). This is the hamming analog of
+    `minhash_band_rows`: in a CONTINUOUS pipeline this frame is what you
+    append to the store each ingest round, so the next round's delta can
+    probe it with plain (blk, blk_val) equi-joins instead of re-deriving
+    the whole archive. Blocks tile `bits` into max_hamming+1 slices —
+    by pigeonhole ANY pair within max_hamming differs in at most
+    max_hamming blocks, so at least one block matches EXACTLY
+    (guaranteed recall, not probabilistic).
 
     `bits` = the hash's EFFECTIVE width. Blocks must tile only real bits:
     tiling 64 for a 60-bit signature would leave one block almost
@@ -463,9 +465,19 @@ def hamming_block_pairs(df: DataFrame, id_col: str, hash_col: str,
         return shifted.bitwiseAND(F.lit((1 << width) - 1))
 
     block_cols = [block(i) for i in range(n_blocks)]
-    blocks = df.select(
+    return df.select(
         F.col(id_col).alias("id"), F.col(hash_col).alias("h"),
         F.posexplode(F.array(*block_cols)).alias("blk", "blk_val"))
+
+
+def hamming_block_pairs(df: DataFrame, id_col: str, hash_col: str,
+                        max_hamming: int, bits: int = 64) -> DataFrame:
+    """Shared block-LSH for hamming near-dup (SimHash, image phash):
+    split the hash into max_hamming+1 bit blocks (`hamming_block_rows`),
+    self-equi-join on (block, value), then exact bit_count verify.
+    Narrower blocks (bigger max_hamming) mean more candidates: the
+    guaranteed-recall tradeoff is inherent."""
+    blocks = hamming_block_rows(df, id_col, hash_col, max_hamming, bits)
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (a.join(b, (F.col("a.blk") == F.col("b.blk"))
                    & (F.col("a.blk_val") == F.col("b.blk_val"))
@@ -477,6 +489,55 @@ def hamming_block_pairs(df: DataFrame, id_col: str, hash_col: str,
     return (cand.withColumn("hamming", hamming)
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def incremental_hamming_neardup(new_df: DataFrame, index_df: DataFrame,
+                                id_col: str, hash_col: str,
+                                max_hamming: int, bits: int = 64
+                                ) -> DataFrame:
+    """The CONTINUOUS-crawl shape for hamming near-dup (the image-side
+    twin of `incremental_minhash_verified`): block only the NEW items
+    and probe them against the persisted block table (here recomputed
+    from `index_df` for the oracle check — in production the right side
+    is `hamming_block_rows` output read back from the store, and this
+    round's new blocks are appended to it). Detects new-vs-index and
+    new-vs-new pairs; index-vs-index pairs are never re-derived, so
+    per-round cost scales with the DELTA, not the archive — what makes
+    phash dedup sustainable on an image archive growing by 10^7/day.
+
+    Returns (id_a, id_b, hamming, vs_index) with id_a < id_b, exact
+    bit_count hamming <= max_hamming (the block join only prunes; the
+    exact distance decides), vs_index = the pair spans the index/new
+    boundary. Recall guarantee is inherited from the block tiling —
+    pigeonhole needs only that SOME block of the pair matches, which
+    holds regardless of which side each item lives on."""
+    nb = hamming_block_rows(new_df, id_col, hash_col, max_hamming, bits)
+    ib = hamming_block_rows(index_df, id_col, hash_col, max_hamming, bits)
+    cross = (nb.alias("a")
+             .join(ib.alias("b"),
+                   (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col("a.blk_val") == F.col("b.blk_val"))
+                   & (F.col("a.id") != F.col("b.id")))
+             .select(F.least("a.id", "b.id").alias("id_a"),
+                     F.greatest("a.id", "b.id").alias("id_b"),
+                     # hamming is symmetric — safe under the least/
+                     # greatest swap
+                     F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
+                     .alias("hamming"),
+                     F.lit(True).alias("vs_index")))
+    within = (nb.alias("a")
+              .join(nb.alias("b"),
+                    (F.col("a.blk") == F.col("b.blk"))
+                    & (F.col("a.blk_val") == F.col("b.blk_val"))
+                    & (F.col("a.id") < F.col("b.id")))
+              .select(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"),
+                      F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
+                      .alias("hamming"),
+                      F.lit(False).alias("vs_index")))
+    return (cross.unionByName(within)
+            .where(F.col("hamming") <= max_hamming)
+            .dropDuplicates(["id_a", "id_b"]))
 
 
 def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,

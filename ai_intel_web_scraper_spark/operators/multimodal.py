@@ -46,9 +46,16 @@ def image_features(pages: DataFrame) -> DataFrame:
                 except Exception:
                     rows.append((image_id, None, None, fmt,
                                  None, None, None, None, False))
-            yield pd.DataFrame(rows, columns=[
+            out = pd.DataFrame(rows, columns=[
                 "image_id", "w", "h", "fmt", "mean_r", "mean_g", "mean_b",
                 "phash", "decode_ok"])
+            # pandas silently promotes an int column to float64 when ANY
+            # row in the batch holds None — a 64-bit phash loses its low
+            # ~11 bits to the 53-bit mantissa, so ONE corrupt image would
+            # corrupt every other row's phash in its batch. Pin the
+            # nullable-int dtype explicitly (Arrow carries it exactly).
+            out["phash"] = pd.array([r[7] for r in rows], dtype="Int64")
+            yield out
     return (pages.select("image_id", "fmt", "bytes")
             .mapInPandas(fn, schema=IMAGE_FEATURES_SCHEMA))
 
@@ -78,6 +85,91 @@ def phash_hamming_neardup(pages: DataFrame, max_hamming: int = 6) -> DataFrame:
     from .dedup import hamming_block_pairs
     return hamming_block_pairs(
         pages.select("image_id", "phash"), "image_id", "phash", max_hamming)
+
+
+def incremental_phash_neardup(new_pages: DataFrame, index_pages: DataFrame,
+                              max_hamming: int = 6) -> DataFrame:
+    """Incremental image near-dup: probe only the day's NEW images against
+    the archive's persisted phash block table (`dedup.hamming_block_rows`
+    output — recomputed from `index_pages` here so the oracle can check
+    it; production reads it back from the store and appends the delta's
+    blocks). Index-vs-index pairs are never re-derived: per-round cost
+    scales with the crawl delta, not the image archive. Returns
+    (id_a, id_b, hamming, vs_index) — see
+    `dedup.incremental_hamming_neardup` for the recall argument."""
+    from .dedup import incremental_hamming_neardup
+    return incremental_hamming_neardup(
+        new_pages.select("image_id", "phash"),
+        index_pages.select("image_id", "phash"),
+        "image_id", "phash", max_hamming)
+
+
+VIDEO_SIGNATURE_SCHEMA = ("video_id string, n_sampled int, signature long, "
+                          "decode_ok boolean")
+
+
+def video_signatures(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Order-insensitive 64-bit video signature = SimHash over the phashes
+    of every `every_n`-th frame: for each bit position the sampled frames
+    vote +1/-1 by their phash bit, and the signature bit is 1 iff the vote
+    sum is positive (ties -> 0, a fixed rule so both engines agree).
+    Sharing most frames => most vote sums keep their sign => small hamming
+    distance; the signature tolerates a few edited/inserted frames, which
+    per-frame exact hashing cannot. Random-access seek decodes ONLY the
+    sampled frames (cost scales with frames kept, not stored); corrupt
+    bytes degrade to a decode_ok=false row with a NULL signature, never a
+    task failure. Bytes stay inside this narrow map — only the 8-byte
+    signature crosses any shuffle downstream."""
+    from ..functions.codec import (average_phash, mjpng_decode_frame,
+                                   mjpng_frame_count)
+
+    def fn(iterator):
+        for pdf in iterator:
+            rows = []
+            for video_id, raw in zip(pdf["video_id"], pdf["bytes"]):
+                try:
+                    data = bytes(raw)
+                    n = mjpng_frame_count(data)
+                    votes = np.zeros(64, dtype=np.int64)
+                    n_sampled = 0
+                    for i in range(0, n, every_n):
+                        ph = average_phash(mjpng_decode_frame(data, i))
+                        u = ph & 0xFFFFFFFFFFFFFFFF
+                        for j in range(64):
+                            votes[j] += 1 if (u >> j) & 1 else -1
+                        n_sampled += 1
+                    sig = 0
+                    for j in range(64):
+                        if votes[j] > 0:
+                            sig |= 1 << j
+                    if sig >= 1 << 63:  # reinterpret as signed int64
+                        sig -= 1 << 64
+                    rows.append((video_id, n_sampled, sig, True))
+                except Exception:
+                    rows.append((video_id, None, None, False))
+            out = pd.DataFrame(rows, columns=[
+                "video_id", "n_sampled", "signature", "decode_ok"])
+            # same pandas trap as image_features' phash: None in the
+            # batch => int64 -> float64 -> the signature's low bits
+            # round away. Nullable Int64 keeps it exact.
+            out["signature"] = pd.array([r[2] for r in rows], dtype="Int64")
+            out["n_sampled"] = pd.array([r[1] for r in rows], dtype="Int64")
+            yield out
+    return (df.select(F.col("video_id"), F.col("bytes"))
+            .mapInPandas(fn, schema=VIDEO_SIGNATURE_SCHEMA))
+
+
+def video_neardup(df: DataFrame, max_hamming: int = 6,
+                  every_n: int = 2) -> DataFrame:
+    """Near-duplicate VIDEOS: sampled-frame SimHash signatures
+    (`video_signatures`) into the shared guaranteed-recall hamming block
+    LSH. All 64 signature bits are real (every bit position takes votes),
+    so the block tiling uses the full width. Undecodable clips are
+    excluded (NULL signatures never join)."""
+    from .dedup import hamming_block_pairs
+    sigs = video_signatures(df, every_n=every_n).where(F.col("decode_ok"))
+    return hamming_block_pairs(sigs, "video_id", "signature", max_hamming,
+                               bits=64)
 
 
 AUDIO_FEATURES_SCHEMA = ("audio_id string, duration_s double, "

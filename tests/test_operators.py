@@ -258,6 +258,116 @@ def test_phash_neardup_finds_planted_duplicates(spark, fixtures):
     assert pairs.where(F.col("hamming") == 0).count() > 0
 
 
+def test_incremental_phash_neardup_scopes_and_matches_full(spark, fixtures):
+    """Planted phashes exercising all three pair scopes: index-index
+    (must be EXCLUDED — the incremental contract), index-new (vs_index
+    true), new-new (vs_index false); and the kept pair set must equal
+    the full self-join minus index-only pairs."""
+    from ai_intel_web_scraper_spark.operators.multimodal import (
+        incremental_phash_neardup, phash_hamming_neardup)
+    rows = [("i1", 0x0F0F), ("i2", 0x0F0E),          # index-index, ham 1
+            ("i3", 0x7777_0000_0000_0000),
+            ("n1", 0x7777_0000_0000_0003),           # cross, ham 2
+            ("n2", 0x1234_5678_9ABC_DEF0),
+            ("n3", 0x1234_5678_9ABC_DEF1)]           # new-new, ham 1
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    idx = df.where(F.col("image_id").startswith("i"))
+    new = df.where(F.col("image_id").startswith("n"))
+    got = {(r["id_a"], r["id_b"]): (r["hamming"], r["vs_index"])
+           for r in incremental_phash_neardup(new, idx, 6).collect()}
+    assert got == {("i3", "n1"): (2, True), ("n2", "n3"): (1, False)}
+    full = {(r["id_a"], r["id_b"]): r["hamming"]
+            for r in phash_hamming_neardup(df, 6).collect()}
+    assert full == {("i1", "i2"): 1, ("i3", "n1"): 2, ("n2", "n3"): 1}
+    # incremental = full minus index-only pairs, hamming agreeing
+    assert {p: h for p, (h, _) in got.items()} == {
+        p: h for p, h in full.items()
+        if not (p[0].startswith("i") and p[1].startswith("i"))}
+
+
+def test_image_features_phash_exact_with_corrupt_row_in_batch(spark):
+    """Regression: pandas promotes an int column to float64 when ANY row
+    of the batch is None, silently rounding a 64-bit phash's low ~11
+    bits away — one corrupt image used to corrupt every OTHER row's
+    phash in its Arrow batch. The operator must pin nullable Int64."""
+    import numpy as np
+    from ai_intel_web_scraper_spark.functions.codec import (average_phash,
+                                                            png_encode)
+    from ai_intel_web_scraper_spark.operators.multimodal import (
+        image_features)
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    want = average_phash(px)
+    assert want % 2048 != 0  # low bits nonzero, else the test is inert
+    df = (spark.createDataFrame(
+        [("good", "png", bytearray(png_encode(px))),
+         ("bad", "png", bytearray(b"not a png"))],
+        "image_id string, fmt string, bytes binary")
+        .coalesce(1))  # force both rows into ONE Arrow batch
+    got = {r["image_id"]: (r["phash"], r["decode_ok"])
+           for r in image_features(df).collect()}
+    assert got["good"] == (want, True)
+    assert got["bad"] == (None, False)
+
+
+def _mk_clip(frame_values):
+    """MJPN clip whose frames are 8x8 grayscale from per-frame 64-int
+    lists."""
+    import numpy as np
+    from ai_intel_web_scraper_spark.functions.codec import mjpng_encode
+    frames = [np.array(v, dtype=np.uint8).reshape(8, 8, 1).repeat(3, axis=2)
+              for v in frame_values]
+    return bytearray(mjpng_encode(frames))
+
+
+def test_video_signatures_votes_sampling_and_corrupt_batch(spark):
+    """Signature semantics end-to-end: (a) the analytic frame-vote
+    SimHash is reproduced bit-exactly through the codec chain even with
+    a corrupt clip IN THE SAME Arrow batch (the float64 regression);
+    (b) a frame that every_n skips cannot change the signature; (c)
+    video_neardup pairs the planted near-dups and drops corrupt clips."""
+    from ai_intel_web_scraper_spark.operators.multimodal import (
+        video_neardup, video_signatures)
+    base = [[(37 * f + 11 * i + 3) % 256 for i in range(64)]
+            for f in range(5)]
+    edit_sampled = [list(v) for v in base]
+    edit_sampled[4] = [(v + 96) % 256 for v in base[4]]    # frame 4: sampled
+    edit_skipped = [list(v) for v in base]
+    edit_skipped[3] = [(v + 96) % 256 for v in base[3]]    # frame 3: skipped
+    clips = [("a", _mk_clip(base)), ("b", _mk_clip(edit_skipped)),
+             ("c", _mk_clip(edit_sampled)), ("x", bytearray(b"junk"))]
+    df = spark.createDataFrame(
+        clips, "video_id string, bytes binary").coalesce(1)
+    sig = {r["video_id"]: (r["signature"], r["n_sampled"], r["decode_ok"])
+           for r in video_signatures(df, every_n=2).collect()}
+    # analytic replay (pure python, no codec)
+    votes = [0] * 64
+    for f in (0, 2, 4):
+        px = base[f]
+        mean = sum(px) / 64.0
+        ph = 0
+        for idx, v in enumerate(px):
+            if v > mean:
+                ph |= 1 << (63 - idx)
+        for j in range(64):
+            votes[j] += 1 if (ph >> j) & 1 else -1
+    want = 0
+    for j in range(64):
+        if votes[j] > 0:
+            want |= 1 << j
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert sig["a"] == (want, 3, True)
+    assert sig["b"] == (want, 3, True)      # skipped-frame edit invisible
+    assert sig["c"][2] and sig["c"][0] != want   # sampled-frame edit seen
+    assert sig["x"] == (None, None, False)  # corrupt degrades, no poison
+    d_ac = bin((sig["a"][0] ^ sig["c"][0]) & ((1 << 64) - 1)).count("1")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in video_neardup(df, max_hamming=63, every_n=2).collect()}
+    assert pairs[("a", "b")] == 0 and pairs[("a", "c")] == d_ac
+    assert not any("x" in p for p in pairs)
+
+
 def test_politeness_rank_quota_and_order(spark):
     from ai_intel_web_scraper_spark.crawl.scheduler import politeness_rank
     rows = [(f"u{i}", i * 7 + 1, "h1" if i < 8 else "h2", i % 3, float(i), i)

@@ -199,6 +199,17 @@ AUDIT = {
     # r4 robots sitemap discovery: one Generate over a narrow scan
     "robots_sitemaps": ["Generate", "!Exchange",
                         "!ArrowEvalPython", "!MapInPandas"],
+    # r5 incremental image dedup: block posexplode + (blk, blk_val)
+    # equi-joins only — all-native (phash is a stored column), and the
+    # archive side is probed, never self-joined
+    "incremental_image_dedup": ["Generate", "!CartesianProduct",
+                                "!BroadcastNestedLoopJoin",
+                                "!ArrowEvalPython", "!MapInPandas"],
+    # r5 video near-dup: clip synthesis + signature extraction are narrow
+    # MapInPandas stages (bytes never cross the block join's shuffle —
+    # only the 8-byte signature does); pairs via equi-join, no nested loop
+    "video_neardup": ["MapInPandas", "!CartesianProduct",
+                      "!BroadcastNestedLoopJoin"],
 }
 FORBIDDEN = "BatchEvalPython"  # row-at-a-time Python UDF — never acceptable
 
