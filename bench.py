@@ -65,6 +65,8 @@ EXTRA = [
     "pair_alignment", "pair_filters", "frontier_authority",
     "incremental_dedup", "host_blocklist", "adaptive_quality",
     "stream_enrich", "image_pipeline",
+    # round-5 additions (image-archive incremental dedup, video near-dup)
+    "incremental_image_dedup", "video_neardup",
 ]
 
 
