@@ -139,7 +139,9 @@ def run_crawl(spark, n_hosts: int, total_pages: int,
               budget_scale: int = 1, depth_add: int = 0,
               max_links: int = 12, seed_frac: float = 0.6,
               bloom_mode: str = "partitioned",
-              host_state_mode: str = "dataframe") -> dict:
+              host_state_mode: str = "dataframe",
+              rank_mode: str = "bfs",
+              authority_every: int = 1) -> dict:
     from ai_intel_web_scraper_spark.crawl.scheduler import (CrawlConfig,
                                                             CrawlEngine)
     fx = crawl_fixtures(spark, n_hosts, total_pages,
@@ -157,7 +159,8 @@ def run_crawl(spark, n_hosts: int, total_pages: int,
         expected_urls=max(1 << 20, total_pages * 4),
         write_payload=with_payload, round_seconds=round_seconds,
         n_salt=8, bloom_mode=bloom_mode, host_state_mode=host_state_mode,
-        n_buckets=n_buckets))
+        n_buckets=n_buckets, rank_mode=rank_mode,
+        authority_every=authority_every))
     t0 = time.time()
     rounds = eng.run()
     wall = time.time() - t0
@@ -170,7 +173,7 @@ def run_crawl(spark, n_hosts: int, total_pages: int,
         "deduped_candidates": discovered, "new_urls": new_urls,
         "fetched_ok": fetched, "wall_sec": round(wall, 2),
         "bloom_mode": bloom_mode, "host_state_mode": host_state_mode,
-        "n_buckets": n_buckets,
+        "n_buckets": n_buckets, "rank_mode": rank_mode,
         "throughput_urls_per_sec": round((scheduled + discovered) / wall, 1),
     }
 
@@ -555,6 +558,13 @@ def main() -> None:
                          "both (headline stays the scale-safe partitioned)")
     ap.add_argument("--single-mode", dest="both_modes",
                     action="store_false")
+    ap.add_argument("--rank-mode", default="bfs",
+                    choices=["bfs", "priority", "authority"],
+                    help="frontier ranking for the crawl e2e (authority = "
+                         "r5 per-round integer PageRank composed with "
+                         "stored priorities)")
+    ap.add_argument("--authority-every", type=int, default=1,
+                    help="authority refresh cadence in rounds (r5)")
     ap.add_argument("--budget-scale", type=int, default=1)
     ap.add_argument("--depth-add", type=int, default=0)
     ap.add_argument("--max-links", type=int, default=12)
@@ -616,7 +626,8 @@ def main() -> None:
                               args.payload, args.round_seconds,
                               args.budget_scale, args.depth_add,
                               args.max_links, args.seed_frac,
-                              args.bloom_mode, args.host_state_mode)
+                              args.bloom_mode, args.host_state_mode,
+                              args.rank_mode, args.authority_every)
             queries["crawl_scheduling"] = crawl["wall_sec"]
             sched = run_sched(spark, args.sched_urls, args.sched_hosts,
                               args.sched_seen_frac, args.round_seconds,
