@@ -493,7 +493,9 @@ def hamming_block_pairs(df: DataFrame, id_col: str, hash_col: str,
 
 def incremental_hamming_neardup(new_df: DataFrame, index_df: DataFrame,
                                 id_col: str, hash_col: str,
-                                max_hamming: int, bits: int = 64
+                                max_hamming: int, bits: int = 64,
+                                index_blocks: DataFrame | None = None,
+                                broadcast_delta: bool = False
                                 ) -> DataFrame:
     """The CONTINUOUS-crawl shape for hamming near-dup (the image-side
     twin of `incremental_minhash_verified`): block only the NEW items
@@ -510,10 +512,27 @@ def incremental_hamming_neardup(new_df: DataFrame, index_df: DataFrame,
     exact distance decides), vs_index = the pair spans the index/new
     boundary. Recall guarantee is inherited from the block tiling —
     pigeonhole needs only that SOME block of the pair matches, which
-    holds regardless of which side each item lives on."""
+    holds regardless of which side each item lives on.
+
+    `index_blocks` is the production path: pass the PERSISTED
+    `hamming_block_rows` output ((id, h, blk, blk_val), read back from
+    the store) and `index_df` is ignored — the per-round cost drops to
+    blocking the delta plus one probe join against the stored table
+    (the archive is scanned, never re-exploded or re-derived). The
+    caller owns keeping the stored table's (max_hamming, bits) tiling
+    in sync — mismatched tilings void the recall guarantee silently.
+
+    `broadcast_delta` asserts the steady-state size relation (delta <<
+    archive): the delta's block rows broadcast into the probe join, so
+    the stored table is SCANNED but never shuffled — at a 10^10-image
+    archive the difference between re-sorting the archive every round
+    and streaming it past a ~MB hash table. Caller-owned because only
+    the caller knows the delta really is broadcast-sized."""
     nb = hamming_block_rows(new_df, id_col, hash_col, max_hamming, bits)
-    ib = hamming_block_rows(index_df, id_col, hash_col, max_hamming, bits)
-    cross = (nb.alias("a")
+    ib = (index_blocks if index_blocks is not None else
+          hamming_block_rows(index_df, id_col, hash_col, max_hamming, bits))
+    nbc = F.broadcast(nb) if broadcast_delta else nb
+    cross = (nbc.alias("a")
              .join(ib.alias("b"),
                    (F.col("a.blk") == F.col("b.blk"))
                    & (F.col("a.blk_val") == F.col("b.blk_val"))

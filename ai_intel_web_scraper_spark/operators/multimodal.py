@@ -88,7 +88,9 @@ def phash_hamming_neardup(pages: DataFrame, max_hamming: int = 6) -> DataFrame:
 
 
 def incremental_phash_neardup(new_pages: DataFrame, index_pages: DataFrame,
-                              max_hamming: int = 6) -> DataFrame:
+                              max_hamming: int = 6,
+                              index_blocks: DataFrame | None = None,
+                              broadcast_delta: bool = False) -> DataFrame:
     """Incremental image near-dup: probe only the day's NEW images against
     the archive's persisted phash block table (`dedup.hamming_block_rows`
     output — recomputed from `index_pages` here so the oracle can check
@@ -101,7 +103,8 @@ def incremental_phash_neardup(new_pages: DataFrame, index_pages: DataFrame,
     return incremental_hamming_neardup(
         new_pages.select("image_id", "phash"),
         index_pages.select("image_id", "phash"),
-        "image_id", "phash", max_hamming)
+        "image_id", "phash", max_hamming, index_blocks=index_blocks,
+        broadcast_delta=broadcast_delta)
 
 
 VIDEO_SIGNATURE_SCHEMA = ("video_id string, n_sampled int, signature long, "

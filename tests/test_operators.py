@@ -283,6 +283,17 @@ def test_incremental_phash_neardup_scopes_and_matches_full(spark, fixtures):
     assert {p: h for p, (h, _) in got.items()} == {
         p: h for p, h in full.items()
         if not (p[0].startswith("i") and p[1].startswith("i"))}
+    # production path: the PERSISTED archive block table (written once,
+    # read back) must give the identical result to the recompute path
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        D.hamming_block_rows(idx, "image_id", "phash", 6).write.parquet(
+            td, mode="overwrite")
+        got_p = {(r["id_a"], r["id_b"]): (r["hamming"], r["vs_index"])
+                 for r in incremental_phash_neardup(
+                     new, idx, 6,
+                     index_blocks=spark.read.parquet(td)).collect()}
+        assert got_p == got
 
 
 def test_image_features_phash_exact_with_corrupt_row_in_batch(spark):

@@ -121,9 +121,69 @@ def main() -> None:
         assert "BroadcastNestedLoopJoin" not in plan
         return df
 
+    # --- r5 image/video cases ------------------------------------------
+    # Synthetic image archive at web-ish scale: uniform 64-bit hashes
+    # stand in for phashes, ~10% of each delta planted as 2-bit-flipped
+    # near-dups of archive rows. max_hamming=2 (3 blocks x ~21 bits) is
+    # the honest large-scale setting — the guaranteed-recall tiling's
+    # candidate count scales with n^2/2^width, so wide blocks (tight
+    # thresholds) are what a 10^10-image archive runs; the fixture-scale
+    # d=6 stays correct because real corpora are far from uniform.
+    from ai_intel_web_scraper_spark.operators import multimodal as M
+
+    IMG_D, IMG_DELTA, IMG_ARCH = 2, 50_000, 1_000_000
+
+    def img_archive(n):
+        return spark.range(n).select(
+            F.concat(F.lit("a"), F.col("id").cast("string"))
+            .alias("image_id"),
+            F.xxhash64(F.col("id").cast("string")).alias("phash"))
+
+    def img_delta(arch_n):
+        near = (F.xxhash64((F.col("id") % arch_n).cast("string"))
+                .bitwiseXOR(F.lit(3)))
+        fresh = F.xxhash64(F.concat(F.lit("d"), F.col("id").cast("string")))
+        return spark.range(IMG_DELTA).select(
+            F.concat(F.lit("d"), F.col("id").cast("string"))
+            .alias("image_id"),
+            F.when(F.pmod("id", F.lit(10)) == 0, near)
+            .otherwise(fresh).alias("phash"))
+
+    def img_blocks_path(n):
+        """The persisted archive block table (production layout), built
+        OUTSIDE the timer — per-round work must not pay the archive
+        re-explode."""
+        p = f"/tmp/spark_graft_img_blocks_{n}_d{IMG_D}"
+        marker = os.path.join(p, "_SUCCESS")
+        if not os.path.exists(marker):
+            D.hamming_block_rows(img_archive(n), "image_id", "phash",
+                                 IMG_D).write.mode("overwrite").parquet(p)
+        return p
+
+    def incr_image(arch_n, persisted):
+        blocks = (spark.read.parquet(img_blocks_path(arch_n))
+                  if persisted else None)
+        return M.incremental_phash_neardup(
+            img_delta(arch_n), img_archive(arch_n), IMG_D,
+            index_blocks=blocks, broadcast_delta=persisted)
+
     cases = {
         "semdedup": (lambda: qs["semdedup"](spark, BASE_SF),
                      lambda: qs["semdedup"](spark, big)),
+        # r5: delta-vs-archive image probe, archive re-exploded per round
+        # (the oracle-checkable shape) vs probed from the PERSISTED block
+        # table (the production shape) — delta fixed, archive x replicas
+        "incr_image_rebuild": (
+            lambda: incr_image(IMG_ARCH, False),
+            lambda: incr_image(IMG_ARCH * replicas, False)),
+        "incr_image_persisted": (
+            lambda: incr_image(IMG_ARCH, True),
+            lambda: incr_image(IMG_ARCH * replicas, True)),
+        # r5: video near-dup — signature extraction + block join over the
+        # replicated documents (groups stay 4-wide, so pair density is
+        # constant and growth is honest)
+        "video_neardup": (lambda: qs["video_neardup"](spark, BASE_SF),
+                          lambda: qs["video_neardup"](spark, big)),
         # the paper's sizing: k ~ sqrt(n) at the scaled point (same
         # fixed-k base, so the ratio is directly comparable to
         # `semdedup`'s); plan shape asserted unchanged at the larger k
@@ -152,6 +212,11 @@ def main() -> None:
     out = {}
     if only:
         cases = {k: v for k, v in cases.items() if k in only}
+    if "incr_image_persisted" in cases:
+        # the archive block table is a ONE-OFF layout cost (production
+        # appends to it); build both sizes outside the probe timer
+        img_blocks_path(IMG_ARCH)
+        img_blocks_path(IMG_ARCH * replicas)
     for name, (base_fn, big_fn) in cases.items():
         b = _time(base_fn)
         x = _time(big_fn)
