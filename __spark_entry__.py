@@ -2337,6 +2337,43 @@ def _incr_phash_lit_rows() -> list[tuple]:
             for iid, ph in _phash_lit_rows()]
 
 
+def q_stream_image_dedup(spark, sf_dir):
+    """Streaming image-archive dedup (r5): the crc32 split's NEW side
+    arrives as THREE micro-batches (maxFilesPerTrigger=1 file source);
+    each foreachBatch probes the persisted phash block table and then
+    appends its own blocks (`streaming/images.py`). The oracle is the
+    batching-free brute force — the value hash pins the batch-boundary
+    invariance: stream(3 batches) == one-shot incremental == SQL."""
+    import shutil
+    import zlib
+    from ai_intel_web_scraper_spark.streaming.images import (
+        streaming_incremental_phash_dedup)
+    rows = _phash_lit_rows()
+    new = sorted((iid, ph) for iid, ph in rows
+                 if zlib.crc32(iid.encode()) % 2 == 0)
+    idx = [(iid, ph) for iid, ph in rows
+           if zlib.crc32(iid.encode()) % 2 == 1]
+    work = "/tmp/spark_graft_entry_stream_img"
+    shutil.rmtree(work, ignore_errors=True)
+    src = os.path.join(work, "src")
+    os.makedirs(src, exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+    step = -(-len(new) // 3)
+    for b in range(3):
+        chunk = new[b * step:(b + 1) * step]
+        if chunk:  # flat files: the parquet stream source doesn't recurse
+            papq.write_table(
+                pa.table({"image_id": [i for i, _ in chunk],
+                          "phash": pa.array([p for _, p in chunk],
+                                            type=pa.int64())}),
+                os.path.join(src, f"b{b}.parquet"))
+    archive = spark.createDataFrame(idx, "image_id string, phash long")
+    return streaming_incremental_phash_dedup(
+        spark, src, archive, max_hamming=6,
+        work_dir=os.path.join(work, "state"))
+
+
 # ---- video near-dup fixture: deterministic 8x8 grayscale frames. The
 # ---- lowbias32 avalanche mix matters: a weaker per-pixel hash leaves
 # ---- phash bit patterns correlated across (group, frame) and the
@@ -3020,11 +3057,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # means some age-2 stragglers are unavoidable; they lead next round).
     # r5 window = the 2 revenue keys (round()-free cents fix
     # verification; ship_probe_date retired — its question was answered
-    # in r4) + 5 new r5 queries (authority_crawl, bucketed_crawl,
-    # cms_point_queries, incremental_image_dedup, video_neardup) + the
-    # 27 queries whose last green was r2 + 12 queries touched by r5 code
-    # changes + 4 oldest r3-evidence keys (mixture_sample / pack_shards
-    # slipped below the fold; they lead the r6 window).
+    # in r4) + 6 new r5 queries (authority_crawl, bucketed_crawl,
+    # cms_point_queries, incremental_image_dedup, video_neardup,
+    # stream_image_dedup) + the 27 queries whose last green was r2 + 12
+    # queries touched by r5 code changes + 3 oldest r3-evidence keys
+    # (shard_spans / mixture_sample / pack_shards slipped below the
+    # fold; they lead the r6 window).
     return {
         # --- fix verification: round()-free revenue_cents (r5 task #1) --
         "top_revenue_orders": q_top_revenue_orders,
@@ -3036,6 +3074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_point_queries": q_cms_point_queries,
         "incremental_image_dedup": q_incremental_image_dedup,
         "video_neardup": q_video_neardup,
+        "stream_image_dedup": q_stream_image_dedup,
         # --- stale evidence: last driver green was r2 (27 queries) ------
         "bench_numbers": q_bench_numbers,
         "boilerplate_clean": q_boilerplate_clean,
@@ -3083,11 +3122,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_greedy": q_minhash_greedy,
         "minhash_verified": q_minhash_verified,
         "process_pipeline": q_process_pipeline,
-        "shard_spans": q_shard_spans,
         # ---------------- past the 50-query window ----------------------
-        # (mixture_sample / pack_shards slipped below the fold when the
-        # two late-r5 queries above landed; r3-green age-2, they LEAD
-        # the r6 window with the other remaining r3 greens)
+        # (shard_spans / mixture_sample / pack_shards slipped below the
+        # fold when the three late-r5 queries above landed; r3-green
+        # age-2, they LEAD the r6 window with the other r3 greens)
+        "shard_spans": q_shard_spans,
         "mixture_sample": q_mixture_sample,
         "pack_shards": q_pack_shards,
         # r4 greens (driver rows in CORRECTNESS_r04), lead candidates for
@@ -4744,6 +4783,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.image_id AS id_a, b.image_id AS id_b,
                    bit_count(xor(a.phash, b.phash))::INT AS hamming,
                    (a.is_new <> b.is_new) AS vs_index
+            FROM ph a JOIN ph b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 6
+              AND (a.is_new OR b.is_new)""",
+        # The STREAMING loop must land on the batching-free brute force:
+        # same relation as incremental_image_dedup, vs_index dropped
+        # (which batch boundary a new-new pair straddles is a scheduling
+        # artifact, not data).
+        "stream_image_dedup": f"""
+            WITH ph AS (SELECT * FROM {_sql_values_table(
+                _incr_phash_lit_rows(), ["image_id", "phash", "is_new"])})
+            SELECT a.image_id AS id_a, b.image_id AS id_b,
+                   bit_count(xor(a.phash, b.phash))::INT AS hamming
             FROM ph a JOIN ph b ON a.image_id < b.image_id
             WHERE bit_count(xor(a.phash, b.phash)) <= 6
               AND (a.is_new OR b.is_new)""",

@@ -65,8 +65,9 @@ EXTRA = [
     "pair_alignment", "pair_filters", "frontier_authority",
     "incremental_dedup", "host_blocklist", "adaptive_quality",
     "stream_enrich", "image_pipeline",
-    # round-5 additions (image-archive incremental dedup, video near-dup)
-    "incremental_image_dedup", "video_neardup",
+    # round-5 additions (image-archive incremental dedup, video near-dup,
+    # streaming image-archive dedup)
+    "incremental_image_dedup", "video_neardup", "stream_image_dedup",
 ]
 
 

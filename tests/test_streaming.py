@@ -319,3 +319,54 @@ def test_checkpointed_file_sink_resumes_exactly_once(spark, tmp_path):
     got = spark.read.parquet(sink)
     assert got.count() == ev.count()                      # no loss
     assert got.select("event_id").distinct().count() == ev.count()  # no dupes
+
+
+def test_streaming_image_dedup_batch_invariance(spark, tmp_path):
+    """The streaming dedup loop (r5) must be invariant to micro-batch
+    boundaries: the same new rows driven as ONE file and as THREE files
+    produce the identical pair set, and both equal the one-shot
+    incremental probe. Also: the initial archive never self-pairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+    from ai_intel_web_scraper_spark.operators.multimodal import (
+        incremental_phash_neardup)
+    from ai_intel_web_scraper_spark.streaming.images import (
+        streaming_incremental_phash_dedup)
+    # archive holds a planted pair (must NOT appear); new rows pair with
+    # the archive and with each other ACROSS batch boundaries
+    idx_rows = [("i1", 0x0F0F), ("i2", 0x0F0E), ("i3", 7 << 60)]
+    new_rows = [("n1", (7 << 60) + 3),    # vs archive i3, ham 2
+                ("n2", 0x1234_5678_9ABC_DEF0),
+                ("n3", 0x1234_5678_9ABC_DEF1),   # vs n2, cross-batch
+                ("n4", 0x1234_5678_9ABC_DEF3)]   # vs n2+n3, cross-batch
+    archive = spark.createDataFrame(idx_rows, "image_id string, phash long")
+
+    def write_chunks(dirname, chunks):
+        src = str(tmp_path / dirname)
+        os.makedirs(src)
+        for k, chunk in enumerate(chunks):
+            papq.write_table(
+                pa.table({"image_id": [i for i, _ in chunk],
+                          "phash": pa.array([p for _, p in chunk],
+                                            type=pa.int64())}),
+                os.path.join(src, f"b{k}.parquet"))
+        return src
+
+    def run(dirname, chunks):
+        src = write_chunks(dirname, chunks)
+        got = streaming_incremental_phash_dedup(
+            spark, src, archive, max_hamming=6,
+            work_dir=str(tmp_path / (dirname + "_state")))
+        return {(r["id_a"], r["id_b"]): r["hamming"] for r in got.collect()}
+
+    one = run("one", [new_rows])
+    three = run("three", [new_rows[:1], new_rows[1:2], new_rows[2:]])
+    want = {(r["id_a"], r["id_b"]): r["hamming"]
+            for r in incremental_phash_neardup(
+                spark.createDataFrame(new_rows, "image_id string, phash long"),
+                archive, 6).collect()}
+    assert one == three == want
+    assert ("i3", "n1") in want and ("n2", "n3") in want
+    assert ("n2", "n4") in want and ("n3", "n4") in want
+    assert not any(a.startswith("i") and b.startswith("i")
+                   for a, b in want)  # archive never self-pairs
