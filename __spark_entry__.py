@@ -1908,6 +1908,70 @@ def _wds_expected_rows() -> list[tuple]:
     return out
 
 
+WDS_BYTE_BUDGET = 65536  # fixture-scale stand-in for the ~1 GiB shard rule
+
+
+def q_webdataset_budget(spark, sf_dir):
+    """Byte-budgeted WebDataset shards (r5): samples packed by exact tar
+    footprint under `pack_shards`' quantized-prefix start-offset rule
+    (two-level prefix sum — no global window), assembled by the shared
+    deterministic tar stage. The per-shard md5s value-hash the weight
+    model, the prefix pack, the DIV rule, member ordering and byte
+    layout at once. Oracle: the whole pack + every tar rebuilt out of
+    Spark in plain Python."""
+    from ai_intel_web_scraper_spark.operators.export import (
+        webdataset_shards_by_bytes)
+    pages = spark.read.parquet(_crawl_fixture_paths()["pages"])
+    return (webdataset_shards_by_bytes(pages, WDS_BYTE_BUDGET,
+                                       with_bytes=False)
+            .select("shard_id", "n_samples", "size_bytes", "tar_md5"))
+
+
+def _wds_budget_rows() -> list[tuple]:
+    """(shard_id, n_samples, size_bytes, tar_md5) for the byte-budget
+    pack, recomputed OUT of Spark: exact USTAR footprints, running start
+    offsets in image_id order, shard = start DIV budget, tars rebuilt
+    with the same deterministic recipe."""
+    import hashlib
+    import io
+    import tarfile
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(_crawl_fixture_paths()["pages"],
+                        columns=["image_id", "bytes", "fmt", "caption"])
+    rows = sorted(zip(tbl["image_id"].to_pylist(), tbl["bytes"].to_pylist(),
+                      tbl["fmt"].to_pylist(), tbl["caption"].to_pylist()))
+
+    def fp(n):
+        return 512 + ((n + 511) // 512) * 512
+
+    shards: dict[int, list] = {}
+    start = 0
+    for iid, data, fmt, cap in rows:
+        w = fp(len(bytes(data))) + fp(len(cap.encode("utf-8")))
+        shards.setdefault(start // WDS_BYTE_BUDGET, []).append(
+            (iid, data, fmt, cap))
+        start += w
+    out = []
+    for sid, members in sorted(shards.items()):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w",
+                          format=tarfile.USTAR_FORMAT) as tar:
+            for iid, data, fmt, cap in members:
+                for name, payload in ((f"{iid}.{fmt}", bytes(data)),
+                                      (f"{iid}.txt", cap.encode("utf-8"))):
+                    ti = tarfile.TarInfo(name=name)
+                    ti.size = len(payload)
+                    ti.mtime = 0
+                    ti.mode = 0o644
+                    tar.addfile(ti, io.BytesIO(payload))
+        data = buf.getvalue()
+        out.append((sid, len(members), len(data),
+                    hashlib.md5(data).hexdigest()))
+    return out
+
+
 def _pipeline_wds_rows() -> list[tuple]:
     """(shard_id, n_samples, size_bytes, tar_md5) for the COMPOSED image
     pipeline (filter -> phash-dedup -> shard), recomputed OUT of Spark:
@@ -3057,12 +3121,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # means some age-2 stragglers are unavoidable; they lead next round).
     # r5 window = the 2 revenue keys (round()-free cents fix
     # verification; ship_probe_date retired — its question was answered
-    # in r4) + 6 new r5 queries (authority_crawl, bucketed_crawl,
+    # in r4) + 7 new r5 queries (authority_crawl, bucketed_crawl,
     # cms_point_queries, incremental_image_dedup, video_neardup,
-    # stream_image_dedup) + the 27 queries whose last green was r2 + 12
-    # queries touched by r5 code changes + 3 oldest r3-evidence keys
-    # (shard_spans / mixture_sample / pack_shards slipped below the
-    # fold; they lead the r6 window).
+    # stream_image_dedup, webdataset_budget) + the 27 queries whose last
+    # green was r2 + 12 queries touched by r5 code changes + 2 oldest
+    # r3-evidence keys (process_pipeline / shard_spans / mixture_sample
+    # / pack_shards slipped below the fold; they lead the r6 window).
     return {
         # --- fix verification: round()-free revenue_cents (r5 task #1) --
         "top_revenue_orders": q_top_revenue_orders,
@@ -3075,6 +3139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_image_dedup": q_incremental_image_dedup,
         "video_neardup": q_video_neardup,
         "stream_image_dedup": q_stream_image_dedup,
+        "webdataset_budget": q_webdataset_budget,
         # --- stale evidence: last driver green was r2 (27 queries) ------
         "bench_numbers": q_bench_numbers,
         "boilerplate_clean": q_boilerplate_clean,
@@ -3121,11 +3186,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- oldest r3-evidence keys (fill to 50) -----------------------
         "minhash_greedy": q_minhash_greedy,
         "minhash_verified": q_minhash_verified,
-        "process_pipeline": q_process_pipeline,
         # ---------------- past the 50-query window ----------------------
-        # (shard_spans / mixture_sample / pack_shards slipped below the
-        # fold when the three late-r5 queries above landed; r3-green
-        # age-2, they LEAD the r6 window with the other r3 greens)
+        # (process_pipeline / shard_spans / mixture_sample / pack_shards
+        # slipped below the fold when the four late-r5 queries above
+        # landed; r3-green age-2, they LEAD the r6 window)
+        "process_pipeline": q_process_pipeline,
         "shard_spans": q_shard_spans,
         "mixture_sample": q_mixture_sample,
         "pack_shards": q_pack_shards,
@@ -4648,6 +4713,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT shard_id, n_samples, size_bytes, tar_md5
             FROM {_sql_values_table(
                 _wds_expected_rows(),
+                ["shard_id", "n_samples", "size_bytes", "tar_md5"])}""",
+        # byte-budget pack: the weight model, running start offsets, DIV
+        # rule AND every tar rebuilt out of Spark (_wds_budget_rows)
+        "webdataset_budget": f"""
+            SELECT shard_id, n_samples, size_bytes, tar_md5
+            FROM {_sql_values_table(
+                _wds_budget_rows(),
                 ["shard_id", "n_samples", "size_bytes", "tar_md5"])}""",
         # robots_sitemaps: DuckDB re-parses the SAME raw robots bodies
         # with its own regexp engine (cross-parser check); the bounded

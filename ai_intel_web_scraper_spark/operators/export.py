@@ -14,7 +14,7 @@ through to the export write.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -88,16 +88,23 @@ def webdataset_shards(pages: DataFrame,
     reproducible across engines, partitionings, and reruns, which makes
     the sink itself value-hash checkable (the oracle rebuilds every tar
     out of Spark and compares digests)."""
+    src = pages.select(
+        F.col("image_id"), F.col("bytes"), F.col("fmt"), F.col("caption"),
+        F.expr(f"cast(substring(image_id, 5, 8) as bigint) "
+               f"DIV {samples_per_shard}").alias("shard_id"))
+    return _assemble_shards(src, with_bytes)
+
+
+def _assemble_shards(src: DataFrame, with_bytes: bool) -> DataFrame:
+    """Shared tar-assembly stage: (image_id, bytes, fmt, caption,
+    shard_id) -> one deterministic USTAR archive per shard (the
+    `webdataset_shards` docstring's recipe; also the byte-budget
+    variant's sink)."""
     import hashlib
     import io
     import tarfile
 
     import pandas as pd
-
-    src = pages.select(
-        F.col("image_id"), F.col("bytes"), F.col("fmt"), F.col("caption"),
-        F.expr(f"cast(substring(image_id, 5, 8) as bigint) "
-               f"DIV {samples_per_shard}").alias("shard_id"))
 
     fields = ("shard_id int, n_samples int, size_bytes long, tar_md5 string"
               + (", tar_bytes binary" if with_bytes else ""))
@@ -127,6 +134,60 @@ def webdataset_shards(pages: DataFrame,
         return pd.DataFrame(row)
 
     return src.groupBy("shard_id").applyInPandas(build, schema=fields)
+
+
+def tar_footprint_col(len_col) -> F.Column:
+    """Exact USTAR member footprint: 512-byte header + payload padded to
+    a 512 multiple. Integer-exact (DIV), so both engines agree."""
+    return F.expr(f"512 + ((({len_col}) + 511) DIV 512) * 512")
+
+
+def webdataset_shards_by_bytes(pages: DataFrame, byte_budget: int,
+                               with_bytes: bool = True,
+                               n_buckets: int | None = None) -> DataFrame:
+    """WebDataset shards under a BYTE budget — the constraint real
+    training-shard layouts carry (~1 GiB tars), where fixed
+    samples-per-shard drifts with payload size. A sample's weight is its
+    exact tar footprint (image member + caption member, headers and
+    512-padding included); a sample lands in the shard where its
+    cumulative START offset falls (`pack_shards`' quantized-prefix rule
+    — no sequential reset dependence, so the global pack is a TWO-LEVEL
+    prefix sum, never a single-partition window). Shard tar sizes may
+    exceed the budget by at most one sample plus the tar trailer
+    (end-of-archive blocks + record padding), exactly like a
+    streaming-pack writer.
+
+    Sample order is the image_id-embedded global sequence, identical to
+    `webdataset_shards`; assembly is the shared deterministic tar stage,
+    so the md5s remain engine/partitioning/rerun-reproducible."""
+    sp = pages.sparkSession
+    if n_buckets is None:
+        n_buckets = max(8, sp.sparkContext.defaultParallelism)
+    seq = F.expr("cast(substring(image_id, 5, 8) as bigint)")
+    w = (tar_footprint_col("length(bytes)")
+         + tar_footprint_col("octet_length(caption)"))
+    src = pages.select("image_id", "bytes", "fmt", "caption",
+                       seq.alias("_seq"), w.alias("_w"))
+    # constant-size driver read (one long) to size the bucket ranges
+    mx = src.agg(F.max("_seq")).first()[0]
+    step = max(1, -((int(mx) + 1) // -n_buckets))
+    src = src.withColumn("_bucket", F.expr(f"_seq DIV {step}"))
+    w_in = (Window.partitionBy("_bucket").orderBy("_seq")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    src = src.withColumn("_cum_in", F.sum("_w").over(w_in))
+    w_pre = (Window.orderBy("_bucket")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    bpre = (src.groupBy("_bucket").agg(F.sum("_w").alias("_bw"))
+            .withColumn("_bpre", F.coalesce(F.sum("_bw").over(w_pre),
+                                            F.lit(0).cast("long")))
+            .select("_bucket", "_bpre"))
+    packed = (src.join(F.broadcast(bpre), "_bucket")
+              .withColumn("_start",
+                          F.col("_bpre") + F.col("_cum_in") - F.col("_w"))
+              .withColumn("shard_id",
+                          F.expr(f"cast(_start DIV {byte_budget} as int)"))
+              .select("image_id", "bytes", "fmt", "caption", "shard_id"))
+    return _assemble_shards(packed, with_bytes)
 
 
 def read_webdataset(shards: DataFrame,

@@ -66,8 +66,9 @@ EXTRA = [
     "incremental_dedup", "host_blocklist", "adaptive_quality",
     "stream_enrich", "image_pipeline",
     # round-5 additions (image-archive incremental dedup, video near-dup,
-    # streaming image-archive dedup)
+    # streaming image-archive dedup, byte-budget shard pack)
     "incremental_image_dedup", "video_neardup", "stream_image_dedup",
+    "webdataset_budget",
 ]
 
 

@@ -1169,6 +1169,51 @@ def test_webdataset_shards_roundtrip_and_determinism(spark, fixtures):
     assert again == {r["shard_id"]: r["tar_md5"] for r in out}
 
 
+def test_webdataset_byte_budget_pack(spark, fixtures):
+    """Byte-budget shards: every sample lands in the shard its running
+    START offset selects (python replay of the exact footprint model);
+    shard tars never exceed budget + one sample + the tar trailer; all
+    samples ship exactly once; bytes deterministic under repartition."""
+    import io
+    import tarfile
+
+    from ai_intel_web_scraper_spark.operators.export import (
+        webdataset_shards_by_bytes)
+    budget = 65536
+    pages = spark.read.parquet(fixtures["pages"])
+    out = webdataset_shards_by_bytes(pages, budget).collect()
+    rows = sorted((r["image_id"], bytes(r["bytes"]), r["caption"])
+                  for r in pages.select("image_id", "bytes",
+                                        "caption").collect())
+
+    def fp(n):
+        return 512 + ((n + 511) // 512) * 512
+
+    want_shard, start, weights = {}, 0, {}
+    for iid, data, cap in rows:
+        w = fp(len(data)) + fp(len(cap.encode("utf-8")))
+        want_shard[iid] = start // budget
+        weights[iid] = w
+        start += w
+    got_samples = set()
+    for r in out:
+        with tarfile.open(fileobj=io.BytesIO(bytes(r["tar_bytes"]))) as tar:
+            members = [m for m in tar.getmembers()
+                       if not m.name.endswith(".txt")]
+        ids = [m.name.split(".")[0] for m in members]
+        assert all(want_shard[i] == r["shard_id"] for i in ids)
+        got_samples.update(ids)
+        # start-offset rule's overflow bound (trailer = archive padding)
+        body = sum(weights[i] for i in ids)
+        assert r["size_bytes"] <= budget + max(weights.values()) + 10240
+        assert r["size_bytes"] >= body  # padding only ever adds
+    assert got_samples == set(want_shard)
+    again = {r["shard_id"]: r["tar_md5"]
+             for r in webdataset_shards_by_bytes(
+                 pages.repartition(7), budget, with_bytes=False).collect()}
+    assert again == {r["shard_id"]: r["tar_md5"] for r in out}
+
+
 def test_pair_alignment_properties(spark):
     """Independent invariants of the CLIP-stand-in alignment score (the
     DuckDB oracle is the full value check; these pin the algebra):

@@ -210,6 +210,12 @@ AUDIT = {
     # only the 8-byte signature does); pairs via equi-join, no nested loop
     "video_neardup": ["MapInPandas", "!CartesianProduct",
                       "!BroadcastNestedLoopJoin"],
+    # r5 byte-budget shards: the global byte prefix is TWO-LEVEL (bucket-
+    # partitioned running window + broadcast bucket-prefix frame), then
+    # the shared tar cogroup — never a whole-corpus single-partition sort
+    "webdataset_budget": [r"windowspecdefinition\(_bucket",
+                          "FlatMapGroupsInPandas", "BroadcastHashJoin",
+                          "!CartesianProduct", "!BroadcastNestedLoopJoin"],
 }
 FORBIDDEN = "BatchEvalPython"  # row-at-a-time Python UDF — never acceptable
 
