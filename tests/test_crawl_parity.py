@@ -570,3 +570,27 @@ def test_crawl_with_periodic_expiry_matches_unexpired_crawl(spark, fixtures,
     got_p, _ = run(str(tmp_path / "wc"), expire_every=2, expire_keep=2,
                    bloom_mode="partitioned")
     assert got_p == base
+
+
+def test_authority_and_bucketed_compose(spark, fixtures):
+    """The two r5 engine features TOGETHER (rank_mode='authority' +
+    seen_layout='bucketed'): the ranking loop and the co-located
+    anti-join touch disjoint parts of the round (frontier rank vs
+    url_seen dedup), but nothing short of running them composed proves
+    it — full fetch-row parity vs the pure-Python oracle crawler under
+    the authority contract (the bucketed mirror must be semantically
+    invisible)."""
+    wh = "/tmp/spark_graft_wh_auth_bucketed"
+    shutil.rmtree(wh, ignore_errors=True)
+    eng = CrawlEngine(spark, fixtures, wh,
+                      CrawlConfig(rank_mode="authority",
+                                  seen_layout="bucketed",
+                                  write_payload=False))
+    eng.run()
+    want_res = oracle_crawl(fixtures, rank_mode="authority")
+    got = sorted((r["url"], r["round"], r["fetch_slot"]) for r in
+                 eng.store.read("fetched")
+                 .select("url", "round", "fetch_slot").collect())
+    want = sorted((r["url"], r["round"], r["fetch_slot"])
+                  for r in want_res.fetched)
+    assert got == want
