@@ -118,7 +118,8 @@ def _assemble_shards(src: DataFrame, with_bytes: bool) -> DataFrame:
                 for name, data in (
                         (f"{r['image_id']}.{r['fmt']}", bytes(r["bytes"])),
                         (f"{r['image_id']}.txt",
-                         str(r["caption"]).encode("utf-8"))):
+                         ("" if r["caption"] is None
+                          else str(r["caption"])).encode("utf-8"))):
                     ti = tarfile.TarInfo(name=name)
                     ti.size = len(data)
                     ti.mtime = 0
@@ -160,12 +161,17 @@ def webdataset_shards_by_bytes(pages: DataFrame, byte_budget: int,
     Sample order is the image_id-embedded global sequence, identical to
     `webdataset_shards`; assembly is the shared deterministic tar stage,
     so the md5s remain engine/partitioning/rerun-reproducible."""
+    if byte_budget < 1:
+        raise ValueError(f"byte_budget must be >= 1, got {byte_budget}")
     sp = pages.sparkSession
     if n_buckets is None:
         n_buckets = max(8, sp.sparkContext.defaultParallelism)
     seq = F.expr("cast(substring(image_id, 5, 8) as bigint)")
+    # a NULL caption tars as an empty .txt member (assembly rule below);
+    # the weight model must agree AND never go NULL mid-prefix-sum
     w = (tar_footprint_col("length(bytes)")
-         + tar_footprint_col("octet_length(caption)"))
+         + tar_footprint_col("octet_length(cast(coalesce(caption, '') "
+                             "as string))"))
     src = pages.select("image_id", "bytes", "fmt", "caption",
                        seq.alias("_seq"), w.alias("_w"))
     # constant-size driver read (one long) to size the bucket ranges

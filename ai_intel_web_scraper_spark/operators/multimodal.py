@@ -126,6 +126,11 @@ def video_signatures(df: DataFrame, every_n: int = 2) -> DataFrame:
     from ..functions.codec import (average_phash, mjpng_decode_frame,
                                    mjpng_frame_count)
 
+    if every_n < 1:
+        # a caller bug must not masquerade as "corrupt bytes" (the
+        # range() step error would be swallowed by the per-row except)
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+
     def fn(iterator):
         for pdf in iterator:
             rows = []

@@ -78,4 +78,9 @@ def streaming_incremental_phash_dedup(spark: SparkSession, new_dir: str,
         q.processAllAvailable()
     finally:
         q.stop()
+    if not os.path.isdir(pairs_path):
+        # an empty source never fires foreachBatch — no-pairs is a
+        # result, not a read error
+        return spark.createDataFrame(
+            [], "id_a string, id_b string, hamming int")
     return spark.read.parquet(pairs_path)
