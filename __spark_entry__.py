@@ -2140,6 +2140,71 @@ def _align_sql_parts() -> list[str]:
     ]
 
 
+CROSSMODAL_QUERIES = [
+    ("q_harbor", "a bright harbor"),
+    ("q_spindle", "pale spindle"),
+    ("q_glacier", "warm glacier on host1.example"),
+    ("q_prism", "sharp prism"),
+]
+CROSSMODAL_K = 7
+
+
+def q_crossmodal_topk(spark, sf_dir):
+    """Cross-modal retrieval (r5): rank images for literal text queries
+    with the CLIP-proxy score — each query's sign vector collapses to a
+    constant bitmask, so the whole search is native integer codegen
+    (bit_count over XOR), no UDF, bytes never read; top-k per query is
+    a literal-bound rank window (WindowGroupLimit). Oracle: the votes,
+    signs, dot products AND the ranking recomputed in DuckDB from the
+    query strings themselves — the engine's Python-side mask never
+    enters the oracle."""
+    from ai_intel_web_scraper_spark.operators.multimodal import (
+        crossmodal_text_topk)
+    pages = spark.read.parquet(_crawl_fixture_paths()["pages"])
+    return crossmodal_text_topk(pages, CROSSMODAL_QUERIES, k=CROSSMODAL_K)
+
+
+def _crossmodal_sql() -> str:
+    """DuckDB replay of the whole cross-modal chain keyed by query_id:
+    the `_align_sql_parts` vote/sign/dot recurrence with the literal
+    query TEXTS in place of captions (parser-level independence from
+    the engine's `text_sign_mask`), then the same deterministic
+    (score DESC, image_id) ranking."""
+    d = MM.ALIGN_DIM
+    qvals = ", ".join(f"('{qid}', '{text}')"
+                      for qid, text in CROSSMODAL_QUERIES)
+    return f"""
+        WITH pg AS (SELECT * FROM {_sql_values_table(
+            _phash_lit_rows(), ["image_id", "phash"])}),
+        qs AS (SELECT * FROM (VALUES {qvals}) t(query_id, qtext)),
+        dims AS (SELECT i::INT AS d FROM generate_series(0, {d - 1}) t(i)),
+        tok AS (SELECT query_id, unnest(list_filter(
+            regexp_split_to_array(lower(qtext), '\\s+'),
+            x -> x <> '')) AS t FROM qs),
+        th AS (SELECT query_id,
+                      ('0x' || substring(md5(t), 1, 15))::BIGINT AS h
+               FROM tok),
+        acc AS (SELECT query_id, d, sum(CASE WHEN (h >> d) & 1 = 1
+                    THEN 1 ELSE -1 END) AS a
+                FROM th CROSS JOIN dims GROUP BY query_id, d),
+        sgn AS (SELECT query_id, d,
+                       CASE WHEN a >= 0 THEN 1 ELSE -1 END AS s
+                FROM acc),
+        base AS (SELECT qs.query_id, pg.image_id, pg.phash, dims.d,
+                        coalesce(sgn.s, 1) AS s
+                 FROM qs CROSS JOIN pg CROSS JOIN dims
+                 LEFT JOIN sgn ON sgn.query_id = qs.query_id
+                              AND sgn.d = dims.d),
+        sc AS (SELECT query_id, image_id,
+                      sum(s * (CASE WHEN (phash >> d) & 1 = 1
+                               THEN 1 ELSE -1 END))::BIGINT AS score
+               FROM base GROUP BY query_id, image_id),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, image_id) AS rank FROM sc)
+        SELECT query_id, image_id, score, rank::INT AS rank
+        FROM rk WHERE rank <= {CROSSMODAL_K}"""
+
+
 def q_pair_alignment(spark, sf_dir):
     """Image-text alignment scoring (r4): the deterministic CLIP-score
     stand-in — caption projected to {-1,+1}^60 via md5-60bit token-hash
@@ -3121,12 +3186,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # means some age-2 stragglers are unavoidable; they lead next round).
     # r5 window = the 2 revenue keys (round()-free cents fix
     # verification; ship_probe_date retired — its question was answered
-    # in r4) + 7 new r5 queries (authority_crawl, bucketed_crawl,
+    # in r4) + 8 new r5 queries (authority_crawl, bucketed_crawl,
     # cms_point_queries, incremental_image_dedup, video_neardup,
-    # stream_image_dedup, webdataset_budget) + the 27 queries whose last
-    # green was r2 + 12 queries touched by r5 code changes + 2 oldest
-    # r3-evidence keys (process_pipeline / shard_spans / mixture_sample
-    # / pack_shards slipped below the fold; they lead the r6 window).
+    # stream_image_dedup, webdataset_budget, crossmodal_topk) + the 27
+    # queries whose last green was r2 + 12 queries touched by r5 code
+    # changes + 1 oldest r3-evidence key (minhash_verified /
+    # process_pipeline / shard_spans / mixture_sample / pack_shards
+    # slipped below the fold; they lead the r6 window).
     return {
         # --- fix verification: round()-free revenue_cents (r5 task #1) --
         "top_revenue_orders": q_top_revenue_orders,
@@ -3140,6 +3206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_neardup": q_video_neardup,
         "stream_image_dedup": q_stream_image_dedup,
         "webdataset_budget": q_webdataset_budget,
+        "crossmodal_topk": q_crossmodal_topk,
         # --- stale evidence: last driver green was r2 (27 queries) ------
         "bench_numbers": q_bench_numbers,
         "boilerplate_clean": q_boilerplate_clean,
@@ -3185,11 +3252,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_blocklist": q_host_blocklist,
         # --- oldest r3-evidence keys (fill to 50) -----------------------
         "minhash_greedy": q_minhash_greedy,
-        "minhash_verified": q_minhash_verified,
         # ---------------- past the 50-query window ----------------------
-        # (process_pipeline / shard_spans / mixture_sample / pack_shards
-        # slipped below the fold when the four late-r5 queries above
-        # landed; r3-green age-2, they LEAD the r6 window)
+        # (minhash_verified / process_pipeline / shard_spans /
+        # mixture_sample / pack_shards slipped below the fold as the
+        # late-r5 queries above landed; r3-green age-2, they LEAD r6)
+        "minhash_verified": q_minhash_verified,
         "process_pipeline": q_process_pipeline,
         "shard_spans": q_shard_spans,
         "mixture_sample": q_mixture_sample,
@@ -4762,6 +4829,7 @@ def oracle_sql() -> dict[str, str]:
         # alignment scores and the whole gate chain from the fixture's
         # (image_id, phash, caption, w, h) literal relation.
         "frontier_authority": _frontier_authority_sql(),
+        "crossmodal_topk": _crossmodal_sql(),
         "pair_alignment": f"""
             WITH pg AS (SELECT * FROM {_sql_values_table(
                 _pair_lit_rows(),

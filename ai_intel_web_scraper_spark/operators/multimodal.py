@@ -376,6 +376,65 @@ def _caption_tokens_col(caption):
                            lambda x: x != ""))
 
 
+def text_sign_mask(text: str) -> int:
+    """A text's {-1,+1}^ALIGN_DIM sign vector packed as an int bitmask
+    (bit d set <=> sign +1) — the SAME md5-60bit token-vote rule as
+    `alignment_score_udf`, evaluated once in plain Python. For a LITERAL
+    query this turns the whole alignment dot product into native
+    integer ops: agree/disagree counting over packed bits gives
+    score = ALIGN_DIM - 2*popcount((phash & low60) XOR mask)."""
+    import hashlib
+    import re
+
+    acc = [0] * ALIGN_DIM
+    for t in re.split(r"\s+", (text or "").lower()):
+        if not t:
+            continue
+        h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        for d in range(ALIGN_DIM):
+            acc[d] += 1 if (h >> d) & 1 else -1
+    return sum(1 << d for d in range(ALIGN_DIM) if acc[d] >= 0)
+
+
+def crossmodal_text_topk(pages: DataFrame, queries: list[tuple[str, str]],
+                         k: int = 10) -> DataFrame:
+    """Cross-modal retrieval with the CLIP-proxy score: rank IMAGES for
+    literal TEXT queries. Each query's sign vector is a driver-side
+    constant (`text_sign_mask`), so scoring is pure whole-stage-codegen
+    integer arithmetic — one bit_count per (image, query), NO UDF, the
+    bytes column never read; a Q-query search costs one narrow scan with
+    a Q-wide explode (Q is literal-small; the image side never
+    duplicates through a join). Top-k per query = rank window with a
+    LITERAL bound (WindowGroupLimit pushes the limit into the shuffle),
+    ties broken by image_id for cross-engine determinism. Returns
+    (query_id, image_id, score, rank), rank 1-based.
+
+    The production swap-in keeps the shape: replace `text_sign_mask` /
+    phash with real text/image embedding calls and this becomes
+    brute-force vector retrieval; the ANN family (ivf/pq) is the scale
+    path beyond that."""
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    m60 = (1 << ALIGN_DIM) - 1
+    per_q = [
+        F.struct(
+            F.lit(qid).alias("query_id"),
+            (F.lit(ALIGN_DIM) - 2 * F.bit_count(
+                F.col("phash").bitwiseAND(F.lit(m60))
+                .bitwiseXOR(F.lit(text_sign_mask(text)))))
+            .cast("long").alias("score"))
+        for qid, text in queries]
+    scored = (pages.select("image_id", F.explode(F.array(*per_q))
+                           .alias("_q"))
+              .select("image_id", "_q.query_id", "_q.score"))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("score"), F.asc("image_id")))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= F.lit(int(k)))
+            .select("query_id", "image_id", "score", "rank"))
+
+
 def pair_filters(pages: DataFrame,
                  min_side: int = PAIR_MIN_SIDE,
                  max_aspect_pct: int = PAIR_MAX_ASPECT_PCT,

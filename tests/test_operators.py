@@ -1214,6 +1214,29 @@ def test_webdataset_byte_budget_pack(spark, fixtures):
     assert again == {r["shard_id"]: r["tar_md5"] for r in out}
 
 
+def test_crossmodal_topk_matches_alignment_udf(spark, fixtures):
+    """The constant-bitmask scoring path must agree bit-for-bit with the
+    Arrow alignment UDF when the query text stands in as every image's
+    caption; ranks are dense 1..k per query with the (score desc,
+    image_id) tiebreak."""
+    from ai_intel_web_scraper_spark.operators.multimodal import (
+        crossmodal_text_topk, pair_alignment)
+    pages = spark.read.parquet(fixtures["pages"])
+    text = "warm glacier on host1.example"
+    n = pages.count()
+    got = {r["image_id"]: r["score"] for r in
+           crossmodal_text_topk(pages, [("q", text)], k=n).collect()}
+    want = {r["image_id"]: r["align_score"] for r in
+            pair_alignment(pages.withColumn(
+                "caption", F.lit(text))).collect()}
+    assert got == want
+    top = crossmodal_text_topk(pages, [("q", text)], k=5).collect()
+    assert [r["rank"] for r in sorted(top, key=lambda r: r["rank"])] == \
+        [1, 2, 3, 4, 5]
+    ordered = sorted(top, key=lambda r: (-r["score"], r["image_id"]))
+    assert [r["rank"] for r in ordered] == [1, 2, 3, 4, 5]
+
+
 def test_pair_alignment_properties(spark):
     """Independent invariants of the CLIP-stand-in alignment score (the
     DuckDB oracle is the full value check; these pin the algebra):

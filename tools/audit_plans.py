@@ -210,6 +210,11 @@ AUDIT = {
     # only the 8-byte signature does); pairs via equi-join, no nested loop
     "video_neardup": ["MapInPandas", "!CartesianProduct",
                       "!BroadcastNestedLoopJoin"],
+    # r5 cross-modal retrieval: constant-mask scoring is pure codegen
+    # (no Python stage, bytes pruned), top-k per query pushes the
+    # literal rank bound into the shuffle
+    "crossmodal_topk": ["WindowGroupLimit", "!bytes",
+                        "!ArrowEvalPython", "!MapInPandas"],
     # r5 byte-budget shards: the global byte prefix is TWO-LEVEL (bucket-
     # partitioned running window + broadcast bucket-prefix frame), then
     # the shared tar cogroup — never a whole-corpus single-partition sort
