@@ -2140,6 +2140,112 @@ def _align_sql_parts() -> list[str]:
     ]
 
 
+def _audio_amp(g: int, m: int, w: int) -> int:
+    """Per-window square-wave amplitude for the audio near-dup fixture:
+    lowbias32-mixed base in [16, 47], variant m perturbs windows
+    20/40/60 (+3m) — each perturbed window can flip its two adjacent
+    difference bits, so same-group fingerprints land within hamming 6
+    while cross-group sequences stay far (verified: zero cross pairs
+    within 10 at either sf)."""
+    a = 16 + (_video_mix32(g * 131 + w * 17) >> 27)
+    if w in (20, 40, 60):
+        a += 3 * m
+    return a
+
+
+def q_audio_neardup(spark, sf_dir):
+    """Audio near-dup (r5): synthesize amplitude-modulated square-wave
+    WAVs per document subset (groups of 3 variants differing only in
+    three perturbed windows), then the REAL chain — stdlib-wave decode,
+    integer window energies, energy-difference fingerprint (Haitsma-
+    Kalker shape, `multimodal.audio_fingerprints`), guaranteed-recall
+    hamming block join. doc_id%77==0 clips carry corrupt bytes
+    (decode_ok=false, excluded). Oracle: square-wave energies are
+    a^2 * L exactly, so the fingerprint reduces to amplitude
+    comparisons — replayed ANALYTICALLY inside DuckDB (unrolled mix32
+    CTEs over the documents view, codec-free), then brute-forced."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+    import pandas as pd
+    from ai_intel_web_scraper_spark.operators.multimodal import (
+        AUDIO_FP_WINDOWS, audio_hamming_neardup)
+    docs = _t(spark, sf_dir, "documents").where(
+        F.pmod("doc_id", F.lit(7)) == 0)
+    meta = docs.select(
+        F.col("doc_id").cast("string").alias("audio_id"),
+        F.col("doc_id").alias("k"),
+        (F.pmod("doc_id", F.lit(77)) == 0).alias("corrupt"))
+    L = 32  # samples per energy window
+
+    def enc(iterator):
+        for pdf in iterator:
+            rows = []
+            for aid, k, corrupt in zip(pdf["audio_id"], pdf["k"],
+                                       pdf["corrupt"]):
+                if corrupt:
+                    rows.append((aid, b"not a riff header"))
+                    continue
+                k = int(k)
+                g, m = k // 21, (k % 21) // 7
+                samples = []
+                for w in range(AUDIO_FP_WINDOWS):
+                    a = _audio_amp(g, m, w)
+                    samples.extend([a, -a] * (L // 2))
+                buf = io.BytesIO()
+                with wave_mod.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(np.array(samples,
+                                            dtype=np.int16).tobytes())
+                rows.append((aid, buf.getvalue()))
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes"])
+
+    clips = meta.mapInPandas(enc, schema="audio_id string, bytes binary")
+    return audio_hamming_neardup(clips, max_hamming=6)
+
+
+def _audio_neardup_sql() -> str:
+    """The fingerprint chain analytically in DuckDB: mix32 amplitude
+    CTEs -> perturbation -> strict adjacent comparison bits -> signed
+    BIGINT assembly (bit 63 via the sign-bit trick) -> brute-force
+    O(n^2) pairs. Square-wave energies are amp^2 * L exactly, so
+    comparing amplitudes IS comparing energies."""
+    return """
+        WITH clips AS (
+          SELECT doc_id AS d, doc_id // 21 AS g, (doc_id % 21) // 7 AS m
+          FROM documents WHERE doc_id % 7 = 0 AND doc_id % 77 <> 0),
+        a0 AS (
+          SELECT d, m, w, (g * 131 + w * 17) % 4294967296 AS x0
+          FROM clips, LATERAL unnest(generate_series(0, 64)) t(w)),
+        a1 AS (SELECT *, (xor(x0, x0 >> 16) * 73244475)
+                         % 4294967296 AS x1 FROM a0),
+        a2 AS (SELECT *, (xor(x1, x1 >> 16) * 73244475)
+                         % 4294967296 AS x2 FROM a1),
+        amp AS (
+          SELECT d, w,
+                 16 + (xor(x2, x2 >> 16) >> 27)
+                 + CASE WHEN w IN (20, 40, 60) THEN 3 * m ELSE 0 END AS a
+          FROM a2),
+        bits AS (
+          SELECT lo.d, lo.w AS j, (hi.a > lo.a) AS b
+          FROM amp lo JOIN amp hi ON hi.d = lo.d AND hi.w = lo.w + 1
+          WHERE lo.w < 64),
+        fps AS (
+          SELECT d::VARCHAR AS audio_id,
+                 sum(CASE WHEN b THEN
+                       CASE WHEN j = 63 THEN -9223372036854775807 - 1
+                            ELSE (1::BIGINT << j) END
+                     ELSE 0 END)::BIGINT AS fingerprint
+          FROM bits GROUP BY d)
+        SELECT a.audio_id AS id_a, b.audio_id AS id_b,
+               bit_count(xor(a.fingerprint, b.fingerprint))::INT AS hamming
+        FROM fps a JOIN fps b ON a.audio_id < b.audio_id
+        WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 6"""
+
+
 CROSSMODAL_QUERIES = [
     ("q_harbor", "a bright harbor"),
     ("q_spindle", "pale spindle"),
@@ -3186,13 +3292,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # means some age-2 stragglers are unavoidable; they lead next round).
     # r5 window = the 2 revenue keys (round()-free cents fix
     # verification; ship_probe_date retired — its question was answered
-    # in r4) + 8 new r5 queries (authority_crawl, bucketed_crawl,
+    # in r4) + 9 new r5 queries (authority_crawl, bucketed_crawl,
     # cms_point_queries, incremental_image_dedup, video_neardup,
-    # stream_image_dedup, webdataset_budget, crossmodal_topk) + the 27
-    # queries whose last green was r2 + 12 queries touched by r5 code
-    # changes + 1 oldest r3-evidence key (minhash_verified /
-    # process_pipeline / shard_spans / mixture_sample / pack_shards
-    # slipped below the fold; they lead the r6 window).
+    # stream_image_dedup, webdataset_budget, crossmodal_topk,
+    # audio_neardup) + the 27 queries whose last green was r2 + 12
+    # queries touched by r5 code changes (minhash_greedy /
+    # minhash_verified / process_pipeline / shard_spans / mixture_sample
+    # / pack_shards slipped below the fold; they lead the r6 window).
     return {
         # --- fix verification: round()-free revenue_cents (r5 task #1) --
         "top_revenue_orders": q_top_revenue_orders,
@@ -3207,6 +3313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_image_dedup": q_stream_image_dedup,
         "webdataset_budget": q_webdataset_budget,
         "crossmodal_topk": q_crossmodal_topk,
+        "audio_neardup": q_audio_neardup,
         # --- stale evidence: last driver green was r2 (27 queries) ------
         "bench_numbers": q_bench_numbers,
         "boilerplate_clean": q_boilerplate_clean,
@@ -3250,12 +3357,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_budget_state": q_stream_budget_state,
         "adaptive_quality": q_adaptive_quality,
         "host_blocklist": q_host_blocklist,
-        # --- oldest r3-evidence keys (fill to 50) -----------------------
-        "minhash_greedy": q_minhash_greedy,
         # ---------------- past the 50-query window ----------------------
-        # (minhash_verified / process_pipeline / shard_spans /
-        # mixture_sample / pack_shards slipped below the fold as the
-        # late-r5 queries above landed; r3-green age-2, they LEAD r6)
+        # (minhash_greedy / minhash_verified / process_pipeline /
+        # shard_spans / mixture_sample / pack_shards slipped below the
+        # fold as the late-r5 queries above landed; r3-green age-2, they
+        # LEAD r6)
+        "minhash_greedy": q_minhash_greedy,
         "minhash_verified": q_minhash_verified,
         "process_pipeline": q_process_pipeline,
         "shard_spans": q_shard_spans,
@@ -4830,6 +4937,7 @@ def oracle_sql() -> dict[str, str]:
         # (image_id, phash, caption, w, h) literal relation.
         "frontier_authority": _frontier_authority_sql(),
         "crossmodal_topk": _crossmodal_sql(),
+        "audio_neardup": _audio_neardup_sql(),
         "pair_alignment": f"""
             WITH pg AS (SELECT * FROM {_sql_values_table(
                 _pair_lit_rows(),

@@ -222,6 +222,84 @@ def audio_features(df: DataFrame) -> DataFrame:
             .mapInPandas(fn, schema=AUDIO_FEATURES_SCHEMA))
 
 
+AUDIO_FP_WINDOWS = 65  # 65 energy windows -> 64 difference bits
+
+AUDIO_FP_SCHEMA = ("audio_id string, fingerprint long, n_windows int, "
+                   "decode_ok boolean")
+
+
+def audio_fingerprints(df: DataFrame,
+                       n_windows: int = AUDIO_FP_WINDOWS) -> DataFrame:
+    """64-bit acoustic fingerprint by the energy-difference rule
+    (Haitsma & Kalker's robust-hash shape, publicly documented): the
+    clip's first n_windows*L samples (L = frames // n_windows) split
+    into n_windows equal windows, integer energy E_w = sum(sample^2)
+    per window across all channels, bit w set <=> E[w+1] > E[w]
+    (strict — ties to 0, a fixed rule both engines replay). Energies
+    are EXACT int64 sums of integer PCM, so the fingerprint is
+    bit-reproducible anywhere — the property that lets a DuckDB oracle
+    recompute it analytically. Undecodable or shorter-than-n_windows
+    clips degrade to decode_ok=false rows. Bytes stay in this narrow
+    map; only the 8-byte fingerprint shuffles downstream."""
+    if n_windows < 2:
+        raise ValueError(f"n_windows must be >= 2, got {n_windows}")
+
+    def fn(iterator):
+        import io
+        import wave
+        widths = {1: np.int8, 2: np.int16, 4: np.int32}
+        for pdf in iterator:
+            rows = []
+            for audio_id, raw in zip(pdf["audio_id"], pdf["bytes"]):
+                try:
+                    with wave.open(io.BytesIO(bytes(raw))) as w:
+                        n = w.getnframes()
+                        sw = w.getsampwidth()
+                        ch = w.getnchannels()
+                        data = np.frombuffer(w.readframes(n),
+                                             dtype=widths[sw])
+                    frames = data.size // ch
+                    L = frames // n_windows
+                    if L == 0:
+                        raise ValueError("clip shorter than n_windows")
+                    use = (data[:n_windows * L * ch].astype(np.int64)
+                           .reshape(n_windows, L * ch))
+                    energy = (use * use).sum(axis=1)  # exact int64
+                    fp = 0
+                    for w_i in range(n_windows - 1):
+                        if int(energy[w_i + 1]) > int(energy[w_i]):
+                            fp |= 1 << w_i
+                    if fp >= 1 << 63:  # n_windows=65 fills bit 63
+                        fp -= 1 << 64
+                    rows.append((audio_id, fp, n_windows, True))
+                except Exception:
+                    rows.append((audio_id, None, None, False))
+            out = pd.DataFrame(rows, columns=[
+                "audio_id", "fingerprint", "n_windows", "decode_ok"])
+            # the image_features/video_signatures pandas trap: None in
+            # the batch must not float64-round the 64-bit fingerprint
+            out["fingerprint"] = pd.array([r[1] for r in rows],
+                                          dtype="Int64")
+            out["n_windows"] = pd.array([r[2] for r in rows],
+                                        dtype="Int64")
+            yield out
+    return (df.select(F.col("audio_id"), F.col("bytes"))
+            .mapInPandas(fn, schema=AUDIO_FP_SCHEMA))
+
+
+def audio_hamming_neardup(df: DataFrame, max_hamming: int = 6,
+                          n_windows: int = AUDIO_FP_WINDOWS) -> DataFrame:
+    """Near-duplicate AUDIO clips: energy-difference fingerprints into
+    the shared guaranteed-recall hamming block LSH. Effective width =
+    n_windows-1 difference bits (64 at the default); undecodable clips
+    never reach the join."""
+    from .dedup import hamming_block_pairs
+    fps = (audio_fingerprints(df, n_windows=n_windows)
+           .where(F.col("decode_ok")))
+    return hamming_block_pairs(fps, "audio_id", "fingerprint", max_hamming,
+                               bits=n_windows - 1)
+
+
 VIDEO_FRAMES_SCHEMA = ("video_id string, frame_index int, w int, h int, "
                        "mean_r double, mean_g double, mean_b double, "
                        "frame_png binary, decode_ok boolean")

@@ -1214,6 +1214,55 @@ def test_webdataset_byte_budget_pack(spark, fixtures):
     assert again == {r["shard_id"]: r["tar_md5"] for r in out}
 
 
+def test_audio_fingerprint_semantics(spark):
+    """Energy-difference fingerprint invariants: (a) bits replay the
+    analytic amplitude comparisons exactly through the WAV chain even
+    with a corrupt clip in the same Arrow batch; (b) perturbing one
+    window flips at most its two adjacent bits; (c) a clip shorter than
+    n_windows degrades to decode_ok=false, not a crash."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+    from ai_intel_web_scraper_spark.operators.multimodal import (
+        AUDIO_FP_WINDOWS, audio_fingerprints, audio_hamming_neardup)
+
+    def clip(amps, L=8):
+        samples = []
+        for a in amps:
+            samples.extend([a, -a] * (L // 2))
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(np.array(samples, dtype=np.int16).tobytes())
+        return bytearray(buf.getvalue())
+
+    base = [20 + ((w * 37) % 23) for w in range(AUDIO_FP_WINDOWS)]
+    edited = list(base)
+    edited[30] += 40                       # flips at most bits 29 and 30
+    rows = [("a", clip(base)), ("b", clip(edited)),
+            ("short", clip(base[:3])), ("bad", bytearray(b"nope"))]
+    df = spark.createDataFrame(
+        rows, "audio_id string, bytes binary").coalesce(1)
+    got = {r["audio_id"]: (r["fingerprint"], r["decode_ok"])
+           for r in audio_fingerprints(df).collect()}
+    want = 0
+    for w in range(AUDIO_FP_WINDOWS - 1):
+        if base[w + 1] > base[w]:
+            want |= 1 << w
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert got["a"] == (want, True)
+    assert got["short"] == (None, False) and got["bad"] == (None, False)
+    d = bin((got["a"][0] ^ got["b"][0]) & ((1 << 64) - 1)).count("1")
+    assert 1 <= d <= 2
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in audio_hamming_neardup(df, max_hamming=6).collect()}
+    assert pairs == {("a", "b"): d}  # corrupt/short never reach the join
+
+
 def test_crossmodal_topk_matches_alignment_udf(spark, fixtures):
     """The constant-bitmask scoring path must agree bit-for-bit with the
     Arrow alignment UDF when the query text stands in as every image's

@@ -210,6 +210,10 @@ AUDIT = {
     # only the 8-byte signature does); pairs via equi-join, no nested loop
     "video_neardup": ["MapInPandas", "!CartesianProduct",
                       "!BroadcastNestedLoopJoin"],
+    # r5 audio near-dup: synthesis + fingerprint are narrow MapInPandas
+    # stages; pairs via the block equi-join, never a nested loop
+    "audio_neardup": ["MapInPandas", "!CartesianProduct",
+                      "!BroadcastNestedLoopJoin"],
     # r5 cross-modal retrieval: constant-mask scoring is pure codegen
     # (no Python stage, bytes pruned), top-k per query pushes the
     # literal rank bound into the shuffle
