@@ -2140,6 +2140,82 @@ def _align_sql_parts() -> list[str]:
     ]
 
 
+def q_warc_source(spark, sf_dir):
+    """WARC ingest round trip (r5): per archive group, serialize
+    documents-derived HTTP response records into a plain-WARC blob with
+    the REAL `sources/warc.py::build_warc`, truncate ONE archive's blob
+    mid-record, parse everything back with `read_warc_records`, and
+    split HTTP bodies natively. The value hash pins the framing parser,
+    Content-Length arithmetic, truncation accounting (records before
+    the cut parse; one parse_ok=false row for the tail), and the
+    header/body split. Oracle: DuckDB recomputes every expected row
+    (incl. the exact content_length arithmetic) from the documents
+    view — sf-independent, parser-independent."""
+    import pandas as pd
+    from ai_intel_web_scraper_spark.sources.warc import (build_warc,
+                                                         http_response_body,
+                                                         read_warc_records)
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.pmod("doc_id", F.lit(3)) == 0)
+            .select("doc_id",
+                    F.pmod("doc_id", F.lit(10)).cast("string")
+                    .alias("archive_id")))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        aid = str(pdf["archive_id"].iloc[0])
+        recs = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            content = (b"HTTP/1.1 200 OK\r\n"
+                       b"Content-Type: text/plain\r\n\r\n"
+                       + f"payload for doc {d}".encode())
+            recs.append((f"urn:doc:{d}", "response",
+                         f"https://host{d % 7}.example/d/{d}",
+                         "2024-01-01T00:00:00Z", content))
+        blob = build_warc(recs)
+        if aid == "3":  # cut mid-record: the tail must ACCOUNT, not fail
+            blob = blob[:-10]
+        return pd.DataFrame({"archive_id": [aid], "warc_bytes": [blob]})
+
+    archives = (docs.groupBy("archive_id")
+                .applyInPandas(build,
+                               "archive_id string, warc_bytes binary"))
+    recs = read_warc_records(archives)
+    return recs.select(
+        "archive_id", "record_id", "warc_type", "target_uri",
+        "content_length",
+        http_response_body("content").alias("body"), "parse_ok")
+
+
+def _warc_source_sql() -> str:
+    """Expected WARC rows straight from the documents view: the literal
+    content_length arithmetic (45-byte HTTP header + 16-byte body
+    prefix + the doc_id's decimal width), archive 3's last record
+    replaced by the truncation accounting row."""
+    return """
+        WITH d AS (
+          SELECT doc_id, (doc_id % 10)::VARCHAR AS archive_id
+          FROM documents WHERE doc_id % 3 = 0),
+        mx AS (SELECT archive_id, max(doc_id) AS last_doc
+               FROM d GROUP BY archive_id),
+        ok AS (
+          SELECT d.archive_id,
+                 'urn:doc:' || d.doc_id AS record_id,
+                 'response' AS warc_type,
+                 'https://host' || (d.doc_id % 7) || '.example/d/'
+                     || d.doc_id AS target_uri,
+                 (45 + 16 + length(d.doc_id::VARCHAR))::BIGINT
+                     AS content_length,
+                 'payload for doc ' || d.doc_id AS body,
+                 TRUE AS parse_ok
+          FROM d JOIN mx ON mx.archive_id = d.archive_id
+          WHERE NOT (d.archive_id = '3' AND d.doc_id = mx.last_doc))
+        SELECT * FROM ok
+        UNION ALL
+        SELECT '3', NULL, NULL, NULL, NULL, NULL, FALSE"""
+
+
 def _audio_amp(g: int, m: int, w: int) -> int:
     """Per-window square-wave amplitude for the audio near-dup fixture:
     lowbias32-mixed base in [16, 47], variant m perturbs windows
@@ -2588,7 +2664,12 @@ def q_stream_image_dedup(spark, sf_dir):
                  if zlib.crc32(iid.encode()) % 2 == 0)
     idx = [(iid, ph) for iid, ph in rows
            if zlib.crc32(iid.encode()) % 2 == 1]
-    work = "/tmp/spark_graft_entry_stream_img"
+    # tmpfs: the stream's per-batch checkpoint/append IO is the query's
+    # main cost at fixture scale (session spark.local.dir is /dev/shm
+    # for the same reason)
+    work = ("/dev/shm/spark_graft_entry_stream_img"
+            if os.path.isdir("/dev/shm") else
+            "/tmp/spark_graft_entry_stream_img")
     shutil.rmtree(work, ignore_errors=True)
     src = os.path.join(work, "src")
     os.makedirs(src, exist_ok=True)
@@ -3292,13 +3373,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # means some age-2 stragglers are unavoidable; they lead next round).
     # r5 window = the 2 revenue keys (round()-free cents fix
     # verification; ship_probe_date retired — its question was answered
-    # in r4) + 9 new r5 queries (authority_crawl, bucketed_crawl,
+    # in r4) + 10 new r5 queries (authority_crawl, bucketed_crawl,
     # cms_point_queries, incremental_image_dedup, video_neardup,
     # stream_image_dedup, webdataset_budget, crossmodal_topk,
-    # audio_neardup) + the 27 queries whose last green was r2 + 12
-    # queries touched by r5 code changes (minhash_greedy /
+    # audio_neardup, warc_source) + the 27 queries whose last green was
+    # r2 + 11 of the 12 touched-by-r5-code keys (host_blocklist r4-green
+    # slipped just past the fold, with the r3-green minhash_greedy /
     # minhash_verified / process_pipeline / shard_spans / mixture_sample
-    # / pack_shards slipped below the fold; they lead the r6 window).
+    # / pack_shards; the r3 greens lead the r6 window).
     return {
         # --- fix verification: round()-free revenue_cents (r5 task #1) --
         "top_revenue_orders": q_top_revenue_orders,
@@ -3314,6 +3396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webdataset_budget": q_webdataset_budget,
         "crossmodal_topk": q_crossmodal_topk,
         "audio_neardup": q_audio_neardup,
+        "warc_source": q_warc_source,
         # --- stale evidence: last driver green was r2 (27 queries) ------
         "bench_numbers": q_bench_numbers,
         "boilerplate_clean": q_boilerplate_clean,
@@ -3356,12 +3439,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_budget_state": q_stream_budget_state,
         "adaptive_quality": q_adaptive_quality,
-        "host_blocklist": q_host_blocklist,
         # ---------------- past the 50-query window ----------------------
-        # (minhash_greedy / minhash_verified / process_pipeline /
-        # shard_spans / mixture_sample / pack_shards slipped below the
-        # fold as the late-r5 queries above landed; r3-green age-2, they
-        # LEAD r6)
+        # (host_blocklist r4-green + the r3-green keys below slipped
+        # past the fold as the late-r5 queries above landed; the r3
+        # greens LEAD r6)
+        "host_blocklist": q_host_blocklist,
         "minhash_greedy": q_minhash_greedy,
         "minhash_verified": q_minhash_verified,
         "process_pipeline": q_process_pipeline,
@@ -4938,6 +5020,7 @@ def oracle_sql() -> dict[str, str]:
         "frontier_authority": _frontier_authority_sql(),
         "crossmodal_topk": _crossmodal_sql(),
         "audio_neardup": _audio_neardup_sql(),
+        "warc_source": _warc_source_sql(),
         "pair_alignment": f"""
             WITH pg AS (SELECT * FROM {_sql_values_table(
                 _pair_lit_rows(),

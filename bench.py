@@ -68,7 +68,7 @@ EXTRA = [
     # round-5 additions (image-archive incremental dedup, video near-dup,
     # streaming image-archive dedup, byte-budget shard pack)
     "incremental_image_dedup", "video_neardup", "stream_image_dedup",
-    "webdataset_budget", "crossmodal_topk", "audio_neardup",
+    "webdataset_budget", "crossmodal_topk", "audio_neardup", "warc_source",
 ]
 
 

@@ -304,3 +304,44 @@ def test_robots_sitemap_discovery_matches_ground_truth(spark, fixtures):
         for i, u in enumerate(robots_sitemap_urls(r["body"])):
             py[(r["host"], i)] = u
     assert got == want == py and len(got) > 0
+
+
+def test_warc_roundtrip_and_degradation(spark):
+    """WARC framing: build->parse round trip preserves every field;
+    malformed blobs degrade per archive (records before the cut parse,
+    one parse_ok=false row accounts for the tail, other archives
+    untouched); bodies split on the FIRST blank line."""
+    from ai_intel_web_scraper_spark.sources.warc import (
+        build_warc, http_response_body, parse_warc, read_warc_records)
+    recs = [(f"urn:r:{i}", "response", f"https://h/{i}",
+             "2024-01-01T00:00:00Z",
+             b"HTTP/1.1 200 OK\r\n\r\nbody " + str(i).encode()
+             + (b"\r\n\r\ntrailing blank line" if i == 1 else b""))
+            for i in range(3)]
+    blob = build_warc(recs)
+    parsed, clean = parse_warc(blob)
+    assert clean and [(r[0], r[5]) for r in parsed] == \
+        [(f"urn:r:{i}", recs[i][4]) for i in range(3)]
+    cut, clean2 = parse_warc(blob[:-7])   # last record loses its tail
+    assert not clean2 and len(cut) == 2
+    garbage, clean3 = parse_warc(blob + b"NOT A WARC HEADER")
+    assert not clean3 and len(garbage) == 3
+    df = spark.createDataFrame(
+        [("good", bytearray(blob)), ("cut", bytearray(blob[:-7])),
+         ("junk", bytearray(b"hello"))],
+        "archive_id string, warc_bytes binary")
+    out = (read_warc_records(df)
+           .withColumn("body", http_response_body("content")).collect())
+    by_archive = {}
+    for r in out:
+        by_archive.setdefault(r["archive_id"], []).append(r)
+    assert len(by_archive["good"]) == 3
+    assert all(r["parse_ok"] for r in by_archive["good"])
+    # FIRST-blank-line split: record 1's body keeps ITS OWN blank line
+    bodies = {r["record_id"]: r["body"] for r in by_archive["good"]}
+    assert bodies["urn:r:1"] == "body 1\r\n\r\ntrailing blank line"
+    assert bodies["urn:r:0"] == "body 0"
+    cut_rows = by_archive["cut"]
+    assert sum(r["parse_ok"] for r in cut_rows) == 2
+    assert sum(not r["parse_ok"] for r in cut_rows) == 1
+    assert [r["parse_ok"] for r in by_archive["junk"]] == [False]

@@ -210,6 +210,10 @@ AUDIT = {
     # only the 8-byte signature does); pairs via equi-join, no nested loop
     "video_neardup": ["MapInPandas", "!CartesianProduct",
                       "!BroadcastNestedLoopJoin"],
+    # r5 WARC ingest: build cogroup + parse map, bodies split natively —
+    # no shuffle after the parse, no Python beyond the two Arrow stages
+    "warc_source": ["FlatMapGroupsInPandas", "MapInPandas",
+                    "!CartesianProduct", "!BroadcastNestedLoopJoin"],
     # r5 audio near-dup: synthesis + fingerprint are narrow MapInPandas
     # stages; pairs via the block equi-join, never a nested loop
     "audio_neardup": ["MapInPandas", "!CartesianProduct",
