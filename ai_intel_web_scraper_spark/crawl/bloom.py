@@ -201,6 +201,80 @@ def partitioned_probe_fn(out_columns: list[str]):
     return fn
 
 
+def partitioned_probe_upsert_fn(out_columns: list[str], m_bits: int):
+    """Fused cogrouped probe + shard update (r6): one pass per bucket
+    emits BOTH the probed candidate rows (`maybe` flag, `bitmap` null)
+    and the bucket's updated shard rows (`bitmap` set, candidate columns
+    null). This replaces the separate per-round
+    ``partial_bitmaps -> union -> or_merge_shards_fn`` update job: the
+    probe task already holds the bucket's bitmap and its candidate
+    hashes, so inserting is free.
+
+    Correctness of inserting ALL candidates (not just the post-anti-join
+    new urls): a candidate probing `maybe` has, by definition of the
+    probe, all K of its bit positions already set — OR-ing them in is a
+    bit-level no-op — while every `not maybe` candidate is definitely
+    new and would have been inserted anyway. So on a single-width shard
+    the updated bitmap is bit-identical to the old two-pass update. On
+    a mixed-width warehouse (expected_urls resize) the engine-width
+    shard may gain bits for rows whose `maybe` came from an old-width
+    row; the sidecar stays a superset of url_seen (the only invariant
+    probing correctness needs — extra bits can only add false
+    positives, which the exact anti-join resolves).
+
+    New bits always land in the ENGINE-width (`m_bits`) row, created on
+    demand; rows of other widths pass through untouched — exactly the
+    or_merge convention."""
+    _NULLABLE = {"int8": "Int8", "int16": "Int16", "int32": "Int32",
+                 "int64": "Int64", "uint8": "UInt8", "uint16": "UInt16",
+                 "uint32": "UInt32", "uint64": "UInt64", "bool": "boolean"}
+
+    def fn(cand: pd.DataFrame, shards: pd.DataFrame) -> pd.DataFrame:
+        by_width: dict[int, np.ndarray] = {}
+        for raw in shards["bitmap"] if len(shards) else []:
+            arr = np.frombuffer(raw, dtype=np.uint8)
+            w = arr.size * 8
+            by_width[w] = (arr.copy() if w not in by_width
+                           else np.bitwise_or(by_width[w], arr))
+        out = cand[out_columns].copy()
+        if len(cand):
+            hashes = cand["url_hash"].to_numpy()
+            maybe = np.zeros(len(cand), dtype=bool)
+            for w, bitmap in by_width.items():
+                pos = _positions(hashes, w)
+                bits = (bitmap[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+                maybe |= bits.all(axis=1)
+            out["maybe"] = maybe
+            # insert all candidate hashes into the engine-width shard
+            shard = by_width.setdefault(
+                m_bits, np.zeros(m_bits // 8, dtype=np.uint8))
+            pos = _positions(hashes, m_bits).ravel()
+            np.bitwise_or.at(shard, pos >> 3,
+                             np.uint8(1) << (pos & 7).astype(np.uint8))
+        else:
+            out["maybe"] = pd.Series([], dtype="boolean")
+        # nullable dtypes throughout: the shard rows carry None in the
+        # candidate columns, and a plain int64 column holding None gets
+        # silently promoted to float64 (53-bit mantissa — corrupts 64-bit
+        # url_hash values; the pinned pandas None-poisoning trap)
+        for c in out.columns:
+            nl = _NULLABLE.get(str(out[c].dtype))
+            if nl is not None:
+                out[c] = out[c].astype(nl)
+        n_sh = len(by_width)
+        shard_rows = pd.DataFrame(
+            {c: pd.array([None] * n_sh, dtype=out[c].dtype)
+             for c in out.columns})
+        b = int((cand if len(cand) else shards)["bucket"].iloc[0])
+        shard_rows["bucket"] = pd.array([b] * n_sh,
+                                        dtype=out["bucket"].dtype)
+        shard_rows["bitmap"] = pd.Series(
+            [v.tobytes() for v in by_width.values()], dtype=object)
+        out["bitmap"] = pd.Series([None] * len(out), dtype=object)
+        return pd.concat([out, shard_rows], ignore_index=True)
+    return fn
+
+
 def partial_bitmaps(m_bits: int, n_buckets: int):
     """mapInPandas function: (bucket int, url_hash long) rows ->
     (bucket int, bitmap binary) one row per bucket present in the partition."""

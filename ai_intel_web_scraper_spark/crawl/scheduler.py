@@ -49,8 +49,8 @@ from pyspark.sql import types as T
 from ..functions import urls as U
 from . import semantics as S
 from .bloom import (BloomShards, CuckooShards, bloom_probe_udf,
-                    cuckoo_probe_fn, cuckoo_upsert_fn, or_merge_shards_fn,
-                    partial_bitmaps, partitioned_probe_fn)
+                    cuckoo_probe_fn, cuckoo_upsert_fn, partial_bitmaps,
+                    partitioned_probe_upsert_fn)
 from .statestore import SnapshotStore
 
 _BYTE_SUFFIX = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
@@ -256,8 +256,15 @@ class CrawlEngine:
         self._cuckoo_slots_log2 = CuckooShards.sized_for(
             self.cfg.expected_urls, self.cfg.n_buckets).n_slots_log2
         self.fixtures = fixtures
-        self.graph = spark.read.parquet(fixtures["web_graph"])
-        self.pages = spark.read.parquet(fixtures["pages"]) if self.cfg.write_payload else None
+        # persist (lazy): the fetch join re-reads the web graph EVERY
+        # round — caching it pays the parquet scan once, in round 1,
+        # inside the timed run (narrow columns only, no page payloads)
+        self.graph = spark.read.parquet(fixtures["web_graph"]).persist()
+        # pages (the simulated web's payload store) is likewise scanned by
+        # every round's payload join; persist so the bytes are decoded
+        # once (round 1, inside the timed run) instead of once per round
+        self.pages = (spark.read.parquet(fixtures["pages"]).persist()
+                      if self.cfg.write_payload else None)
 
     # ------------------------------------------------------------ helpers
     def _bucket(self, c):  # |url_hash| % n_buckets, sign-safe
@@ -552,33 +559,45 @@ class CrawlEngine:
             "url", "url_hash", self._bucket("url_hash").alias("bucket"), "host",
             F.lit(0).alias("depth"), "priority",
             F.col("seed_seq").alias("discovery_seq"),
-            F.lit(1).alias("attempt"))
+            F.lit(1).alias("attempt")).persist()
         # add-before-enqueue: seeds enter url_seen immediately (C2 semantics)
         url_seen = frontier.select("url", "url_hash", "bucket",
                                    F.lit(0).alias("round_added"))
-        self.store.stage_write("frontier", frontier, "replace")
-        self.store.stage_write("url_seen", url_seen, "append")
+        # the bootstrap writes are independent DAGs over the persisted
+        # seed frontier — run them concurrently like the round sinks
+        from concurrent.futures import ThreadPoolExecutor
+        tasks = [lambda: self.store.stage_write("frontier", frontier,
+                                                "replace"),
+                 lambda: self.store.stage_write("url_seen", url_seen,
+                                                "append")]
         if self.cfg.use_bloom:
             if self.cfg.bloom_mode == "partitioned":
                 # per-bucket shard rows built AND stored executor-side; the
                 # driver never holds a bitmap
-                self.store.stage_write("bloom_shards",
-                                       self._shard_partials(frontier),
-                                       "replace")
+                tasks.append(lambda: self.store.stage_write(
+                    "bloom_shards", self._shard_partials(frontier),
+                    "replace"))
             elif self.cfg.bloom_mode == "cuckoo":
-                self.store.stage_write("cuckoo_shards",
-                                       self._cuckoo_shard_rows(frontier),
-                                       "replace")
+                tasks.append(lambda: self.store.stage_write(
+                    "cuckoo_shards", self._cuckoo_shard_rows(frontier),
+                    "replace"))
             else:
-                bloom = BloomShards.sized_for(self.cfg.expected_urls,
-                                              self.cfg.n_buckets)
-                self._bloom_add(bloom, frontier)
-                self.store.stage_blob("bloom", bloom.to_bytes())
+                def _blob_task():
+                    bloom = BloomShards.sized_for(self.cfg.expected_urls,
+                                                  self.cfg.n_buckets)
+                    self._bloom_add(bloom, frontier)
+                    self.store.stage_blob("bloom", bloom.to_bytes())
+                tasks.append(_blob_task)
             self._stage_sidecar_meta(self.cfg.bloom_mode, 0)
         if self.cfg.seen_layout == "bucketed":
-            self._seen_catalog_write(url_seen, "overwrite")
+            tasks.append(lambda: self._seen_catalog_write(url_seen,
+                                                          "overwrite"))
             self.store.stage_blob("seen_layout_meta", json.dumps(
                 {"buckets": self._seen_buckets(), "round": 0}).encode())
+        with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+            for f in [pool.submit(t) for t in tasks]:
+                f.result()
+        frontier.unpersist()
         self.store.commit(round_no=0, metrics={"round": 0, "event": "bootstrap"})
 
     def _shard_partials(self, df: DataFrame) -> DataFrame:
@@ -825,11 +844,18 @@ class CrawlEngine:
             out_cols = deduped.columns
             # fresh StructType: StructType.add MUTATES the frame's cached
             # schema, which would poison the cogroup's column resolution
+            extra_fields = [T.StructField("maybe", T.BooleanType())]
+            if not is_cuckoo:
+                # fused probe+insert (r6): the same cogroup pass emits the
+                # updated shard rows (bitmap set, candidate columns null)
+                # alongside the probed candidates — the separate
+                # partial_bitmaps -> or_merge update job disappears
+                extra_fields.append(T.StructField("bitmap", T.BinaryType()))
             out_schema = T.StructType(
-                list(deduped.schema.fields)
-                + [T.StructField("maybe", T.BooleanType())])
+                list(deduped.schema.fields) + extra_fields)
             probe = (cuckoo_probe_fn(out_cols, cfg.n_buckets) if is_cuckoo
-                     else partitioned_probe_fn(out_cols))
+                     else partitioned_probe_upsert_fn(out_cols,
+                                                      self._bloom_m))
             # persist: both the definite-new and to-confirm branches read
             # this frame — uncached, the cogrouped shard probe (the most
             # expensive per-round stage at scale) would run twice
@@ -837,8 +863,11 @@ class CrawlEngine:
                       .cogroup(shards_df.groupBy("bucket"))
                       .applyInPandas(probe, schema=out_schema)).persist()
             probed_cached = probed
-            definite_new = probed.where(~F.col("maybe")).drop("maybe")
-            to_confirm = probed.where(F.col("maybe")).drop("maybe")
+            # shard rows carry maybe=null, so the candidate filters below
+            # exclude them without an explicit bitmap-null conjunct
+            drop_cols = ["maybe"] + (["bitmap"] if not is_cuckoo else [])
+            definite_new = probed.where(~F.col("maybe")).drop(*drop_cols)
+            to_confirm = probed.where(F.col("maybe")).drop(*drop_cols)
             confirmed = self._anti_seen(to_confirm)
             new_urls = definite_new.unionByName(confirmed).persist()
         else:
@@ -916,8 +945,13 @@ class CrawlEngine:
                                "discovery_seq", "fetch_slot", "fetch_ts",
                                "image_id", "caption", "w", "h", "fmt",
                                "phash", "bytes"))
+            # a success is unmatched iff its image_id is NULL or absent
+            # from pages — anti-joining the pages id column directly is
+            # the same set as anti-joining matched's ids, without
+            # re-deriving the whole matched join subtree (which scanned
+            # the payload table a second time per round)
             unmatched = (fetched_cols.join(
-                F.broadcast(matched.select("image_id")), "image_id",
+                F.broadcast(pages.select("image_id")), "image_id",
                 "left_anti")
                 .select("url", "host", "depth", "round", "discovery_seq",
                         "fetch_slot", "fetch_ts", "image_id",
@@ -981,9 +1015,44 @@ class CrawlEngine:
             ("fetched", fetched_rows, "append"),
             ("failures", failure_rows, "append"),
         ]
-        pool = ThreadPoolExecutor(max_workers=len(sink_writes))
+        # the per-round STATE updates (bucketed-seen mirror append,
+        # host_state budget update, sidecar shard update) read only the
+        # persisted fetch/new_urls/probed caches, so they join the same
+        # concurrent batch as the sinks instead of running sequentially
+        # after it — at toy scale each serialized small job costs a full
+        # scheduling round trip
+        tasks = []
+        if cfg.seen_layout == "bucketed":
+            tasks.append(lambda: self._seen_catalog_write(
+                new_urls.select("url_hash", "url",
+                                F.lit(round_no).alias("round_added")),
+                "append"))
+        if cfg.host_state_mode == "dataframe":
+            succ = (fetch.where(F.col("outcome") == "success")
+                    .groupBy("host").agg(F.count("*").alias("_ok")))
+            new_hs_df = (self.store.read("host_state")
+                         .join(succ, "host", "left")
+                         .withColumn("fetched_count",
+                                     F.col("fetched_count")
+                                     + F.coalesce(F.col("_ok"), F.lit(0)))
+                         .drop("_ok"))
+            tasks.append(lambda: self.store.stage_write(
+                "host_state", new_hs_df, "replace"))
+        if use_part_bloom:
+            if is_cuckoo:
+                merged = self._cuckoo_shard_rows(new_urls, shards_df)
+            else:
+                # fused path: the updated shard rows came out of the probe
+                # cogroup itself — this write only filters the persisted
+                # probe output, no extra shuffle
+                merged = probed.where(F.col("bitmap").isNotNull()) \
+                               .select("bucket", "bitmap")
+            tasks.append(lambda: self.store.stage_write(
+                sidecar_tbl, merged, "replace"))
+        pool = ThreadPoolExecutor(max_workers=len(sink_writes) + len(tasks))
         futs = [pool.submit(self.store.stage_write, t, df, m)
                 for t, df, m in sink_writes]
+        futs += [pool.submit(t) for t in tasks]
 
         stats = stats_df.collect()
         outcome_counts: dict[str, int] = {}
@@ -1006,35 +1075,20 @@ class CrawlEngine:
         n_discovered = int(policy_counts.get("ok", 0))
         n_new = int(sum(lineage.values()))
 
-        for f in futs:  # join the concurrent sink writes
+        for f in futs:  # join the concurrent sink + state-update writes
             f.result()
         pool.shutdown()
         if cfg.seen_layout == "bucketed":
-            # append the round's delta to the bucketed mirror BEFORE the
-            # commit: a crash in between leaves the marker at R-1 and
-            # reads filter round_added <= committed round, so leftover
-            # rows are invisible until the resumed round re-commits
-            # (duplicates are set-semantics extras; see CrawlConfig)
-            self._seen_catalog_write(
-                new_urls.select("url_hash", "url",
-                                F.lit(round_no).alias("round_added")),
-                "append")
+            # the delta was appended to the bucketed mirror BEFORE the
+            # commit (in the concurrent batch above): a crash in between
+            # leaves the marker at R-1 and reads filter round_added <=
+            # committed round, so leftover rows are invisible until the
+            # resumed round re-commits (duplicates are set-semantics
+            # extras; see CrawlConfig)
             self.store.stage_blob("seen_layout_meta", json.dumps(
                 {"buckets": self._seen_buckets(),
                  "round": round_no}).encode())
-        if cfg.host_state_mode == "dataframe":
-            # per-host budget update as a join + staged replace — the host
-            # set never transits the driver
-            succ = (fetch.where(F.col("outcome") == "success")
-                    .groupBy("host").agg(F.count("*").alias("_ok")))
-            new_hs_df = (self.store.read("host_state")
-                         .join(succ, "host", "left")
-                         .withColumn("fetched_count",
-                                     F.col("fetched_count")
-                                     + F.coalesce(F.col("_ok"), F.lit(0)))
-                         .drop("_ok"))
-            self.store.stage_write("host_state", new_hs_df, "replace")
-        else:
+        if cfg.host_state_mode != "dataframe":
             new_hs = hs.copy()
             if host_ok:
                 delta = (new_hs["host"].map(host_ok).fillna(0)
@@ -1043,19 +1097,6 @@ class CrawlEngine:
             self._host_pdf = new_hs
             self.store.stage_write_arrow("host_state", new_hs, "replace")
         if use_part_bloom:
-            # executor-side shard update, staged as a replace; no filter
-            # ever reaches the driver. Bloom: previous rows + this round's
-            # partials, OR-folded per bucket. Cuckoo: each bucket's owner
-            # task inserts the round's new hashes into its shard.
-            if is_cuckoo:
-                merged = self._cuckoo_shard_rows(new_urls, shards_df)
-            else:
-                merged = (shards_df
-                          .unionByName(self._shard_partials(new_urls))
-                          .groupBy("bucket")
-                          .applyInPandas(or_merge_shards_fn(),
-                                         schema="bucket int, bitmap binary"))
-            self.store.stage_write(sidecar_tbl, merged, "replace")
             self._stage_sidecar_meta(repr_key, round_no)
         elif bloom is not None:
             self._bloom_add(bloom, new_urls)

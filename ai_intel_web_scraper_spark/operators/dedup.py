@@ -331,26 +331,30 @@ def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
     for _ in range(max_iter):
         # new label = min(own label, neighbors' labels), expressed as a
         # UNION + groupBy-min so comp never self-joins (Spark's ambiguous-
-        # self-join check trips even across localCheckpoint boundaries)
+        # self-join check trips even across localCheckpoint boundaries).
+        # The OLD label rides along as min(lab) over the tagged self row
+        # (exactly one per id), so the fixpoint probe below is a scan of
+        # the checkpointed result instead of a join back to `comp`.
         self_lab = comp.select(F.col("id").alias("src"),
-                               F.col("comp").alias("lab"))
+                               F.col("comp").alias("lab"),
+                               F.lit(True).alias("_own"))
         nbr_lab = (sym.join(comp.select(F.col("id").alias("_nid"),
                                         F.col("comp").alias("lab")),
                             sym["dst"] == F.col("_nid"))
-                   .select("src", "lab"))
+                   .select("src", "lab", F.lit(False).alias("_own")))
         new_comp = (self_lab.unionByName(nbr_lab)
                     .repartition(n_parts, "src")
-                    .groupBy("src").agg(F.min("lab").alias("comp"))
+                    .groupBy("src").agg(
+                        F.min("lab").alias("comp"),
+                        F.min(F.when(F.col("_own"), F.col("lab")))
+                        .alias("_old"))
                     .withColumnRenamed("src", "id")
                     .localCheckpoint(eager=True))
         # labels only decrease, so "any row with a strictly smaller label"
         # is the exact fixpoint test; limit(1) short-circuits the probe
-        prev_lab = comp.select(F.col("id").alias("_pid"),
-                               F.col("comp").alias("_plab"))
-        changed = (new_comp.join(prev_lab, F.col("id") == F.col("_pid"))
-                   .where(F.col("comp") < F.col("_plab"))
+        changed = (new_comp.where(F.col("comp") < F.col("_old"))
                    .limit(1).count())
-        comp = new_comp
+        comp = new_comp.drop("_old")
         if changed == 0:
             break
     return comp

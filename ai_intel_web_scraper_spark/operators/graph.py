@@ -79,15 +79,22 @@ def pagerank(edges: DataFrame, n_nodes: int,
     deg = edges.groupBy("src").agg(F.count("*").alias("_outdeg"))
     ed = edges.join(deg, "src")
     ranks = nodes.select("node", F.lit(scale // n_nodes).alias("r"))
+    # a zero contribution per node folds the old `nodes LEFT JOIN sums`
+    # re-attach into the aggregation itself: every node still gets
+    # exactly sum(contribs) (+0), so ranks are bit-identical, but each
+    # iteration costs one join + one groupBy instead of two joins + one
+    # groupBy — and the static zero subtree's exchange is reused across
+    # iterations (ReusedExchange) since all iterations share one DAG
+    zero = nodes.select("node", F.lit(0).cast("long").alias("_c"))
     for it in range(iters):
         contribs = (ed.join(ranks, ed["src"] == ranks["node"])
                     .select(F.col("dst").alias("node"),
                             F.expr("r DIV _outdeg").alias("_c")))
-        sums = contribs.groupBy("node").agg(F.sum("_c").alias("_s"))
-        ranks = (nodes.join(sums, "node", "left")
+        ranks = (contribs.unionByName(zero)
+                 .groupBy("node").agg(F.sum("_c").alias("_s"))
                  .select("node",
                          (F.lit(base)
-                          + F.expr(f"({PR_DAMP_NUM} * coalesce(_s, 0))"
+                          + F.expr(f"({PR_DAMP_NUM} * _s)"
                                    f" DIV {PR_DAMP_DEN}"))
                          .cast("long").alias("r")))
         if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
