@@ -135,22 +135,33 @@ def politeness_rank(frontier: DataFrame, quota_cfg: DataFrame,
         max_quota = int(quota_cfg.agg(F.max("quota")).first()[0] or 0)
     # broadcast_quota=False when the host table must not transit the
     # driver (dataframe host-state mode) — Catalyst/AQE picks the strategy
-    cand = frontier.join(
-        F.broadcast(quota_cfg) if broadcast_quota else quota_cfg, "host")
+    qc = F.broadcast(quota_cfg) if broadcast_quota else quota_cfg
+    # r6: the windows shuffle ONLY the frontier's narrow columns — the
+    # per-host quota/crawl_delay columns re-attach by (broadcastable)
+    # join after ranking instead of riding through both shuffles.
+    # Result-identical: a row ranked beyond its (host, salt) quota in
+    # phase 1 has >= quota earlier rows in its salt, hence >= quota
+    # earlier rows host-wide, so phase 2's rn <= quota filter would have
+    # dropped it anyway (order_cols are a total order per host).
+    cand = frontier.join(qc.select("host"), "host", "left_semi")
     w1 = (Window.partitionBy("host", F.pmod(F.abs("url_hash"), F.lit(n_salt)))
           .orderBy(*order_cols))
     survivors = (cand.withColumn("rn1", F.row_number().over(w1))
-                 .where((F.col("rn1") <= F.lit(max_quota))
-                        & (F.col("rn1") <= F.col("quota"))).drop("rn1"))
+                 .where(F.col("rn1") <= F.lit(max_quota)).drop("rn1"))
     w2 = Window.partitionBy("host").orderBy(*order_cols)
-    return (survivors.withColumn("rn", F.row_number().over(w2))
-            .where((F.col("rn") <= F.lit(max_quota))
-                   & (F.col("rn") <= F.col("quota")))
+    ranked = (survivors.withColumn("rn", F.row_number().over(w2))
+              .where(F.col("rn") <= F.lit(max_quota)))
+    # original column order: the host join key leads, then the remaining
+    # frontier columns, then crawl_delay and the assigned slots
+    out_cols = (["host"] + [c for c in frontier.columns if c != "host"]
+                + ["crawl_delay"])
+    return (ranked.join(qc, "host")
+            .where(F.col("rn") <= F.col("quota"))
             .withColumn("fetch_slot", (F.col("rn") - 1).cast("int"))
             .withColumn("fetch_ts",
                         F.lit(float(round_no) * round_seconds)
                         + F.col("fetch_slot") * F.col("crawl_delay"))
-            .drop("rn", "quota"))
+            .select(*out_cols, "fetch_slot", "fetch_ts"))
 
 
 @dataclass

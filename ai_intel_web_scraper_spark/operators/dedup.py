@@ -109,21 +109,30 @@ def minhash_text_sig_udf(n: int = 3):
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def fn(text: pd.Series) -> pd.Series:
         import hashlib
+        # batch-level shingle dedup (r6): near-dup corpora repeat shingles
+        # heavily ACROSS documents, so hash each distinct shingle once per
+        # Arrow batch and compute its 128 permutation values once — the
+        # per-document signature is then a min over gathered rows. The min
+        # is duplicate-invariant, so values are bit-identical.
+        docs_sh = []
+        uniq: dict[str, int] = {}
+        for t in text:
+            w = (t or "").lower().split()
+            sh = ([" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+                  if len(w) >= n else [" ".join(w)])
+            docs_sh.append([uniq.setdefault(s, len(uniq)) for s in sh])
+        hv = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(
+                s.encode(), digest_size=8).digest(), "little")
+             for s in uniq),
+            dtype=np.uint64, count=len(uniq))
         out = []
         with np.errstate(over="ignore"):
-            for t in text:
-                w = (t or "").lower().split()
-                sh = ([" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
-                      if len(w) >= n else [" ".join(w)])
-                hv = np.fromiter(
-                    (int.from_bytes(hashlib.blake2b(
-                        s.encode(), digest_size=8).digest(), "little")
-                     for s in sh),
-                    dtype=np.uint64, count=len(sh))
-                v = (hv[:, None] ^ b[None, :]) * a[None, :]
-                v ^= v >> np.uint64(32)
-                out.append([int(x) for x in
-                            v.min(axis=0).astype(np.int64)])
+            v = (hv[:, None] ^ b[None, :]) * a[None, :]
+            v ^= v >> np.uint64(32)
+            vs = v.astype(np.int64)
+            for idx in docs_sh:
+                out.append(vs[idx].min(axis=0).tolist())
         return pd.Series(out)
     return fn
 
@@ -137,33 +146,48 @@ def minhash_band_rows(df: DataFrame, id_col: str, text_col: str,
     (`incremental_minhash_verified`)."""
     sig = df.select(F.col(id_col).alias("id"),
                     minhash_text_sig_udf(n)(F.col(text_col)).alias("sig"))
+    return sig.select("id", "sig",
+                      _band_hash_cols().alias("band", "band_hash"))
+
+
+def _band_hash_cols(sig_col: str = "sig"):
     rows_per_band = N_PERM // LSH_BANDS
-    return sig.select(
-        "id", "sig",
-        F.posexplode(F.transform(
-            F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
-            lambda bi: F.xxhash64(F.concat_ws(
-                ",", F.slice("sig", bi * rows_per_band + 1, rows_per_band)))))
-        .alias("band", "band_hash"))
+    return F.posexplode(F.transform(
+        F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+        lambda bi: F.xxhash64(F.concat_ws(
+            ",", F.slice(sig_col, bi * rows_per_band + 1, rows_per_band)))))
 
 
 def minhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
                           n: int = 3) -> DataFrame:
     """Candidate near-dup pairs via MinHash LSH banding: signature ->
     band hashes -> explode -> self-equi-join on (band, band_hash) ->
-    estimated Jaccard = matching permutations / N_PERM."""
-    bands = minhash_band_rows(df, id_col, text_col, n)
+    estimated Jaccard = matching permutations / N_PERM.
+
+    r6 shape: the signature table is computed ONCE (persisted — the
+    Arrow UDF is the dominant per-row cost and would otherwise re-run
+    per join side) and the self-join moves only (id, band, band_hash)
+    rows; the ~KB signature arrays re-attach to the small candidate
+    set by id afterwards (shuffle the proxy, not the payload)."""
+    sig = df.select(F.col(id_col).alias("id"),
+                    minhash_text_sig_udf(n)(F.col(text_col)).alias("sig"))
+    sig = sig.persist()
+    bands = sig.select("id", _band_hash_cols().alias("band", "band_hash"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.band_hash") == F.col("b.band_hash"))
                    & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
+    with_sigs = (cand
+                 .join(sig.select(F.col("id").alias("id_a"),
+                                  F.col("sig").alias("sig_a")), "id_a")
+                 .join(sig.select(F.col("id").alias("id_b"),
+                                  F.col("sig").alias("sig_b")), "id_b"))
     est = F.expr(
         "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) ") \
         / F.lit(float(N_PERM))
-    return (cand.withColumn("est_jaccard", F.round(est, 6))
+    return (with_sigs.withColumn("est_jaccard", F.round(est, 6))
             .select("id_a", "id_b", "est_jaccard"))
 
 
@@ -177,16 +201,25 @@ def shingle_hash_udf(n: int = 3):
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def fn(text: pd.Series) -> pd.Series:
         import hashlib
-        out = []
+        # batch-level shingle dedup (r6): hash each distinct shingle once
+        # per Arrow batch (shingles repeat across near-dup documents);
+        # per-doc output is np.unique over gathered rows — identical to
+        # hashing per doc, since the hash is a pure function
+        docs_sh = []
+        uniq: dict[str, int] = {}
         for t in text:
             w = (t or "").lower().split()
             sh = ({" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
                   if len(w) >= n else {" ".join(w)})
-            hv = np.unique(np.fromiter(
-                (int.from_bytes(hashlib.blake2b(
-                    s.encode(), digest_size=8).digest(), "little")
-                 for s in sh), dtype=np.uint64, count=len(sh)))
-            out.append([int(x) for x in hv.astype(np.int64)])
+            docs_sh.append([uniq.setdefault(s, len(uniq)) for s in sh])
+        hv_all = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(
+                s.encode(), digest_size=8).digest(), "little")
+             for s in uniq), dtype=np.uint64, count=len(uniq))
+        out = []
+        for idx in docs_sh:
+            hv = np.unique(hv_all[idx])
+            out.append(hv.astype(np.int64).tolist())
         return pd.Series(out)
     return fn
 
@@ -218,8 +251,11 @@ def minhash_verified_pairs(df: DataFrame, id_col: str, text_col: str,
     estimate never decides, it only prunes. Returns pairs with
     (est_jaccard, jaccard) at jaccard >= threshold."""
     cand = minhash_neardup_pairs(df, id_col, text_col, n)
+    # persist: the verify stage joins this frame on BOTH pair sides — the
+    # shingling UDF would otherwise run twice over the corpus
     base = df.select(F.col(id_col).alias("id"),
                      shingle_hash_udf(n)(F.col(text_col)).alias("_hs"))
+    base = base.persist()
     return _verify_pairs_exact(cand, base, threshold) \
         .select("id_a", "id_b", "est_jaccard", "jaccard")
 
@@ -240,8 +276,15 @@ def incremental_minhash_verified(new_docs: DataFrame, index_docs: DataFrame,
     Returns (id_a, id_b, jaccard, vs_index) with id_a < id_b, exact
     n-gram Jaccard >= threshold (LSH only prunes; the estimate never
     decides), vs_index = the pair spans the index/new boundary."""
-    nb = minhash_band_rows(new_docs, id_col, text_col, n)
-    ib = minhash_band_rows(index_docs, id_col, text_col, n)
+    # slim persisted band rows (r6): nb feeds the cross join AND both
+    # sides of the within join — without the persist the signature UDF
+    # would re-run per consumer; the sig arrays are not needed downstream
+    # (verification is exact-shingle, not estimate-based), so only
+    # (id, band, band_hash) rows enter the joins
+    nb = (minhash_band_rows(new_docs, id_col, text_col, n)
+          .drop("sig").persist())
+    ib = (minhash_band_rows(index_docs, id_col, text_col, n)
+          .drop("sig").persist())
     cross = (nb.alias("a")
              .join(ib.alias("b"),
                    (F.col("a.band") == F.col("b.band"))
@@ -263,6 +306,7 @@ def incremental_minhash_verified(new_docs: DataFrame, index_docs: DataFrame,
     corpus = new_docs.unionByName(index_docs)
     base = corpus.select(F.col(id_col).alias("id"),
                          shingle_hash_udf(n)(F.col(text_col)).alias("_hs"))
+    base = base.persist()  # joined on both pair sides (see above)
     return (_verify_pairs_exact(cand, base, threshold)
             .select("id_a", "id_b", "jaccard", "vs_index"))
 
@@ -370,6 +414,10 @@ def greedy_chain_dedup(all_ids: DataFrame, pairs: DataFrame, id_col: str,
     then the sequential greedy runs per component inside a cogrouped
     applyInPandas (components are tiny near-dup clusters; cross-component
     work is fully parallel). Returns the kept ids."""
+    # persist: the candidate-pair pipeline (LSH + joins) above this call
+    # is the expensive subtree, and it feeds BOTH the component loop and
+    # the per-component edge lists — uncached it would execute twice
+    pairs = pairs.persist()
     comp = connected_components(pairs)
     # alias comp's columns per consumer: members and edges_c meet again in
     # the cogroup, so shared expression ids would be flagged as ambiguous
@@ -423,15 +471,24 @@ def simhash_udf(text: pd.Series) -> pd.Series:
     import hashlib
     out = np.zeros(len(text), dtype=np.int64)
     shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
-    for i, t in enumerate(text):
+    # batch-level token dedup (r6): md5 each distinct token once per Arrow
+    # batch and expand its +1/-1 bit vector once; each document then sums
+    # gathered rows (occurrence multiplicity preserved by the index list),
+    # which is arithmetically identical to the per-occurrence loop
+    docs_tok = []
+    uniq: dict[str, int] = {}
+    for t in text:
         toks = (t or "").lower().split()
-        if not toks:
+        docs_tok.append([uniq.setdefault(tok, len(uniq)) for tok in toks])
+    hv = np.fromiter(
+        (int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+         for tok in uniq), dtype=np.uint64, count=len(uniq))
+    pm = np.where(((hv[:, None] >> shifts[None, :]) & np.uint64(1)) == 1,
+                  np.int64(1), np.int64(-1))
+    for i, idx in enumerate(docs_tok):
+        if not idx:
             continue
-        hv = np.fromiter(
-            (int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
-             for tok in toks), dtype=np.uint64, count=len(toks))
-        bits = (hv[:, None] >> shifts[None, :]) & np.uint64(1)
-        acc = np.where(bits == 1, 1, -1).sum(axis=0)
+        acc = pm[idx].sum(axis=0)
         out[i] = int(((acc > 0).astype(np.uint64)
                       << shifts).sum(dtype=np.uint64))
     return pd.Series(out)
@@ -572,5 +629,8 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
     production callers pick max_hamming by that budget)."""
     sh = df.select(F.col(id_col).alias("id"),
                    simhash_udf(F.col(text_col)).alias("sim"))
+    # persist: the block self-join reads the signature frame on both
+    # sides — uncached, the md5 token-hash UDF would run twice
+    sh = sh.persist()
     return hamming_block_pairs(sh, "id", "sim", max_hamming,
                                bits=SIMHASH_BITS)

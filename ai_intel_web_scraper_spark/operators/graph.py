@@ -77,7 +77,10 @@ def pagerank(edges: DataFrame, n_nodes: int,
     if nodes is None:
         nodes = sp.range(n_nodes).select(F.col("id").alias("node"))
     deg = edges.groupBy("src").agg(F.count("*").alias("_outdeg"))
-    ed = edges.join(deg, "src")
+    # persist: the degree-annotated edge table is static across all
+    # iterations — the Pregel convention of caching the edge RDD; without
+    # it each iteration's join re-derives the edges subtree
+    ed = edges.join(deg, "src").persist()
     ranks = nodes.select("node", F.lit(scale // n_nodes).alias("r"))
     # a zero contribution per node folds the old `nodes LEFT JOIN sums`
     # re-attach into the aggregation itself: every node still gets
@@ -115,6 +118,13 @@ def authority_over(nodes: DataFrame, edges: DataFrame,
     and runs the integer recurrence keyed by the node column directly —
     no dense-id assignment pass, so nothing global-windows 10^10 URLs.
     `edges` must already be DISTINCT (src, dst) pairs."""
+    # persist both inputs: `edges` feeds the out-node set AND the full
+    # edge union (then degree + join inside pagerank), `nodes` feeds the
+    # count action, the dangling anti-join, the rank init and the
+    # per-iteration zero rows — uncached each consumer re-derives the
+    # upstream resolution/distinct subtrees
+    nodes = nodes.persist()
+    edges = edges.persist()
     outs = edges.select(F.col("src").alias("node")).distinct()
     dangling = nodes.join(outs, "node", "left_anti")
     full = edges.unionByName(

@@ -88,7 +88,28 @@ def hll_cardinality(keys: DataFrame, key_col: str,
     client-side rule). `with_exact` joins in the exact distinct count for
     accuracy evaluation — only sane at test scale; at 10^10 keys the
     register table IS the product."""
-    regs = hll_registers(keys, key_col, seed)
+    if with_exact:
+        # registers are duplicate-invariant (per-bucket MAX), so both the
+        # sketch and the exact count derive from ONE distinct-hash pass —
+        # without this the key explode + md5 hashing (the dominant per-row
+        # work) ran twice, once per branch; the shared Exchange under the
+        # distinct is reused across the two consumers (r6)
+        # persist: the two consumers below are separate aggregation
+        # branches and Catalyst does not reuse the distinct's exchange
+        # across them (verified in the r6 plan) — cache the ~8B/row
+        # distinct hash set instead of exploding + hashing twice
+        hashed = (keys.select(shuffle_key_col(F.col(key_col), seed)
+                              .alias("_h")).distinct().persist())
+        rest = F.pmod(F.col("_h"), F.lit(HLL_REST_MOD))
+        rho = (F.when(rest == 0, F.lit(HLL_RHO_MAX))
+               .otherwise(F.lit(HLL_RHO_MAX)
+                          - F.length(F.conv(rest.cast("string"), 10, 2))))
+        regs = (hashed.select(F.shiftright("_h", HLL_REST_BITS).cast("int")
+                              .alias("bucket"), rho.cast("int").alias("rho"))
+                .groupBy("bucket").agg(F.max("rho").alias("max_rho")))
+        exact = hashed.agg(F.count("*").alias("exact_distinct"))
+    else:
+        regs = hll_registers(keys, key_col, seed)
     part = regs.agg(
         F.count("*").cast("long").alias("n_nonempty"),
         F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_RHO_MAX} - max_rho)"))
@@ -103,9 +124,6 @@ def hll_cardinality(keys: DataFrame, key_col: str,
                       numer.cast("long").alias("numer"),
                       est.cast("long").alias("est_card"))
     if with_exact:
-        exact = keys.select(
-            F.countDistinct(shuffle_key_col(F.col(key_col), seed))
-            .alias("exact_distinct"))
         out = out.crossJoin(exact)
     return out
 

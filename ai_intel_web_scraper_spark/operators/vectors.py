@@ -302,7 +302,11 @@ def semdedup(embeddings: DataFrame,
             .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
             .withColumn("nv", norm_col("v")))
     cluster, csim = assignment_cols(cents, "v", norm=F.col("nv"))
-    assign = base.withColumn("cl", cluster).withColumn("cs", csim)
+    # persist: the assignment expressions (k interpreted cosine folds per
+    # row) feed BOTH self-join sides and the final kept projection —
+    # uncached they would evaluate three times over the corpus
+    assign = (base.withColumn("cl", cluster).withColumn("cs", csim)
+              .persist())
     l = assign.select(F.col("id").alias("lid"), F.col("v").alias("lv"),
                       F.col("nv").alias("lnv"),
                       F.col("cl").alias("lcl"), F.col("cs").alias("lcs"))
