@@ -120,8 +120,18 @@ class SnapshotStore:
         dirname = f"w-{uuid.uuid4().hex[:12]}"
         path = os.path.join(self._table_dir(table), dirname)
         os.makedirs(path, exist_ok=True)
-        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
-                       os.path.join(path, "part-0.parquet"))
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        ddl = self.schemas.get(table)
+        if ddl is not None:
+            # cast to the registered schema so the file footer matches
+            # what `read` declares — pandas infers e.g. list<int32> for
+            # an all-empty array<string> column, which would then fail
+            # the typed parquet read
+            from pyspark.sql.pandas.types import to_arrow_schema
+            from pyspark.sql.types import StructType
+            target = to_arrow_schema(StructType.fromDDL(ddl))
+            tbl = tbl.select(target.names).cast(target)
+        pq.write_table(tbl, os.path.join(path, "part-0.parquet"))
         stats = self._file_stats(path)
         with self._stage_lock:  # same discipline as stage_write: callers
             # may overlap with in-flight sink-writer threads
@@ -150,7 +160,11 @@ class SnapshotStore:
             dirs = list(st["dirs"]) if st else []
         if not dirs:
             raise KeyError(f"table {table!r} has no staged dirs")
-        return self.spark.read.parquet(
+        reader = self.spark.read
+        schema = self.schemas.get(table)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(
             *[os.path.join(self._table_dir(table), d) for d in dirs])
 
     def stage_blob(self, name: str, data: bytes) -> None:
@@ -304,13 +318,20 @@ class SnapshotStore:
         tables return an empty DataFrame with the registered schema."""
         snap = self.snapshot(snap_id)
         dirs = (snap or {}).get("tables", {}).get(table, [])
+        schema = self.schemas.get(table)
         if not dirs:
-            schema = self.schemas.get(table)
             if schema is None:
                 raise KeyError(f"table {table!r} empty and no schema registered")
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self._table_dir(table), d) for d in dirs]
-        return self.spark.read.parquet(*paths)
+        reader = self.spark.read
+        if schema is not None:
+            # registered schema (the same one every write produced):
+            # skips the per-read footer schema-inference pass — the
+            # engine reads several tables per round, and each inference
+            # is a synchronous driver-side file listing + footer decode
+            reader = reader.schema(schema)
+        return reader.parquet(*paths)
 
     def read_blob(self, name: str, snap_id: int | None = None) -> bytes | None:
         snap = self.snapshot(snap_id)
