@@ -538,7 +538,11 @@ def hamming_block_pairs(df: DataFrame, id_col: str, hash_col: str,
     self-equi-join on (block, value), then exact bit_count verify.
     Narrower blocks (bigger max_hamming) mean more candidates: the
     guaranteed-recall tradeoff is inherent."""
-    blocks = hamming_block_rows(df, id_col, hash_col, max_hamming, bits)
+    # persist: the self-join consumes the block rows on BOTH sides, and
+    # for signature inputs (video/audio/simhash) the upstream subtree is
+    # a full decode/hash pass that must not run twice
+    blocks = hamming_block_rows(df, id_col, hash_col, max_hamming,
+                                bits).persist()
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (a.join(b, (F.col("a.blk") == F.col("b.blk"))
                    & (F.col("a.blk_val") == F.col("b.blk_val"))
@@ -629,8 +633,7 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
     production callers pick max_hamming by that budget)."""
     sh = df.select(F.col(id_col).alias("id"),
                    simhash_udf(F.col(text_col)).alias("sim"))
-    # persist: the block self-join reads the signature frame on both
-    # sides — uncached, the md5 token-hash UDF would run twice
-    sh = sh.persist()
+    # hamming_block_pairs persists its block rows, so the md5 token-hash
+    # UDF here runs exactly once despite the self-join
     return hamming_block_pairs(sh, "id", "sim", max_hamming,
                                bits=SIMHASH_BITS)
