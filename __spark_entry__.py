@@ -42,6 +42,7 @@ from ai_intel_web_scraper_spark.operators import temporal as TM
 from ai_intel_web_scraper_spark.operators import text as X
 from ai_intel_web_scraper_spark.operators import urlrules as _UR
 from ai_intel_web_scraper_spark.operators import vectors as V
+from ai_intel_web_scraper_spark.operators.spread import spread_scan as _sp
 
 # ---------------------------------------------------------------- constants
 
@@ -124,7 +125,8 @@ def q_events_keep_first(spark, sf_dir):
 def q_topic_tags(spark, sf_dir):
     """SURVEY P5 at reference fidelity: weighted \\b-bounded match counts,
     top-3 >= 0.01 with insertion-order tie-break, unclassified fallback."""
-    return X.topic_scores(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return X.topic_scores(_sp(_t(spark, sf_dir, "documents")),
+                          "doc_id", "text")
 
 
 def q_quality_filter(spark, sf_dir):
@@ -132,7 +134,7 @@ def q_quality_filter(spark, sf_dir):
     corpus is branch-synthesized so EVERY removal reason fires — word
     floor, no-topics (with the benchmark exemption kept), code-ratio on
     docs, boilerplate via both the phrase and the link-density rule."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _sp(_t(spark, sf_dir, "documents"))
     words = F.split(F.trim("text"), r"\s+")
     branch = F.pmod(F.col("doc_id"), F.lit(7))
     lorem = F.repeat(F.lit("lorem ipsum "), 45)
@@ -459,7 +461,7 @@ def q_html_extract(spark, sf_dir):
     body-fallback with script strip — then run through the real stdlib-DOM
     extractor; the oracle predicts (title, text) exactly."""
     from ai_intel_web_scraper_spark.operators.html import html_extract
-    docs = _t(spark, sf_dir, "documents")
+    docs = _sp(_t(spark, sf_dir, "documents"))
     words = F.split(F.trim("text"), r"\s+")
     w1, w2, w3 = (F.element_at(words, i) for i in (1, 2, 3))
     b = F.pmod(F.col("doc_id"), F.lit(4))
@@ -1194,7 +1196,7 @@ def q_hash_embed(spark, sf_dir):
     canonicalizer, and the exploded form is SQL-checkable (the md5 hex
     parsing and the exact-integer accumulate/normalize reproduce in DuckDB
     bit-for-bit)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _sp(_t(spark, sf_dir, "documents"))
     vec = docs.select("doc_id", V.hash_embed_udf()(F.col("text"))
                       .alias("embedding"))
     return (vec.select("doc_id",

@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .spread import spread_scan
+
 # ------------------------------------------------------------------ exact
 
 def keep_first(df: DataFrame, key_cols: list[str],
@@ -169,8 +171,9 @@ def minhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
     per join side) and the self-join moves only (id, band, band_hash)
     rows; the ~KB signature arrays re-attach to the small candidate
     set by id afterwards (shuffle the proxy, not the payload)."""
-    sig = df.select(F.col(id_col).alias("id"),
-                    minhash_text_sig_udf(n)(F.col(text_col)).alias("sig"))
+    sig = spread_scan(df).select(
+        F.col(id_col).alias("id"),
+        minhash_text_sig_udf(n)(F.col(text_col)).alias("sig"))
     sig = sig.persist()
     bands = sig.select("id", _band_hash_cols().alias("band", "band_hash"))
     a, b = bands.alias("a"), bands.alias("b")
@@ -253,8 +256,9 @@ def minhash_verified_pairs(df: DataFrame, id_col: str, text_col: str,
     cand = minhash_neardup_pairs(df, id_col, text_col, n)
     # persist: the verify stage joins this frame on BOTH pair sides — the
     # shingling UDF would otherwise run twice over the corpus
-    base = df.select(F.col(id_col).alias("id"),
-                     shingle_hash_udf(n)(F.col(text_col)).alias("_hs"))
+    base = spread_scan(df).select(
+        F.col(id_col).alias("id"),
+        shingle_hash_udf(n)(F.col(text_col)).alias("_hs"))
     base = base.persist()
     return _verify_pairs_exact(cand, base, threshold) \
         .select("id_a", "id_b", "est_jaccard", "jaccard")
@@ -631,8 +635,8 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
     ~8.6 bits wide; every extra allowed bit of distance narrows blocks
     and grows the candidate set (the guaranteed-recall cost curve —
     production callers pick max_hamming by that budget)."""
-    sh = df.select(F.col(id_col).alias("id"),
-                   simhash_udf(F.col(text_col)).alias("sim"))
+    sh = spread_scan(df).select(F.col(id_col).alias("id"),
+                                simhash_udf(F.col(text_col)).alias("sim"))
     # hamming_block_pairs persists its block rows, so the md5 token-hash
     # UDF here runs exactly once despite the self-join
     return hamming_block_pairs(sh, "id", "sim", max_hamming,
