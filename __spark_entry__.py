@@ -1109,7 +1109,7 @@ def _doc_grams(spark, sf_dir, n: int = 3):
     """Exploded word n-gram keys of the documents table (the shared input
     for the sketch queries — shingles are the natural high-cardinality
     key domain a crawl pipeline sketches over)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _sp(_t(spark, sf_dir, "documents"))
     return docs.select(
         F.explode(CP.word_grams(CP.words_col(F.col("text")), n))
         .alias("gram"))
